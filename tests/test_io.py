@@ -1,0 +1,66 @@
+"""I/O layer tests: WAV round-trips, streaming reads/writes, facade API."""
+import numpy as np
+import pytest
+
+from tomatis_tpu.io import audio
+
+
+def _sig(n=4801, ch=2, sr=48000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)[:, None]
+    x = np.repeat(x, ch, axis=1) + 0.01 * rng.standard_normal((n, ch))
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+@pytest.mark.parametrize("subtype,tol", [
+    ("PCM_16", 2 ** -15), ("PCM_24", 2 ** -23), ("PCM_32", 2 ** -30),
+    ("FLOAT", 0.0),
+])
+def test_wav_roundtrip(tmp_path, subtype, tol):
+    x = _sig()
+    p = tmp_path / "a.wav"
+    audio.write(p, x, 48000, subtype=subtype)
+    meta = audio.info(p)
+    assert (meta.samplerate, meta.channels, meta.frames) == (48000, 2, len(x))
+    assert meta.subtype == subtype
+    y, sr = audio.read(p)
+    assert sr == 48000 and y.shape == x.shape
+    assert np.max(np.abs(y - x)) <= tol + 1e-7
+
+
+def test_wav_streaming_read_write(tmp_path):
+    x = _sig(n=10000)
+    p = tmp_path / "s.wav"
+    with audio.AudioFile(p, "w", samplerate=48000, channels=2,
+                         subtype="FLOAT") as f:
+        for i in range(0, len(x), 3000):
+            f.write(x[i:i + 3000])
+    with audio.AudioFile(p, "r") as f:
+        assert f.frames == len(x)
+        chunks = []
+        while True:
+            c = f.read(2048)
+            if len(c) == 0:
+                break
+            chunks.append(c)
+        y = np.concatenate(chunks)
+    np.testing.assert_array_equal(y, x)
+    # seek + ranged read
+    y2, _ = audio.read(p, frames=100, start=5000)
+    np.testing.assert_array_equal(y2, x[5000:5100])
+
+
+def test_wav_mono_always2d(tmp_path):
+    x = _sig(ch=1)
+    p = tmp_path / "m.wav"
+    audio.write(p, x[:, 0], 44100, subtype="PCM_16")
+    y, sr = audio.read(p, always_2d=False)
+    assert sr == 44100 and y.ndim == 1 and len(y) == len(x)
+    y2, _ = audio.read(p)
+    assert y2.shape == (len(x), 1)
+
+
+def test_unsupported_extension(tmp_path):
+    with pytest.raises(ValueError):
+        audio.info(tmp_path / "x.mp3")
