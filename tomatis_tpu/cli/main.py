@@ -1,0 +1,34 @@
+"""Unified CLI dispatcher: `python -m tomatis_tpu.cli.main <command> ...`.
+
+One binary replacing the reference's 34 standalone scripts; each subcommand
+keeps its reference-compatible flags. Commands are loaded lazily so `--help`
+stays fast and JAX is only imported by commands that compute.
+"""
+from __future__ import annotations
+
+import importlib
+import sys
+
+COMMANDS = {
+    "process": ("tomatis_tpu.cli.process",
+                "standard gate-controlled C1/C2 tilt processor"),
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: tomatis <command> [options]\n\ncommands:")
+        for name, (_, desc) in sorted(COMMANDS.items()):
+            print(f"  {name:20s} {desc}")
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command: {cmd!r} (see --help)")
+        return 2
+    mod = importlib.import_module(COMMANDS[cmd][0])
+    return mod.main(argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

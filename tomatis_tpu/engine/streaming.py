@@ -1,0 +1,316 @@
+"""Chunked streaming STFT+OLA executor — the framework's single engine.
+
+The reference re-implements one streaming loop in five scripts
+(src/process_tomatis.py:265-453 canonical; also process_tomatis_xfade.py,
+layer2_apply_eq.py, layer2b_apply_residual_eq(_safe).py). Here it exists
+once, TPU-first:
+
+- A *fixed-shape* chunk of ``frames_per_chunk`` frames is processed by one
+  jitted function (levels -> controller (gate/gain) -> batched rFFT bank ->
+  K-way overlap-add). Fixed shapes mean the executable compiles once and is
+  reused for every chunk of every file.
+- Sequential state crosses chunk boundaries as a tiny carry:
+  (controller carry, OLA sample tail, OLA window-sum tail) — exactly the
+  state the reference keeps implicitly in its ring buffers
+  (in_buf/out_buf/w_buf, src/process_tomatis.py:308-316).
+- The host driver replicates the reference's absolute-coordinate write-out:
+  half-window start pad, computed end pad (src/process_tomatis.py:270-272),
+  flush every >=5 s of safe samples with *per-flush* peak clamping to 0.999
+  (src/process_tomatis.py:331-357,419-426) — flush boundaries affect the
+  audible output (each flushed chunk is rescaled independently), so they are
+  reproduced bit-for-bit via an explicit flush plan.
+
+Controllers (the only part that differs between processors) produce per-frame
+linear gain rows from per-frame levels plus a carried state; see
+tomatis_tpu.models for the standard / crossfade / EQ controllers.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tomatis_tpu.ops import stft
+from tomatis_tpu.ops.dsp import EPS, PEAK_LIMIT, frame_levels_dbfs
+
+FLUSH_THRESHOLD = 48000 * 5  # hard-coded in the reference (src/process_tomatis.py:420)
+
+
+# ---------------------------------------------------------------------------
+# Flush plan: where the reference's streaming write-out cuts its chunks.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FlushPlan:
+    """Write-out chunk boundaries in absolute sample coordinates.
+
+    ``cuts`` are (abs_start, length) pairs covering [-pad, end) contiguously.
+    Peak clamping is applied per cut after clipping to [0, total) — matching
+    write_clamped + the >=5 s flush rule of src/process_tomatis.py:331-357.
+    """
+    cuts: list
+    pad: int
+    pad_end: int
+    n_frames: int
+    total: int
+
+
+def flush_plan(total: int, n_fft: int, hop: int,
+               threshold: int = FLUSH_THRESHOLD) -> FlushPlan:
+    pad = n_fft // 2
+    pad_end = stft.pad_end(total, n_fft, hop)
+    n_frames = (pad + total + pad_end - n_fft) // hop + 1
+    cuts = []
+    out_base = -pad
+    for j in range(n_frames):
+        next_start = -pad + (j + 1) * hop
+        safe = next_start - out_base - n_fft
+        if safe >= threshold:
+            cuts.append((out_base, safe))
+            out_base += safe
+    end = -pad + (n_frames - 1) * hop + n_fft
+    if end > out_base:
+        cuts.append((out_base, end - out_base))
+    return FlushPlan(cuts, pad, pad_end, n_frames, total)
+
+
+# ---------------------------------------------------------------------------
+# The jitted chunk executable.
+# ---------------------------------------------------------------------------
+
+class ChunkedStftEngine:
+    """Compiles and runs the per-chunk pipeline for one (n_fft, hop, C, F_c)."""
+
+    def __init__(self, n_fft: int, hop: int, channels: int = 2,
+                 frames_per_chunk: int = 1024, window: np.ndarray | None = None):
+        if n_fft % hop:
+            raise ValueError("n_fft must be a multiple of hop")
+        self.n_fft = n_fft
+        self.hop = hop
+        self.channels = channels
+        self.frames_per_chunk = frames_per_chunk
+        self.window = (stft.hann_symmetric(n_fft) if window is None
+                       else np.asarray(window, np.float32))
+        self.tail_len = n_fft - hop
+        self.chunk_input_len = (frames_per_chunk - 1) * hop + n_fft
+        self.emit_len = frames_per_chunk * hop
+
+    def zero_tails(self):
+        return (jnp.zeros((self.tail_len, self.channels), jnp.float32),
+                jnp.zeros((self.tail_len,), jnp.float32))
+
+    def make_chunk_fn(self, controller) -> Callable:
+        """Build the jitted chunk step for a gain controller.
+
+        controller must provide:
+            init_carry() -> pytree
+            step(levels [F], valid [F] bool, carry) ->
+                (gains [F, bins] float32 linear, log dict of [F] arrays, carry')
+
+        Returns fn(sig [L, C], n_valid, ctl_carry, out_tail, w_tail) ->
+            (emit [F_c*hop, C] normalized, log dict, new carries, tails)
+        """
+        n_fft, hop, F = self.n_fft, self.hop, self.frames_per_chunk
+        win = jnp.asarray(self.window)
+        win2 = win * win
+        tail = self.tail_len
+
+        @jax.jit
+        def chunk_fn(sig, n_valid, ctl_carry, out_tail, w_tail):
+            frames = stft.frame_signal(sig, n_fft, hop, F)      # [F, C, n_fft]
+            levels = frame_levels_dbfs(
+                jnp.transpose(frames, (0, 2, 1)))               # [F]
+            valid = jnp.arange(F) < n_valid
+            gains, log, ctl_carry = controller.step(levels, valid, ctl_carry)
+            y = stft.apply_gain_bank(frames, win, gains)        # [F, C, n_fft]
+            mask = valid.astype(jnp.float32)
+            y = y * mask[:, None, None]
+            ola = stft.overlap_add(y, hop)                      # [F*hop + tail, C]
+            w = stft.overlap_add(
+                (win2[None, None, :] * mask[:, None, None]), hop)[:, 0]
+            ola = ola.at[:tail].add(out_tail)
+            w = w.at[:tail].add(w_tail)
+            # Normalize the whole span. For a full chunk the host uses only
+            # the first F*hop samples (the tail region still awaits the next
+            # chunk's frames, carried raw below); for the stream's final,
+            # possibly partial chunk the tail region is already complete and
+            # correctly normalized here.
+            emit = ola / (w[:, None] + EPS)
+            log = dict(log)
+            log["levels"] = levels
+            return (emit, log, ctl_carry,
+                    ola[F * hop:], w[F * hop:])
+
+        return chunk_fn
+
+
+# ---------------------------------------------------------------------------
+# Host-side stream driver.
+# ---------------------------------------------------------------------------
+
+def _iter_blocks(source, block: int) -> Iterator[np.ndarray]:
+    """Yield float32 [n, C] blocks from an AudioFile reader or an ndarray."""
+    if isinstance(source, np.ndarray):
+        x = source if source.ndim == 2 else source[:, None]
+        for i in range(0, len(x), block):
+            yield np.asarray(x[i:i + block], np.float32)
+        return
+    while True:
+        x = source.read(block)
+        if len(x) == 0:
+            return
+        yield np.asarray(x, np.float32)
+
+
+class StreamRunner:
+    """Runs a controller over an audio stream with reference write semantics.
+
+    Emits per-frame log rows (for state CSVs) and clamped output chunks. The
+    caller supplies sinks:
+        on_frames(frame_idx0, starts, log)   per engine chunk (host arrays)
+        on_audio(chunk [n, C])               clamped output in file order
+    """
+
+    def __init__(self, engine: ChunkedStftEngine, controller,
+                 total: int, output_gain_db: float = 0.0,
+                 peak_mode: str = "per_flush"):
+        self.engine = engine
+        self.controller = controller
+        self.total = int(total)
+        self.output_gain = float(10.0 ** (output_gain_db / 20.0)) \
+            if output_gain_db else 1.0
+        self.plan = flush_plan(total, engine.n_fft, engine.hop)
+        if peak_mode not in ("per_flush", "none"):
+            raise ValueError(peak_mode)
+        self.peak_mode = peak_mode
+        self.chunk_fn = engine.make_chunk_fn(controller)
+        self.stats = {}
+
+    def run(self, source, on_audio: Callable | None = None,
+            on_frames: Callable | None = None) -> dict:
+        eng, plan = self.engine, self.plan
+        n_fft, hop, F_c = eng.n_fft, eng.hop, eng.frames_per_chunk
+        C = eng.channels
+        pad, pad_end, n_frames = plan.pad, plan.pad_end, plan.n_frames
+
+        ctl_carry = self.controller.init_carry()
+        out_tail, w_tail = eng.zero_tails()
+
+        # Rolling input: absolute sample coordinate of pend[0] is in_base.
+        pend = np.zeros((pad, C), np.float32)
+        in_base = -pad
+        blocks = _iter_blocks(source, eng.emit_len)
+        fed = 0            # samples of the real signal consumed from source
+        frame0 = 0         # absolute index of next chunk's first frame
+        # Normalized output collector in absolute coords starting at -pad.
+        out_pend: list[np.ndarray] = []
+        out_avail = 0
+        out_base = -pad
+        cut_i = 0
+        drained = False
+
+        states_count = np.zeros(3, np.int64)
+
+        while frame0 < n_frames:
+            nf = min(F_c, n_frames - frame0)
+            need = (nf - 1) * hop + n_fft
+            while len(pend) < need and not drained:
+                blk = next(blocks, None)
+                if blk is None:
+                    drained = True
+                    break
+                fed += len(blk)
+                pend = np.concatenate([pend, blk], 0)
+            if len(pend) < need:  # real signal exhausted: zero pad the tail
+                pend = np.concatenate(
+                    [pend, np.zeros((need - len(pend), C), np.float32)], 0)
+            sig = pend[:eng.chunk_input_len]
+            if len(sig) < eng.chunk_input_len:
+                sig = np.concatenate(
+                    [sig, np.zeros((eng.chunk_input_len - len(sig), C),
+                                   np.float32)], 0)
+
+            emit, log, ctl_carry, out_tail, w_tail = self.chunk_fn(
+                jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail, w_tail)
+
+            if on_frames is not None:
+                starts = -pad + (frame0 + np.arange(nf)) * hop
+                host_log = {k: np.asarray(v)[:nf] for k, v in log.items()}
+                on_frames(frame0, starts, host_log)
+            if "states" in log:
+                s = np.asarray(log["states"])[:nf]
+                states_count[1] += int(np.sum(s == 1))
+                states_count[2] += int(np.sum(s == 2))
+
+            if nf < F_c:
+                # Partial (final) chunk: the stream's OLA tail lies at
+                # nf*hop, inside the emit region, already normalized.
+                emit_n = nf * hop + eng.tail_len
+            else:
+                emit_n = nf * hop
+            out_pend.append(np.asarray(emit)[:emit_n])
+            out_avail += emit_n
+            frame0 += nf
+            keep = max(0, len(pend) - (nf * hop))
+            advanced = len(pend) - keep
+            pend = pend[advanced:]
+            in_base += advanced
+
+            cut_i, out_pend, out_avail, out_base = self._drain(
+                plan, cut_i, out_pend, out_avail, out_base, False, on_audio)
+
+        # Final: if the last chunk was full, its tail is still in the carry.
+        if n_frames % F_c == 0 and n_frames > 0:
+            tail_np = np.asarray(out_tail) / (np.asarray(w_tail)[:, None] + EPS)
+            out_pend.append(tail_np)
+            out_avail += len(tail_np)
+        self._drain(plan, cut_i, out_pend, out_avail, out_base, True, on_audio)
+
+        total_f = int(states_count[1] + states_count[2])
+        self.stats = dict(
+            n_frames=n_frames,
+            c1_frames=int(states_count[1]),
+            c2_frames=int(states_count[2]),
+            c1_ratio=states_count[1] / total_f if total_f else 0.0,
+            c2_ratio=states_count[2] / total_f if total_f else 0.0,
+        )
+        return self.stats
+
+    def _drain(self, plan, cut_i, out_pend, out_avail, out_base,
+               final: bool, on_audio):
+        while cut_i < len(plan.cuts):
+            start, n = plan.cuts[cut_i]
+            if not final and out_avail < (start - out_base) + n:
+                break
+            buf = np.concatenate(out_pend, 0) if len(out_pend) != 1 \
+                else out_pend[0]
+            rel = start - out_base
+            chunk = buf[rel:rel + n]
+            self._write_clamped(chunk, start, on_audio)
+            buf = buf[rel + n:]
+            out_pend = [buf]
+            out_avail = len(buf)
+            out_base = start + n
+            cut_i += 1
+            if final and cut_i == len(plan.cuts):
+                break
+        return cut_i, out_pend, out_avail, out_base
+
+    def _write_clamped(self, chunk: np.ndarray, abs_start: int, on_audio):
+        """Reference write_clamped (src/process_tomatis.py:331-357)."""
+        s = max(0, abs_start)
+        e = min(self.total, abs_start + len(chunk))
+        if e <= s or on_audio is None:
+            return
+        out = chunk[s - abs_start:e - abs_start]
+        if self.output_gain != 1.0:
+            out = out * self.output_gain
+        if self.peak_mode == "per_flush":
+            peak = float(np.max(np.abs(out))) if out.size else 0.0
+            if peak > PEAK_LIMIT:
+                out = out * (PEAK_LIMIT / peak)
+        on_audio(np.asarray(out, np.float32))

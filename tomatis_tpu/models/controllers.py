@@ -1,0 +1,85 @@
+"""Gain controllers: the per-processor logic plugged into the stream engine.
+
+A controller turns per-frame levels into per-frame linear gain rows, carrying
+whatever sequential state its gate needs across chunk boundaries. All gate
+state machines run as associative scans (tomatis_tpu.ops.gate), so a whole
+chunk's states come out of O(log F) vector ops.
+
+- GateSelectController    standard processor (ref src/process_tomatis.py:373-398)
+- GateXfadeController     crossfade processor (ref src/process_tomatis_xfade.py:241-292)
+- StaticGainController    layer2/layer2b EQ appliers (ref src/layer2_apply_eq.py:142-215)
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tomatis_tpu.ops import gate as gate_ops
+from tomatis_tpu.ops.dsp import db_to_lin
+
+
+class GateSelectController:
+    """Hysteresis + up-delay gate selecting between two gain curves."""
+
+    def __init__(self, g1_lin, g2_lin, ton: float, toff: float,
+                 delay_frames: int):
+        self.table = jnp.stack([jnp.asarray(g1_lin, jnp.float32),
+                                jnp.asarray(g2_lin, jnp.float32)])
+        self.ton = float(ton)
+        self.toff = float(toff)
+        self.delay_frames = int(delay_frames)
+
+    def init_carry(self):
+        return jnp.int32(0)  # C1, run count 0
+
+    def step(self, levels, valid, carry):
+        states, seq = gate_ops.gate_updelay(
+            levels, self.ton, self.toff, self.delay_frames,
+            init_state=carry, valid=valid)
+        gains = jnp.take(self.table, states - 1, axis=0)
+        return gains, {"states": states}, seq[-1]
+
+
+class GateXfadeController:
+    """Gate + rate-limited alpha crossfade, gains blended in the dB domain
+    (ref src/process_tomatis_xfade.py:251-274)."""
+
+    def __init__(self, g1_db, g2_db, ton: float, toff: float,
+                 delay_frames: int, xfade_frames: int):
+        self.g1_db = jnp.asarray(g1_db, jnp.float32)
+        self.g2_db = jnp.asarray(g2_db, jnp.float32)
+        self.ton = float(ton)
+        self.toff = float(toff)
+        self.delay_frames = int(delay_frames)
+        # ref: alpha_step = 1/max(1, xfade_frames) (xfade.py:154-155)
+        self.alpha_step = 1.0 / max(1, int(xfade_frames))
+
+    def init_carry(self):
+        return (jnp.int32(0), jnp.float32(0.0))
+
+    def step(self, levels, valid, carry):
+        gate_carry, alpha0 = carry
+        states, seq = gate_ops.gate_updelay(
+            levels, self.ton, self.toff, self.delay_frames,
+            init_state=gate_carry, valid=valid)
+        targets = (states == 2).astype(jnp.float32)
+        alpha = gate_ops.alpha_ramp(targets, self.alpha_step, alpha0,
+                                    valid=valid)
+        mixed_db = ((1.0 - alpha)[:, None] * self.g1_db[None, :]
+                    + alpha[:, None] * self.g2_db[None, :])
+        gains = db_to_lin(mixed_db)
+        return gains, {"states": states, "alpha": alpha}, (seq[-1], alpha[-1])
+
+
+class StaticGainController:
+    """A single gate-free gain row (EQ appliers)."""
+
+    def __init__(self, gain_lin):
+        self.gain = jnp.asarray(gain_lin, jnp.float32)
+
+    def init_carry(self):
+        return jnp.int32(0)
+
+    def step(self, levels, valid, carry):
+        F = levels.shape[0]
+        gains = jnp.broadcast_to(self.gain[None, :], (F, self.gain.shape[0]))
+        return gains, {}, carry

@@ -1,0 +1,130 @@
+"""Standard Tomatis processor — the framework's flagship pipeline.
+
+Capability parity with ref src/process_tomatis.py (CLI flags :488-515,
+process() :160-479), rebuilt on the chunked TPU stream engine: batched
+frame levels, associative-scan gate, one rFFT bank per chunk, K-way OLA.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, asdict
+
+import numpy as np
+
+from tomatis_tpu.engine.streaming import ChunkedStftEngine, StreamRunner
+from tomatis_tpu.io import audio
+from tomatis_tpu.models.controllers import GateSelectController
+from tomatis_tpu.ops import dsp, gate as gate_ops, stft
+from tomatis_tpu.utils.stateio import StateCsvWriter
+
+
+@dataclass
+class StandardParams:
+    """All knobs of the standard processor (defaults = reference CLI
+    defaults, src/process_tomatis.py:488-515)."""
+    gate_ui: float = 50.0
+    gate_mode: str = "log_percent"      # or "linear"
+    dynamic_range: float = 80.0
+    gate_scale: float = 1.0
+    gate_offset: float = -100.0
+    hysteresis_db: float = 3.0
+    up_delay_ms: float = 250.0
+    fc: float = 1000.0
+    slope: float = 12.0
+    c1_low: float = +15.0
+    c1_high: float = -15.0
+    c2_low: float = -15.0
+    c2_high: float = +15.0
+    n_fft: int = 4096
+    hop: int = 2048
+    output_gain_db: float = 0.0
+    require_48k_stereo: bool = True     # reference hard check (:234-237)
+
+    def threshold_dbfs(self) -> float:
+        if self.gate_mode == "log_percent":
+            return float(dsp.gate_ui_to_dbfs_log_percent(
+                self.gate_ui, self.dynamic_range))
+        return float(dsp.gate_ui_to_dbfs(
+            self.gate_ui, self.gate_scale, self.gate_offset))
+
+
+def build_controller(p: StandardParams, sr: int) -> GateSelectController:
+    freqs = stft.rfft_freqs(p.n_fft, sr)
+    g1 = dsp.db_to_lin(dsp.build_tilt_gain_db(
+        freqs, p.fc, p.slope, p.c1_low, p.c1_high))
+    g2 = dsp.db_to_lin(dsp.build_tilt_gain_db(
+        freqs, p.fc, p.slope, p.c2_low, p.c2_high))
+    T = p.threshold_dbfs()
+    ton = T + p.hysteresis_db / 2.0
+    toff = T - p.hysteresis_db / 2.0
+    up_delay_samples = int(sr * p.up_delay_ms / 1000.0)
+    delay_frames = gate_ops.updelay_frames(up_delay_samples, p.hop)
+    return GateSelectController(g1, g2, ton, toff, delay_frames)
+
+
+def make_runner(p: StandardParams, sr: int, channels: int, total: int,
+                frames_per_chunk: int = 1024) -> StreamRunner:
+    engine = ChunkedStftEngine(p.n_fft, p.hop, channels, frames_per_chunk)
+    return StreamRunner(engine, build_controller(p, sr), total,
+                        output_gain_db=p.output_gain_db)
+
+
+def process_array(x: np.ndarray, sr: int, p: StandardParams | None = None,
+                  frames_per_chunk: int = 1024):
+    """In-memory processing: returns (y [N, C] float32, stats dict).
+
+    Same math as process() without file I/O — the unit-test / library entry.
+    """
+    p = p or StandardParams()
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    runner = make_runner(p, sr, x.shape[1], len(x), frames_per_chunk)
+    outs = []
+    stats = runner.run(x, on_audio=outs.append)
+    y = np.concatenate(outs, 0) if outs else np.zeros_like(x)
+    return y, stats
+
+
+def process(in_path, out_path, p: StandardParams | None = None,
+            state_csv_path=None, frames_per_chunk: int = 1024,
+            progress=None) -> dict:
+    """File-to-file processing with reference CLI semantics.
+
+    - validates 48 kHz stereo when p.require_48k_stereo (ref :234-237)
+    - writes FLAC PCM_24 for .flac outputs, WAV PCM_24 otherwise; if FLAC
+      encoding is unavailable falls back to .wav (ref :241-251)
+    - optional per-frame state CSV (ref :302-307,408-409)
+    """
+    p = p or StandardParams()
+    with audio.AudioFile(in_path, "r") as fin:
+        sr, ch, total = fin.samplerate, fin.channels, fin.frames
+        if p.require_48k_stereo:
+            if sr != 48000:
+                raise ValueError(f"expected 48kHz, got {sr} Hz")
+            if ch != 2:
+                raise ValueError(f"expected stereo, got {ch} channels")
+
+        out_path = str(out_path)
+        try:
+            fout = audio.AudioFile(out_path, "w", samplerate=sr, channels=ch,
+                                   subtype="PCM_24")
+            actual_out = out_path
+        except Exception:
+            actual_out = out_path.rsplit(".", 1)[0] + ".wav"
+            fout = audio.AudioFile(actual_out, "w", samplerate=sr,
+                                   channels=ch, subtype="PCM_24")
+
+        runner = make_runner(p, sr, ch, total, frames_per_chunk)
+        csvw = StateCsvWriter(state_csv_path, sr, total) \
+            if state_csv_path else None
+        try:
+            stats = runner.run(fin, on_audio=fout.write,
+                               on_frames=csvw.on_frames if csvw else None)
+        finally:
+            fout.close()
+            if csvw:
+                csvw.close()
+
+    stats.update(params=asdict(p), sr=sr, channels=ch, total=total,
+                 threshold_dbfs=p.threshold_dbfs(), out_path=actual_out)
+    return stats

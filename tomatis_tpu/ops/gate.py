@@ -56,7 +56,8 @@ def _compose_tables(t_early, t_late):
 
 
 @functools.partial(jax.jit, static_argnames=("delay_frames",))
-def gate_updelay(levels, ton, toff, delay_frames: int, init_state=None):
+def gate_updelay(levels, ton, toff, delay_frames: int, init_state=None,
+                 valid=None):
     """Variant A gate over per-frame levels; returns states [F] in {1,2}.
 
     Exact parallel form of ref src/process_tomatis.py:373-385. The returned
@@ -64,6 +65,8 @@ def gate_updelay(levels, ton, toff, delay_frames: int, init_state=None):
 
     init_state: optional int32 scalar index into the S = delay_frames+2 carry
     space (for chunked streaming); defaults to 0 (C1, run count 0).
+    valid: optional [F] bool; invalid frames are identity transitions (used
+    for the zero-padded tail of a fixed-shape chunk).
     """
     D = int(delay_frames)
     S = D + 2
@@ -76,6 +79,8 @@ def gate_updelay(levels, ton, toff, delay_frames: int, init_state=None):
     tbl_c1 = jnp.where(a[:, None], c1_next[None, :D + 1], 0)       # [F, D+1]
     tbl_c2 = jnp.where(b, 0, D + 1).astype(jnp.int32)[:, None]     # [F, 1]
     tables = jnp.concatenate([tbl_c1.astype(jnp.int32), tbl_c2], axis=1)
+    if valid is not None:
+        tables = jnp.where(valid[:, None], tables, s[None, :])
 
     prefix = jax.lax.associative_scan(_compose_tables, tables, axis=0)
     s0 = jnp.int32(0) if init_state is None else init_state.astype(jnp.int32)
@@ -106,7 +111,8 @@ def gate_updelay_scan(levels, ton, toff, delay_frames: int, init_state=None):
 
 
 @functools.partial(jax.jit, static_argnames=("min_hold_frames",))
-def gate_minhold(levels, ton, toff, min_hold_frames: int, init_state=None):
+def gate_minhold(levels, ton, toff, min_hold_frames: int, init_state=None,
+                 valid=None):
     """Variant B gate (min-hold) over per-frame levels; returns states [F].
 
     Exact parallel form of ref src/process_tomatis_adaptive.py:87-121:
@@ -132,6 +138,8 @@ def gate_minhold(levels, ton, toff, min_hold_frames: int, init_state=None):
     cond_c1 = a[:, None] & can[None, :] & (state_idx[None, :] == 0)
     cond_c2 = b[:, None] & can[None, :] & (state_idx[None, :] == 1)
     tables = jnp.where(cond_c1 | cond_c2, flip[None, :], stay[None, :]).astype(jnp.int32)
+    if valid is not None:
+        tables = jnp.where(valid[:, None], tables, s[None, :])
 
     prefix = jax.lax.associative_scan(_compose_tables, tables, axis=0)
     s0 = jnp.int32(H) if init_state is None else init_state.astype(jnp.int32)
@@ -175,7 +183,7 @@ def _compose_clip(f, g):
 
 
 @jax.jit
-def alpha_ramp(targets, step, alpha0):
+def alpha_ramp(targets, step, alpha0, valid=None):
     """Rate-limited crossfade ramp toward per-frame 0/1 targets.
 
     Exact parallel form of (ref src/process_tomatis_xfade.py:254-262):
@@ -194,6 +202,10 @@ def alpha_ramp(targets, step, alpha0):
     a = jnp.where(targets > 0.5, step, -step)
     b = jnp.where(targets > 0.5, -_BIG, 0.0)
     c = jnp.where(targets > 0.5, 1.0, _BIG)
+    if valid is not None:
+        a = jnp.where(valid, a, 0.0)
+        b = jnp.where(valid, b, -_BIG)
+        c = jnp.where(valid, c, _BIG)
     pa, pb, pc = jax.lax.associative_scan(_compose_clip, (a, b, c), axis=0)
     return jnp.minimum(pc, jnp.maximum(pb, jnp.float32(alpha0) + pa))
 
