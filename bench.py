@@ -1,0 +1,86 @@
+"""Benchmark: realtime factor of the standard processor compute path.
+
+Prints ONE JSON line:
+    {"metric": "realtime_factor", "value": N, "unit": "x_realtime",
+     "vs_baseline": N / 18.0, ...}
+
+Baseline: the reference NumPy processor runs at ~6-18x realtime on one CPU
+core (docs/Tomatis技术说明.md:239-242; BASELINE.md) — vs_baseline divides by
+the reference's BEST published figure (18x).
+
+Measures the full streaming pipeline on synthetic stereo audio held in host
+RAM: host->device chunk transfer, levels, associative-scan gate, batched
+rFFT gain bank, OLA, normalization, device->host readback, flush clamping.
+Audio codec I/O is excluded (benchmarked separately by tests), matching the
+reference numbers which exclude FLAC decode too.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def synth(seconds: float, sr: int = 48000, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    env = 0.003 + 0.25 * (np.sin(2 * np.pi * 0.31 * t) > 0)
+    x = env * (np.sin(2 * np.pi * 440 * t)
+               + 0.4 * np.sin(2 * np.pi * 3100 * t)
+               + 0.05 * rng.standard_normal(n))
+    return np.stack([x, 0.9 * x], 1).astype(np.float32)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=600.0,
+                    help="audio length to process per timed run")
+    ap.add_argument("--sr", type=int, default=48000)
+    ap.add_argument("--frames_per_chunk", type=int, default=4096)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    from tomatis_tpu.models.standard import StandardParams, process_array
+
+    dev = jax.devices()[0]
+    p = StandardParams(require_48k_stereo=False)
+
+    x = synth(args.seconds, args.sr)
+    audio_sec = len(x) / args.sr
+
+    # Warm-up: compile the chunk executable on a short signal with the same
+    # chunk shape, then once over the full pipeline.
+    warm = synth(30.0, args.sr, seed=1)
+    process_array(warm, args.sr, p, frames_per_chunk=args.frames_per_chunk)
+
+    best = None
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        y, stats = process_array(x, args.sr, p,
+                                 frames_per_chunk=args.frames_per_chunk)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+
+    rtf = audio_sec / best
+    result = {
+        "metric": "realtime_factor",
+        "value": round(rtf, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 18.0, 2),
+        "audio_seconds": audio_sec,
+        "wall_seconds": round(best, 3),
+        "device": str(dev),
+        "n_frames": stats["n_frames"],
+        "frames_per_chunk": args.frames_per_chunk,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,8 +1,19 @@
 """Test configuration: run JAX on CPU with 8 virtual devices so sharding
-tests work without TPU hardware. Must run before any jax import."""
+tests work without TPU hardware.
+
+The image's sitecustomize force-registers the 'axon' TPU platform and
+rewrites jax_platforms to 'axon,cpu', so setting the env var alone is not
+enough — override the config after import too.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, jax.devices()

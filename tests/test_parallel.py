@@ -1,0 +1,93 @@
+"""Sharded (dp x sp) processing vs the single-device path, on the 8-device
+virtual CPU mesh set up by conftest.py."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.oracle import refdsp
+from tomatis_tpu.ops import dsp, stft
+from tomatis_tpu.parallel.sharded import (frame_batch, make_mesh,
+                                          sharded_process_step)
+
+SR = 48000
+N_FFT, HOP = 1024, 512
+TON, TOFF = -38.5, -41.5
+DELAY = 2
+
+
+def _batch(B=4, frames=64, seed=0):
+    rng = np.random.default_rng(seed)
+    n = (frames - 1) * HOP + N_FFT
+    t = np.arange(n) / SR
+    sigs = []
+    for b in range(B):
+        env = np.where(np.sin(2 * np.pi * (0.5 + 0.3 * b) * t + b) > 0,
+                       0.3, 0.004)
+        x = env * np.sin(2 * np.pi * (400 + 100 * b) * t)
+        sigs.append(np.stack([x, 0.9 * x], 1).astype(np.float32))
+    return np.stack(sigs)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_matches_single_device():
+    mesh = make_mesh(8, data=2)          # 2 x 4
+    B, F = 4, 64
+    F_loc = F // mesh.shape["seq"]
+    sigs = _batch(B, F)
+    frames = frame_batch(sigs, N_FFT, HOP, F)
+
+    freqs = stft.rfft_freqs(N_FFT, SR)
+    g1 = np.asarray(dsp.db_to_lin(dsp.build_tilt_gain_db(freqs, 1000., 12., 15., -15.)))
+    g2 = np.asarray(dsp.db_to_lin(dsp.build_tilt_gain_db(freqs, 1000., 12., -15., 15.)))
+
+    step = sharded_process_step(mesh, N_FFT, HOP, F_loc, 2,
+                                TON, TOFF, DELAY, g1, g2)
+    s0 = jnp.zeros((B,), jnp.int32)
+    n_valid = jnp.full((B,), F, jnp.int32)
+    emit, states, carry = step(frames, s0, n_valid)
+    emit, states = np.asarray(emit), np.asarray(states)
+
+    win = stft.hann_symmetric(N_FFT)
+    for b in range(B):
+        frames_b = np.asarray(frames[b]).transpose(0, 2, 1)  # [F, n_fft, C]
+        levels = np.array([refdsp.rms_dbfs(
+            np.sqrt(np.mean(f.astype(np.float64) ** 2, axis=1)))
+            for f in frames_b])
+        states_ref = refdsp.gate_updelay_loop(
+            levels, TON, TOFF, DELAY * HOP, HOP)
+        np.testing.assert_array_equal(states[b], states_ref)
+        gains = np.stack([g1, g2])[states_ref - 1]
+        y_sum, wsum = refdsp.stft_ola_loop(sigs[b], gains, N_FFT, HOP, win)
+        y_ref = y_sum / (wsum[:, None] + 1e-12)
+        # rtol covers the stream-head samples where w ~ 0 blows values up
+        # (they are trimmed by the pad in real use)
+        np.testing.assert_allclose(emit[b], y_ref[:F * HOP],
+                                   atol=2e-4, rtol=1e-4)
+    # carry is a valid index in [0, DELAY+1]
+    assert np.all((np.asarray(carry) >= 0) & (np.asarray(carry) <= DELAY + 1))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_gate_carry_crosses_shards():
+    """A C1->C2 run straddling shard boundaries must still honor up-delay."""
+    mesh = make_mesh(8, data=1)          # 1 x 8 pure sequence-parallel
+    B, F = 1, 64
+    F_loc = F // 8
+    n = (F - 1) * HOP + N_FFT
+    # loud everywhere: switch should happen exactly at frame DELAY
+    x = (0.3 * np.sin(2 * np.pi * 800 * np.arange(n) / SR))
+    sigs = np.stack([np.stack([x, x], 1).astype(np.float32)])
+    frames = frame_batch(sigs, N_FFT, HOP, F)
+    freqs = stft.rfft_freqs(N_FFT, SR)
+    g1 = np.asarray(dsp.db_to_lin(dsp.build_tilt_gain_db(freqs, 1000., 12., 15., -15.)))
+    g2 = np.asarray(dsp.db_to_lin(dsp.build_tilt_gain_db(freqs, 1000., 12., -15., 15.)))
+    delay = 37  # crosses several 8-frame shards
+    step = sharded_process_step(mesh, N_FFT, HOP, F_loc, 2,
+                                TON, TOFF, delay, g1, g2)
+    _, states, carry = step(frames, jnp.zeros((B,), jnp.int32),
+                            jnp.full((B,), F, jnp.int32))
+    states = np.asarray(states)[0]
+    assert np.all(states[:delay] == 1)
+    assert np.all(states[delay:] == 2)
+    assert int(np.asarray(carry)[0]) == delay + 1

@@ -12,6 +12,8 @@ import sys
 COMMANDS = {
     "process": ("tomatis_tpu.cli.process",
                 "standard gate-controlled C1/C2 tilt processor"),
+    "process-xfade": ("tomatis_tpu.cli.process_xfade",
+                      "processor with crossfade state transitions"),
 }
 
 

@@ -215,6 +215,34 @@ class StreamRunner:
 
         states_count = np.zeros(3, np.int64)
 
+        def consume(ready):
+            """Materialize a dispatched chunk's results and route them."""
+            nonlocal out_pend, out_avail, out_base, cut_i
+            c_frame0, c_nf, c_emit, c_log = ready
+            if on_frames is not None:
+                starts = -pad + (c_frame0 + np.arange(c_nf)) * hop
+                host_log = {k: np.asarray(v)[:c_nf] for k, v in c_log.items()}
+                on_frames(c_frame0, starts, host_log)
+            if "states" in c_log:
+                s = np.asarray(c_log["states"])[:c_nf]
+                states_count[1] += int(np.sum(s == 1))
+                states_count[2] += int(np.sum(s == 2))
+            if c_nf < F_c:
+                # Partial (final) chunk: the stream's OLA tail lies at
+                # nf*hop, inside the emit region, already normalized.
+                emit_n = c_nf * hop + eng.tail_len
+            else:
+                emit_n = c_nf * hop
+            out_pend.append(np.asarray(c_emit)[:emit_n])
+            out_avail += emit_n
+            cut_i, out_pend, out_avail, out_base = self._drain(
+                plan, cut_i, out_pend, out_avail, out_base, False, on_audio)
+
+        # Software pipeline: dispatch chunk k+1 (async) before materializing
+        # chunk k, so device->host readback (the bottleneck over a tunneled
+        # TPU) overlaps the next chunk's compute. copy_to_host_async starts
+        # the transfer without blocking.
+        inflight = None
         while frame0 < n_frames:
             nf = min(F_c, n_frames - frame0)
             need = (nf - 1) * hop + n_fft
@@ -236,33 +264,29 @@ class StreamRunner:
 
             emit, log, ctl_carry, out_tail, w_tail = self.chunk_fn(
                 jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail, w_tail)
+            try:
+                # Wait for the (cheap) compute, then start the readback:
+                # issuing copy_to_host_async on a not-yet-computed array
+                # falls into a much slower transfer path on tunneled TPUs.
+                emit.block_until_ready()
+                emit.copy_to_host_async()
+                for v in log.values():
+                    v.copy_to_host_async()
+            except AttributeError:
+                pass
 
-            if on_frames is not None:
-                starts = -pad + (frame0 + np.arange(nf)) * hop
-                host_log = {k: np.asarray(v)[:nf] for k, v in log.items()}
-                on_frames(frame0, starts, host_log)
-            if "states" in log:
-                s = np.asarray(log["states"])[:nf]
-                states_count[1] += int(np.sum(s == 1))
-                states_count[2] += int(np.sum(s == 2))
+            if inflight is not None:
+                consume(inflight)
+            inflight = (frame0, nf, emit, log)
 
-            if nf < F_c:
-                # Partial (final) chunk: the stream's OLA tail lies at
-                # nf*hop, inside the emit region, already normalized.
-                emit_n = nf * hop + eng.tail_len
-            else:
-                emit_n = nf * hop
-            out_pend.append(np.asarray(emit)[:emit_n])
-            out_avail += emit_n
             frame0 += nf
             keep = max(0, len(pend) - (nf * hop))
             advanced = len(pend) - keep
             pend = pend[advanced:]
             in_base += advanced
 
-            cut_i, out_pend, out_avail, out_base = self._drain(
-                plan, cut_i, out_pend, out_avail, out_base, False, on_audio)
-
+        if inflight is not None:
+            consume(inflight)
         # Final: if the last chunk was full, its tail is still in the carry.
         if n_frames % F_c == 0 and n_frames > 0:
             tail_np = np.asarray(out_tail) / (np.asarray(w_tail)[:, None] + EPS)

@@ -55,6 +55,33 @@ def _compose_tables(t_early, t_late):
     return jnp.take_along_axis(t_late, t_early, axis=-1)
 
 
+def compose_tables(t_early, t_late):
+    """Public alias: compose transition tables (earliest applied first)."""
+    return _compose_tables(t_early, t_late)
+
+
+def updelay_tables(levels, ton, toff, delay_frames: int, valid=None):
+    """Per-frame transition tables [F, S] for the variant-A gate
+    (S = delay_frames + 2; see module docstring for the state encoding)."""
+    D = int(delay_frames)
+    S = D + 2
+    a = levels >= ton
+    b = levels <= toff
+    s = jnp.arange(S, dtype=jnp.int32)
+    c1_next = jnp.where(s >= D, D + 1, s + 1)
+    tbl_c1 = jnp.where(a[:, None], c1_next[None, :D + 1], 0)
+    tbl_c2 = jnp.where(b, 0, D + 1).astype(jnp.int32)[:, None]
+    tables = jnp.concatenate([tbl_c1.astype(jnp.int32), tbl_c2], axis=1)
+    if valid is not None:
+        tables = jnp.where(valid[:, None], tables, s[None, :])
+    return tables
+
+
+def updelay_states_from_index(final, delay_frames: int):
+    """Carry-space index [F] -> gate state in {1, 2}."""
+    return jnp.where(final == delay_frames + 1, C2, C1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("delay_frames",))
 def gate_updelay(levels, ton, toff, delay_frames: int, init_state=None,
                  valid=None):
@@ -69,24 +96,12 @@ def gate_updelay(levels, ton, toff, delay_frames: int, init_state=None,
     for the zero-padded tail of a fixed-shape chunk).
     """
     D = int(delay_frames)
-    S = D + 2
-    a = levels >= ton          # [F] eligible to arm/advance the C1->C2 switch
-    b = levels <= toff         # [F] eligible to drop C2->C1
-
-    s = jnp.arange(S, dtype=jnp.int32)            # [S]
-    c1_next = jnp.where(s >= D, D + 1, s + 1)     # advance run count / switch
-    # rows s<=D are C1 entries, row D+1 is C2
-    tbl_c1 = jnp.where(a[:, None], c1_next[None, :D + 1], 0)       # [F, D+1]
-    tbl_c2 = jnp.where(b, 0, D + 1).astype(jnp.int32)[:, None]     # [F, 1]
-    tables = jnp.concatenate([tbl_c1.astype(jnp.int32), tbl_c2], axis=1)
-    if valid is not None:
-        tables = jnp.where(valid[:, None], tables, s[None, :])
-
+    tables = updelay_tables(levels, ton, toff, D, valid=valid)
     prefix = jax.lax.associative_scan(_compose_tables, tables, axis=0)
     s0 = jnp.int32(0) if init_state is None else init_state.astype(jnp.int32)
     final = jnp.take_along_axis(
         prefix, jnp.broadcast_to(s0, (prefix.shape[0], 1)), axis=1)[:, 0]
-    states = jnp.where(final == D + 1, C2, C1).astype(jnp.int32)
+    states = updelay_states_from_index(final, D)
     return states, final  # final[-1] is the carry for the next chunk
 
 

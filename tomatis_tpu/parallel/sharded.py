@@ -1,0 +1,150 @@
+"""Multi-chip processing: data-parallel over files x sequence-parallel over
+frames, on a 2-D `jax.sharding.Mesh` with explicit ICI collectives.
+
+The reference is single-process/single-thread (SURVEY §2.7); the latent
+parallelism it leaves on the table is (a) across files and (b) across frames.
+This module exploits both with `shard_map`:
+
+- 'data' axis: each device group processes different files of a batch
+  (BASELINE.json config 5: 16 hour-long files across cores).
+- 'seq' axis: one file's frames are split across devices. Two things cross
+  the split and ride ICI:
+    1. the gate automaton — solved as a block-composed associative scan:
+       each shard composes its local transition tables, shard totals are
+       `all_gather`ed (tiny [n_shards, S] int32), every shard composes its
+       exclusive prefix locally, then applies its local prefix tables;
+    2. the OLA halo — each shard's trailing n_fft-hop samples overlap the
+       next shard's head; one `ppermute` shifts the tails right.
+
+Everything else (levels, the rFFT gain bank, windowing) is embarrassingly
+frame-parallel and runs unmodified per shard.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tomatis_tpu.ops import gate as gate_ops, stft
+from tomatis_tpu.ops.dsp import EPS, frame_levels_dbfs
+
+
+def make_mesh(n_devices: int | None = None, data: int | None = None,
+              devices=None) -> Mesh:
+    """Build a ('data', 'seq') mesh over the first n_devices devices."""
+    if devices is None:
+        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = 2 if n % 2 == 0 and n > 1 else 1
+    seq = n // data
+    if data * seq != n:
+        raise ValueError(f"cannot factor {n} devices into data={data}")
+    return Mesh(np.asarray(devices).reshape(data, seq), ("data", "seq"))
+
+
+def _sharded_gate_updelay(levels, ton, toff, delay_frames: int, s0, valid):
+    """Block-composed variant-A gate inside shard_map (axis 'seq').
+
+    levels/valid: local [F_loc]; s0: global initial carry index (replicated).
+    Returns local states [F_loc] and the *global* final carry index.
+    """
+    D = int(delay_frames)
+    tables = gate_ops.updelay_tables(levels, ton, toff, D, valid=valid)
+    prefix = jax.lax.associative_scan(gate_ops.compose_tables, tables, axis=0)
+    total = prefix[-1]                                    # [S] this shard
+    totals = jax.lax.all_gather(total, "seq")             # [n_seq, S]
+    idx = jax.lax.axis_index("seq")
+    S = D + 2
+    ident = jnp.arange(S, dtype=jnp.int32)
+
+    def body(i, acc):
+        excl_acc, all_acc = acc
+        nxt = gate_ops.compose_tables(excl_acc, totals[i])
+        return (jnp.where(i < idx, nxt, excl_acc),
+                gate_ops.compose_tables(all_acc, totals[i]))
+
+    # tie the init carry to totals' (possible) vmap batching so the scan
+    # carry type stays stable
+    ident0 = ident + 0 * totals[0]
+    excl, full = jax.lax.fori_loop(0, totals.shape[0], body, (ident0, ident0))
+    s0_loc = excl[s0]                                     # carry entering shard
+    final = jnp.take_along_axis(
+        prefix, jnp.broadcast_to(s0_loc, (prefix.shape[0], 1)), axis=1)[:, 0]
+    states = gate_ops.updelay_states_from_index(final, D)
+    carry_out = full[s0]          # global final carry, replicated on all shards
+    return states, carry_out
+
+
+def sharded_process_step(mesh: Mesh, n_fft: int, hop: int,
+                         frames_per_shard: int, channels: int,
+                         ton: float, toff: float, delay_frames: int,
+                         g1_lin, g2_lin, window=None):
+    """Build the jitted dp x sp processing step.
+
+    Returns fn(frames [B, F, C, n_fft], s0 [B] int32, n_valid [B] int32) ->
+        (emit [B, F*hop, C] normalized output, states [B, F], carry [B])
+    with B sharded over 'data' and F over 'seq'. The trailing n_fft-hop
+    samples of the last shard (the stream tail) are dropped — callers keep
+    chunk boundaries aligned to shard boundaries, as the stream engine does.
+    """
+    win = jnp.asarray(window if window is not None
+                      else stft.hann_symmetric(n_fft))
+    win2 = win * win
+    table = jnp.stack([jnp.asarray(g1_lin, jnp.float32),
+                       jnp.asarray(g2_lin, jnp.float32)])
+    tail = n_fft - hop
+    n_seq = mesh.shape["seq"]
+    F_loc = frames_per_shard
+
+    def per_file(frames, s0, n_valid):
+        # frames: [F_loc, C, n_fft] local shard of one file
+        seq_i = jax.lax.axis_index("seq")
+        f0 = seq_i * F_loc
+        valid = (f0 + jnp.arange(F_loc)) < n_valid
+        levels = frame_levels_dbfs(jnp.transpose(frames, (0, 2, 1)))
+        states, carry = _sharded_gate_updelay(
+            levels, ton, toff, delay_frames, s0, valid)
+        gains = jnp.take(table, states - 1, axis=0)
+        y = stft.apply_gain_bank(frames, win, gains)
+        mask = valid.astype(jnp.float32)
+        y = y * mask[:, None, None]
+        ola = stft.overlap_add(y, hop)                   # [F_loc*hop + tail, C]
+        w = stft.overlap_add(win2[None, None, :] * mask[:, None, None],
+                             hop)[:, 0]
+        # halo: my tail overlaps the next shard's head -> shift right
+        perm = [(i, i + 1) for i in range(n_seq - 1)]
+        recv_y = jax.lax.ppermute(ola[F_loc * hop:], "seq", perm)
+        recv_w = jax.lax.ppermute(w[F_loc * hop:], "seq", perm)
+        ola = ola.at[:tail].add(recv_y)
+        w = w.at[:tail].add(recv_w)
+        emit = ola[:F_loc * hop] / (w[:F_loc * hop, None] + EPS)
+        return emit, states, carry
+
+    def step(frames, s0, n_valid):
+        emit, states, carry = jax.vmap(per_file)(frames, s0, n_valid)
+        return emit, states, carry
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data", "seq", None, None), P("data"), P("data")),
+        out_specs=(P("data", "seq", None), P("data", "seq"), P("data")),
+        check_vma=False)  # carry is replicated over 'seq' by construction
+
+    @jax.jit
+    def run(frames, s0, n_valid):
+        return sharded(frames, s0, n_valid)
+
+    return run
+
+
+def frame_batch(signals: np.ndarray, n_fft: int, hop: int,
+                n_frames: int) -> jnp.ndarray:
+    """Host helper: frame a [B, S, C] batch into [B, F, C, n_fft]."""
+    outs = [np.asarray(stft.frame_signal(jnp.asarray(s), n_fft, hop,
+                                         n_frames)) for s in signals]
+    return jnp.asarray(np.stack(outs))

@@ -22,10 +22,16 @@ STATE_NAMES = {1: "C1", 2: "C2"}
 class StateCsvWriter:
     """Streaming writer for the per-frame state audit trail."""
 
-    def __init__(self, path, sr: int, total: int, with_alpha: bool = False):
+    def __init__(self, path, sr: int, total: int, with_alpha: bool = False,
+                 level_fmt=None, alpha_fmt=None):
+        """level_fmt/alpha_fmt: printf formats. The standard processor
+        writes raw floats; the crossfade processor writes level %.2f and
+        alpha %.3f (src/process_tomatis_xfade.py:293-295)."""
         self.sr = sr
         self.total = total
         self.with_alpha = with_alpha
+        self.level_fmt = level_fmt
+        self.alpha_fmt = alpha_fmt
         self._f = open(path, "w", newline="", encoding="utf-8")
         self._w = csv.writer(self._f)
         header = ["frame_idx", "time_sec", "level_dbfs", "state"]
@@ -40,11 +46,14 @@ class StateCsvWriter:
         for i, start in enumerate(starts):
             if not (0 <= start < self.total):
                 continue
-            row = [frame0 + i, start / self.sr, float(levels[i]),
+            level = float(levels[i])
+            row = [frame0 + i, start / self.sr,
+                   self.level_fmt % level if self.level_fmt else level,
                    STATE_NAMES.get(int(states[i]), "?") if states is not None
                    else ""]
             if self.with_alpha:
-                row.append(float(alphas[i]) if alphas is not None else 0.0)
+                a = float(alphas[i]) if alphas is not None else 0.0
+                row.append(self.alpha_fmt % a if self.alpha_fmt else a)
             self._w.writerow(row)
 
     def close(self):
