@@ -44,8 +44,11 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
+    import tempfile
+    import os
     import jax
-    from tomatis_tpu.models.standard import StandardParams, process_array
+    from tomatis_tpu.io import audio
+    from tomatis_tpu.models.standard import StandardParams, process
 
     dev = jax.devices()[0]
     p = StandardParams(require_48k_stereo=False)
@@ -53,16 +56,25 @@ def main() -> int:
     x = synth(args.seconds, args.sr)
     audio_sec = len(x) / args.sr
 
-    # Warm-up: compile the chunk executable on a short signal with the same
-    # chunk shape, then once over the full pipeline.
-    warm = synth(30.0, args.sr, seed=1)
-    process_array(warm, args.sr, p, frames_per_chunk=args.frames_per_chunk)
+    tmp = tempfile.mkdtemp(prefix="tomatis_bench_")
+    in_path = os.path.join(tmp, "in.wav")
+    out_path = os.path.join(tmp, "out.wav")
+    audio.write(in_path, x, args.sr, subtype="PCM_24")
+
+    # Warm-up: compile the chunk executable on a short file with the same
+    # chunk shape, then time the full file->file pipeline (decode, stream,
+    # device round trip, PCM_24 write) — the product path.
+    warm_path = os.path.join(tmp, "warm.wav")
+    audio.write(warm_path, synth(30.0, args.sr, seed=1), args.sr,
+                subtype="PCM_24")
+    process(warm_path, os.path.join(tmp, "warm_out.wav"), p,
+            frames_per_chunk=args.frames_per_chunk)
 
     best = None
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        y, stats = process_array(x, args.sr, p,
-                                 frames_per_chunk=args.frames_per_chunk)
+        stats = process(in_path, out_path, p,
+                        frames_per_chunk=args.frames_per_chunk)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
 

@@ -1,0 +1,153 @@
+"""Adaptive processor parity vs a loop-based oracle of
+src/process_tomatis_adaptive.py semantics."""
+import numpy as np
+
+from tests.oracle import refdsp
+from tomatis_tpu.io import audio
+from tomatis_tpu.models.adaptive import (AdaptiveParams, find_optimal_threshold,
+                                         compute_frame_levels, process,
+                                         process_array)
+
+
+def _signal(seconds=4.0, sr=48000, seed=3):
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    env = 0.01 + 0.3 * (np.sin(2 * np.pi * 0.5 * t + 1.0) > 0)
+    x = env * (np.sin(2 * np.pi * 700 * t) + 0.3 * np.sin(2 * np.pi * 4000 * t))
+    x = np.stack([x, 0.9 * x + 0.002 * rng.standard_normal(n)], 1)
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+def _oracle_adaptive(x, sr, p: AdaptiveParams):
+    """Loop transcription of ref process() (:157-345)."""
+    total, ch = x.shape
+    n_fft, hop = p.n_fft, p.hop
+    pad = n_fft // 2
+    min_hold = p.min_hold_frames(sr)
+    xfade = p.xfade_frames(sr)
+
+    peak = np.max(np.abs(x))
+    peak_dbfs = 20 * np.log10(peak + refdsp.EPS)
+    max_gain = max(abs(p.c1_low), abs(p.c2_high))
+    atten_db = max(0.0, peak_dbfs + max_gain + p.headroom_margin)
+    xa = (x * 10 ** (-atten_db / 20.0)).astype(np.float32)
+
+    xp = np.concatenate([np.zeros((pad, ch), np.float32), xa,
+                         np.zeros((pad, ch), np.float32)])
+    levels = []
+    next_start = 0
+    while next_start + n_fft <= len(xp):
+        orig = next_start - pad
+        if 0 <= orig < total:
+            fr = xp[next_start:next_start + n_fft]
+            mono = np.sqrt(np.mean(fr.astype(np.float64) ** 2, axis=1))
+            levels.append(refdsp.rms_dbfs(mono))
+        next_start += hop
+    levels = np.array(levels)
+    valid = levels > -70
+
+    vl = levels[valid]
+    t_low, t_high = np.percentile(vl, 5), np.percentile(vl, 95)
+    best_t, best_diff = np.median(vl), 1.0
+    for _ in range(30):
+        t_mid = (t_low + t_high) / 2
+        st = refdsp.gate_minhold_loop(levels, t_mid, p.hyst_db, min_hold)
+        r = np.mean(st == 2)
+        d = abs(r - p.target_c2)
+        if d < best_diff:
+            best_diff, best_t = d, t_mid
+        if d < 0.01:
+            break
+        if r < p.target_c2:
+            t_high = t_mid
+        else:
+            t_low = t_mid
+    states = refdsp.gate_minhold_loop(levels, best_t, p.hyst_db, min_hold)
+
+    targets = (states == 2).astype(np.float64)
+    alpha = np.zeros(len(states))
+    alpha[0] = targets[0]
+    step = 1.0 / xfade if xfade > 0 else 1.0
+    for i in range(1, len(alpha)):
+        d = targets[i] - alpha[i - 1]
+        alpha[i] = targets[i] if abs(d) <= step \
+            else alpha[i - 1] + step * np.sign(d)
+
+    freqs = np.fft.rfftfreq(n_fft, 1 / sr)
+    g1_db = refdsp.tilt_gain_db(freqs, p.fc, p.slope, p.c1_low, p.c1_high)
+    g2_db = refdsp.tilt_gain_db(freqs, p.fc, p.slope, p.c2_low, p.c2_high)
+    win = np.hanning(n_fft).astype(np.float32)
+
+    y = np.zeros((total, ch), np.float64)
+    norm = np.zeros(total, np.float64)
+    next_start, fi = 0, 0
+    while next_start + n_fft <= len(xp):
+        orig = next_start - pad
+        if 0 <= orig < total and fi < len(states):
+            a = alpha[fi]
+            gain = refdsp.db_to_lin((1 - a) * g1_db + a * g2_db)
+            fr = xp[next_start:next_start + n_fft]
+            for c in range(ch):
+                X = np.fft.rfft(fr[:, c] * win)
+                yf = np.fft.irfft(X * gain, n_fft) * win
+                ws, we = max(0, orig), min(total, orig + n_fft)
+                y[ws:we, c] += yf[ws - orig:we - orig]
+            norm[ws:we] += (win[ws - orig:we - orig] ** 2)
+            fi += 1
+        next_start += hop
+    norm = np.maximum(norm, 1e-8)
+    y = y / norm[:, None]
+    if atten_db > 0:
+        y *= 10 ** (atten_db / 20.0)
+    pk = np.max(np.abs(y))
+    if pk > refdsp.PEAK_LIMIT:
+        y *= refdsp.PEAK_LIMIT / pk
+    return y.astype(np.float32), levels, states, alpha, best_t, atten_db
+
+
+def test_adaptive_parity():
+    sr = 48000
+    x = _signal(4.0)
+    p = AdaptiveParams()
+    y, info = process_array(x, sr, p, frames_per_chunk=32)
+    y_ref, levels_ref, states_ref, alpha_ref, t_ref, atten_ref = \
+        _oracle_adaptive(x, sr, p)
+    assert info["n_frames"] == len(levels_ref)
+    np.testing.assert_allclose(info["levels"], levels_ref, atol=0.01)
+    assert abs(info["optimal_threshold"] - t_ref) < 0.05
+    np.testing.assert_array_equal(info["states"], states_ref)
+    np.testing.assert_allclose(info["alpha"], alpha_ref, atol=1e-5)
+    assert abs(info["atten_db"] - atten_ref) < 0.01
+    assert y.shape == x.shape
+    d = np.abs(y - y_ref)
+    # stream-boundary samples divide by a tiny window sum, amplifying the
+    # f32-vs-f64 gap; interior must be tight
+    assert np.max(d[64:-64]) < 3e-4
+    assert np.max(d) < 2e-3
+
+
+def test_adaptive_c2_target():
+    sr = 48000
+    x = _signal(6.0)
+    p = AdaptiveParams(target_c2=0.3)
+    _, info = process_array(x, sr, p)
+    assert abs(info["c2_ratio"] - 0.3) < 0.15  # min-hold limits exactness
+
+
+def test_adaptive_mono_and_anyrate(tmp_path):
+    sr = 44100
+    n = sr
+    t = np.arange(n) / sr
+    x = (0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    ip, op, cp = tmp_path / "i.wav", tmp_path / "o.wav", tmp_path / "s.csv"
+    audio.write(ip, x, sr, subtype="PCM_16")
+    stats = process(ip, op, AdaptiveParams(), state_csv_path=cp)
+    meta = audio.info(op)
+    assert meta.frames == n and meta.channels == 1 and meta.samplerate == sr
+    lines = open(cp).read().strip().splitlines()
+    assert lines[0] == "frame_idx,time_sec,level_dbfs,state,alpha"
+    assert len(lines) == stats["n_frames"] + 1
+    first = lines[1].split(",")
+    assert first[0] == "1"
+    np.testing.assert_allclose(float(first[1]), 2048 / sr, atol=1e-6)

@@ -1,0 +1,57 @@
+"""PCM_24 device-packed transport vs the f32 path (and vs the oracle)."""
+import numpy as np
+
+from tests.oracle import refdsp
+from tomatis_tpu.io import audio
+from tomatis_tpu.models.standard import StandardParams, process, process_array
+
+
+def _signal(seconds, sr=48000, amp=0.3):
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    env = 0.004 + amp * (np.sin(2 * np.pi * 0.7 * t) > 0)
+    x = env * (np.sin(2 * np.pi * 500 * t) + 0.5 * np.sin(2 * np.pi * 2500 * t))
+    return np.clip(np.stack([x, 0.85 * x], 1), -1, 1).astype(np.float32)
+
+
+def test_pcm24_transport_matches_f32(tmp_path):
+    sr = 48000
+    x = _signal(2.0)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, x, sr, subtype="FLOAT")
+    p = StandardParams(require_48k_stereo=False)
+    op = tmp_path / "out.wav"   # PCM_24 -> pcm24 transport
+    process(ip, op, p, frames_per_chunk=64)
+    y_file, _ = audio.read(op)
+    y_mem, _ = process_array(x, sr, p, frames_per_chunk=64)
+    # identical up to one PCM_24 LSB
+    assert np.max(np.abs(y_file - y_mem)) <= 1.5 / 8388608.0
+
+
+def test_pcm24_transport_clamp_path(tmp_path):
+    """Hot signal forces the per-flush clamp through the int decode path;
+    must match the oracle within quantization tolerance."""
+    sr = 48000
+    x = np.clip(_signal(8.0) * 4.0, -1, 1).astype(np.float32)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, x, sr, subtype="FLOAT")
+    p = StandardParams(require_48k_stereo=False)
+    op = tmp_path / "out.wav"
+    process(ip, op, p, frames_per_chunk=64)
+    y_file, _ = audio.read(op)
+    y_ref, _, _ = refdsp.process_standard_loop(x, sr)
+    assert np.max(np.abs(y_file)) <= 0.999 + 1e-6
+    assert np.max(np.abs(y_file - y_ref)) < 3e-4
+
+
+def test_pcm24_transport_output_gain(tmp_path):
+    sr = 48000
+    x = _signal(1.0, amp=0.02)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, x, sr, subtype="FLOAT")
+    p = StandardParams(require_48k_stereo=False, output_gain_db=6.0)
+    op = tmp_path / "out.wav"
+    process(ip, op, p)
+    y_file, _ = audio.read(op)
+    y_ref, _, _ = refdsp.process_standard_loop(x, sr, output_gain_db=6.0)
+    assert np.max(np.abs(y_file - y_ref)) < 3e-4

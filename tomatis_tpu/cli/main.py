@@ -14,6 +14,9 @@ COMMANDS = {
                 "standard gate-controlled C1/C2 tilt processor"),
     "process-xfade": ("tomatis_tpu.cli.process_xfade",
                       "processor with crossfade state transitions"),
+    "process-adaptive": ("tomatis_tpu.cli.process_adaptive",
+                         "adaptive processor (auto threshold, min-hold, "
+                         "crossfade, headroom)"),
 }
 
 

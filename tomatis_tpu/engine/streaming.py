@@ -103,7 +103,9 @@ class ChunkedStftEngine:
         return (jnp.zeros((self.tail_len, self.channels), jnp.float32),
                 jnp.zeros((self.tail_len,), jnp.float32))
 
-    def make_chunk_fn(self, controller) -> Callable:
+    def make_chunk_fn(self, controller, transport: str = "f32",
+                      output_gain_db: float = 0.0,
+                      norm: str = "eps") -> Callable:
         """Build the jitted chunk step for a gain controller.
 
         controller must provide:
@@ -111,13 +113,32 @@ class ChunkedStftEngine:
             step(levels [F], valid [F] bool, carry) ->
                 (gains [F, bins] float32 linear, log dict of [F] arrays, carry')
 
-        Returns fn(sig [L, C], n_valid, ctl_carry, out_tail, w_tail) ->
-            (emit [F_c*hop, C] normalized, log dict, new carries, tails)
+        transport="f32":
+            fn(sig [L, C], n_valid, ctl_carry, out_tail, w_tail) ->
+                (emit [F_c*hop + tail, C] normalized float32, log, carries)
+        transport="pcm24":
+            ... -> (pcm uint8 [(F_c*hop + tail) * C * 3] little-endian
+                    24-bit of clip(round((emit*gain) * 2^23)),
+                    peaks float32 [(F_c*hop + tail)/hop] per-hop-block
+                    max |emit*gain| (pre-quantization, for the flush clamp
+                    decision), log, carries)
+            Quantizing on-device shrinks device->host traffic by 1/4 — the
+            dominant cost on a tunneled TPU — and the bytes are exactly the
+            PCM_24 file payload, so the host write is a memcpy.
         """
+        if transport not in ("f32", "pcm24"):
+            raise ValueError(transport)
+        if norm not in ("eps", "floor8"):
+            # "eps": y/(w + 1e-12), the streaming processors' convention
+            # (src/process_tomatis.py:421); "floor8": y/max(w, 1e-8), the
+            # adaptive processor's (src/process_tomatis_adaptive.py:330) —
+            # they differ visibly on window-edge samples at stream bounds.
+            raise ValueError(norm)
         n_fft, hop, F = self.n_fft, self.hop, self.frames_per_chunk
         win = jnp.asarray(self.window)
         win2 = win * win
         tail = self.tail_len
+        gain_lin = jnp.float32(10.0 ** (output_gain_db / 20.0))
 
         @jax.jit
         def chunk_fn(sig, n_valid, ctl_carry, out_tail, w_tail):
@@ -139,11 +160,26 @@ class ChunkedStftEngine:
             # chunk's frames, carried raw below); for the stream's final,
             # possibly partial chunk the tail region is already complete and
             # correctly normalized here.
-            emit = ola / (w[:, None] + EPS)
+            if norm == "floor8":
+                emit = ola / jnp.maximum(w[:, None], 1e-8)
+            else:
+                emit = ola / (w[:, None] + EPS)
             log = dict(log)
             log["levels"] = levels
-            return (emit, log, ctl_carry,
-                    ola[F * hop:], w[F * hop:])
+            carries = (ctl_carry, ola[F * hop:], w[F * hop:])
+            if transport == "f32":
+                return (emit,) + (log,) + carries
+            out = emit * gain_lin
+            peaks = jnp.max(jnp.abs(out.reshape(-1, hop, out.shape[1])),
+                            axis=(1, 2))
+            v = jnp.clip(jnp.round(out * 8388608.0),
+                         -8388608, 8388607).astype(jnp.int32)
+            pcm = jnp.stack([v & 255, (v >> 8) & 255, (v >> 16) & 255],
+                            axis=-1).astype(jnp.uint8).reshape(-1)
+            # `out` is returned as an (untransferred) device array: the rare
+            # clamped flush needs pre-quantization floats — ints saturate at
+            # full scale, so a needed clamp can't be recovered from bytes.
+            return (pcm, peaks, out) + (log,) + carries
 
         return chunk_fn
 
@@ -177,7 +213,12 @@ class StreamRunner:
 
     def __init__(self, engine: ChunkedStftEngine, controller,
                  total: int, output_gain_db: float = 0.0,
-                 peak_mode: str = "per_flush"):
+                 peak_mode: str = "per_flush", transport: str = "f32"):
+        """transport="pcm24" quantizes + packs PCM_24 bytes on-device (4x
+        less device->host traffic; the host write becomes a memcpy). The
+        per-flush clamp decision then uses device-computed per-hop-block
+        peaks; the (rare) clamped flush decodes the ints, rescales and
+        re-encodes on host — a <=1 LSB deviation from the f32 path."""
         self.engine = engine
         self.controller = controller
         self.total = int(total)
@@ -187,7 +228,10 @@ class StreamRunner:
         if peak_mode not in ("per_flush", "none"):
             raise ValueError(peak_mode)
         self.peak_mode = peak_mode
-        self.chunk_fn = engine.make_chunk_fn(controller)
+        self.transport = transport
+        self.chunk_fn = engine.make_chunk_fn(
+            controller, transport=transport,
+            output_gain_db=output_gain_db if transport == "pcm24" else 0.0)
         self.stats = {}
 
     def run(self, source, on_audio: Callable | None = None,
@@ -199,16 +243,18 @@ class StreamRunner:
 
         ctl_carry = self.controller.init_carry()
         out_tail, w_tail = eng.zero_tails()
+        pcm24 = self.transport == "pcm24"
+        bps = C * 3  # bytes per sample frame in pcm24 transport
 
         # Rolling input: absolute sample coordinate of pend[0] is in_base.
         pend = np.zeros((pad, C), np.float32)
         in_base = -pad
         blocks = _iter_blocks(source, eng.emit_len)
-        fed = 0            # samples of the real signal consumed from source
         frame0 = 0         # absolute index of next chunk's first frame
         # Normalized output collector in absolute coords starting at -pad.
         out_pend: list[np.ndarray] = []
-        out_avail = 0
+        peak_pend: list[np.ndarray] = []   # per-hop-block peaks (pcm24)
+        float_refs: list = []  # (abs_start, n, device/host floats) for clamps
         out_base = -pad
         cut_i = 0
         drained = False
@@ -217,8 +263,8 @@ class StreamRunner:
 
         def consume(ready):
             """Materialize a dispatched chunk's results and route them."""
-            nonlocal out_pend, out_avail, out_base, cut_i
-            c_frame0, c_nf, c_emit, c_log = ready
+            nonlocal out_base, cut_i
+            c_frame0, c_nf, c_emit, c_peaks, c_out_dev, c_log = ready
             if on_frames is not None:
                 starts = -pad + (c_frame0 + np.arange(c_nf)) * hop
                 host_log = {k: np.asarray(v)[:c_nf] for k, v in c_log.items()}
@@ -233,10 +279,15 @@ class StreamRunner:
                 emit_n = c_nf * hop + eng.tail_len
             else:
                 emit_n = c_nf * hop
-            out_pend.append(np.asarray(c_emit)[:emit_n])
-            out_avail += emit_n
-            cut_i, out_pend, out_avail, out_base = self._drain(
-                plan, cut_i, out_pend, out_avail, out_base, False, on_audio)
+            if pcm24:
+                out_pend.append(np.asarray(c_emit)[:emit_n * bps])
+                peak_pend.append(np.asarray(c_peaks)[:emit_n // hop])
+                float_refs.append((-pad + c_frame0 * hop, emit_n, c_out_dev))
+            else:
+                out_pend.append(np.asarray(c_emit)[:emit_n])
+            cut_i, out_base = self._drain(
+                out_pend, peak_pend, float_refs, cut_i, out_base,
+                False, on_audio)
 
         # Software pipeline: dispatch chunk k+1 (async) before materializing
         # chunk k, so device->host readback (the bottleneck over a tunneled
@@ -251,7 +302,6 @@ class StreamRunner:
                 if blk is None:
                     drained = True
                     break
-                fed += len(blk)
                 pend = np.concatenate([pend, blk], 0)
             if len(pend) < need:  # real signal exhausted: zero pad the tail
                 pend = np.concatenate(
@@ -262,14 +312,21 @@ class StreamRunner:
                     [sig, np.zeros((eng.chunk_input_len - len(sig), C),
                                    np.float32)], 0)
 
-            emit, log, ctl_carry, out_tail, w_tail = self.chunk_fn(
+            res = self.chunk_fn(
                 jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail, w_tail)
+            if pcm24:
+                emit, peaks, out_dev, log, ctl_carry, out_tail, w_tail = res
+            else:
+                emit, log, ctl_carry, out_tail, w_tail = res
+                peaks = out_dev = None
             try:
                 # Wait for the (cheap) compute, then start the readback:
                 # issuing copy_to_host_async on a not-yet-computed array
                 # falls into a much slower transfer path on tunneled TPUs.
                 emit.block_until_ready()
                 emit.copy_to_host_async()
+                if peaks is not None:
+                    peaks.copy_to_host_async()
                 for v in log.values():
                     v.copy_to_host_async()
             except AttributeError:
@@ -277,7 +334,7 @@ class StreamRunner:
 
             if inflight is not None:
                 consume(inflight)
-            inflight = (frame0, nf, emit, log)
+            inflight = (frame0, nf, emit, peaks, out_dev, log)
 
             frame0 += nf
             keep = max(0, len(pend) - (nf * hop))
@@ -290,9 +347,19 @@ class StreamRunner:
         # Final: if the last chunk was full, its tail is still in the carry.
         if n_frames % F_c == 0 and n_frames > 0:
             tail_np = np.asarray(out_tail) / (np.asarray(w_tail)[:, None] + EPS)
-            out_pend.append(tail_np)
-            out_avail += len(tail_np)
-        self._drain(plan, cut_i, out_pend, out_avail, out_base, True, on_audio)
+            if pcm24:
+                tail_out = tail_np * np.float32(self.output_gain)
+                nblk = eng.tail_len // hop
+                if nblk:
+                    peak_pend.append(np.max(np.abs(
+                        tail_out.reshape(nblk, hop, C)), axis=(1, 2)))
+                out_pend.append(_encode_pcm24(tail_out))
+                float_refs.append((-pad + n_frames * hop, eng.tail_len,
+                                   tail_out))
+            else:
+                out_pend.append(tail_np)
+        self._drain(out_pend, peak_pend, float_refs, cut_i, out_base,
+                    True, on_audio)
 
         total_f = int(states_count[1] + states_count[2])
         self.stats = dict(
@@ -304,27 +371,45 @@ class StreamRunner:
         )
         return self.stats
 
-    def _drain(self, plan, cut_i, out_pend, out_avail, out_base,
+    def _drain(self, out_pend, peak_pend, float_refs, cut_i, out_base,
                final: bool, on_audio):
+        """Write out every flush cut whose samples are fully available.
+        Mutates the pending lists in place; returns (cut_i, out_base)."""
+        plan = self.plan
+        pcm24 = self.transport == "pcm24"
+        unit = self.engine.channels * 3 if pcm24 else 1
+        hop = self.engine.hop
         while cut_i < len(plan.cuts):
             start, n = plan.cuts[cut_i]
-            if not final and out_avail < (start - out_base) + n:
+            avail = sum(len(a) for a in out_pend) // unit
+            if not final and avail < (start - out_base) + n:
                 break
             buf = np.concatenate(out_pend, 0) if len(out_pend) != 1 \
-                else out_pend[0]
+                else (out_pend[0] if out_pend else
+                      np.zeros(0, np.uint8 if pcm24 else np.float32))
             rel = start - out_base
-            chunk = buf[rel:rel + n]
-            self._write_clamped(chunk, start, on_audio)
-            buf = buf[rel + n:]
-            out_pend = [buf]
-            out_avail = len(buf)
+            chunk = buf[rel * unit:(rel + n) * unit]
+            if pcm24:
+                pk = np.concatenate(peak_pend) if len(peak_pend) != 1 \
+                    else peak_pend[0]
+                self._write_cut_pcm24(chunk, pk, float_refs, start, n,
+                                      out_base, on_audio)
+                nblk = (rel + n) // hop  # cut boundaries lie on the lattice
+                del peak_pend[:]
+                peak_pend.append(pk[nblk:])
+                float_refs[:] = [r for r in float_refs
+                                 if r[0] + r[1] > start + n]
+            else:
+                self._write_cut_f32(chunk, start, on_audio)
+            del out_pend[:]
+            out_pend.append(buf[(rel + n) * unit:])
             out_base = start + n
             cut_i += 1
             if final and cut_i == len(plan.cuts):
                 break
-        return cut_i, out_pend, out_avail, out_base
+        return cut_i, out_base
 
-    def _write_clamped(self, chunk: np.ndarray, abs_start: int, on_audio):
+    def _write_cut_f32(self, chunk: np.ndarray, abs_start: int, on_audio):
         """Reference write_clamped (src/process_tomatis.py:331-357)."""
         s = max(0, abs_start)
         e = min(self.total, abs_start + len(chunk))
@@ -338,3 +423,65 @@ class StreamRunner:
             if peak > PEAK_LIMIT:
                 out = out * (PEAK_LIMIT / peak)
         on_audio(np.asarray(out, np.float32))
+
+    def _write_cut_pcm24(self, chunk_bytes: np.ndarray, peaks: np.ndarray,
+                         float_refs, abs_start: int, n: int, out_base: int,
+                         on_audio):
+        """PCM_24-transport write: bytes pass straight through unless this
+        flush cut needs the reference's peak clamp. Block peaks (device-
+        computed, pre-quantization) gate the decision conservatively; a
+        triggered clamp pulls the pre-quantization floats from the kept
+        device refs, rescales exactly and re-encodes on host."""
+        C = self.engine.channels
+        hop = self.engine.hop
+        s = max(0, abs_start)
+        e = min(self.total, abs_start + n)
+        if e <= s or on_audio is None:
+            return
+        out = chunk_bytes[(s - abs_start) * C * 3:(e - abs_start) * C * 3]
+        peak = 0.0
+        if self.peak_mode == "per_flush" and len(peaks):
+            b0 = (s - out_base) // hop
+            b1 = -(-(e - out_base) // hop)
+            window = peaks[b0:b1]
+            peak = float(np.max(window)) if len(window) else 0.0
+        if peak > PEAK_LIMIT:
+            x = self._gather_floats(float_refs, s, e, C)
+            true_peak = float(np.max(np.abs(x))) if x.size else 0.0
+            if true_peak > PEAK_LIMIT:
+                x = x * (PEAK_LIMIT / true_peak)
+            out = _encode_pcm24(x)
+        on_audio(out)
+
+    @staticmethod
+    def _gather_floats(float_refs, s: int, e: int, channels: int):
+        """Assemble pre-quantization floats for [s, e) from kept refs."""
+        out = np.zeros((e - s, channels), np.float32)
+        for r_start, r_n, arr in float_refs:
+            lo = max(s, r_start)
+            hi = min(e, r_start + r_n)
+            if hi <= lo:
+                continue
+            piece = np.asarray(arr)[lo - r_start:hi - r_start]
+            out[lo - s:hi - s] = piece
+        return out
+
+
+def _encode_pcm24(x: np.ndarray) -> np.ndarray:
+    """float [n, C] -> interleaved little-endian 24-bit bytes [n*C*3]."""
+    v = np.clip(np.rint(x * 8388608.0), -8388608, 8388607).astype(np.int32)
+    flat = v.reshape(-1)
+    out = np.empty((flat.size, 3), np.uint8)
+    out[:, 0] = flat & 0xFF
+    out[:, 1] = (flat >> 8) & 0xFF
+    out[:, 2] = (flat >> 16) & 0xFF
+    return out.reshape(-1)
+
+
+def _decode_pcm24(raw: np.ndarray, channels: int) -> np.ndarray:
+    b = raw.reshape(-1, 3)
+    v = (b[:, 0].astype(np.int32)
+         | (b[:, 1].astype(np.int32) << 8)
+         | (b[:, 2].astype(np.int32) << 16))
+    v = (v << 8) >> 8
+    return (v.astype(np.float32) / 8388608.0).reshape(-1, channels)

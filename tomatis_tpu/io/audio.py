@@ -108,6 +108,15 @@ class AudioFile:
         data = np.asarray(data)
         self.frames += data.shape[0] if data.ndim > 1 else data.size
 
+    @property
+    def supports_raw(self) -> bool:
+        return hasattr(self._h, "write_raw") and self.subtype == "PCM_24"
+
+    def write_raw(self, raw):
+        """Append pre-encoded sample bytes (PCM_24 writers only)."""
+        self._h.write_raw(raw)
+        self.frames += len(raw) // (3 * self.channels)
+
     def close(self):
         self._h.close()
 

@@ -188,6 +188,12 @@ class WavWriter:
         self._f.write(raw)
         self._data_bytes += len(raw)
 
+    def write_raw(self, raw):
+        """Append already-encoded sample bytes (e.g. device-packed PCM_24)."""
+        raw = bytes(raw) if not isinstance(raw, (bytes, bytearray)) else raw
+        self._f.write(raw)
+        self._data_bytes += len(raw)
+
     def close(self):
         if self._f.closed:
             return

@@ -1,0 +1,281 @@
+"""Adaptive Tomatis processor (capability parity with
+ref src/process_tomatis_adaptive.py).
+
+Pipeline: pre-attenuation for headroom -> batched frame levels -> binary
+search of the gate threshold to a target C2 ratio (each probe runs the
+min-hold gate as an associative scan) -> snap-first alpha ramp -> one-shot
+chunked STFT pass with per-frame dB-blended gains -> restore attenuation ->
+global peak protect.
+
+Reference semantics preserved exactly:
+- only frames whose start lies in [0, total) are processed (pad-region
+  frames are *excluded*, unlike the standard processor — ref :70-79,299),
+- normalizer is max(sum win^2, 1e-8) cropped to [0, total) (ref :329-332),
+- peak protect is a single global rescale (ref :340-345), not per-flush,
+- any sample rate / channel count is accepted (ref :179-183).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, asdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tomatis_tpu.engine.streaming import ChunkedStftEngine
+from tomatis_tpu.io import audio
+from tomatis_tpu.models.controllers import AlphaGainController
+from tomatis_tpu.ops import dsp, gate as gate_ops, stft
+from tomatis_tpu.ops.dsp import EPS, PEAK_LIMIT
+
+
+@dataclass
+class AdaptiveParams:
+    """Defaults = reference CLI (src/process_tomatis_adaptive.py:376-400)."""
+    fc: float = 1000.0
+    slope: float = 12.0
+    c1_low: float = 15.0
+    c1_high: float = -15.0
+    c2_low: float = -15.0
+    c2_high: float = 15.0
+    target_c2: float = 0.5
+    hyst_db: float = 3.0
+    min_hold_ms: float = 250.0
+    xfade_ms: float = 500.0
+    headroom_margin: float = 2.0
+    n_fft: int = 4096
+    hop: int = 2048
+    silence_threshold: float = -70.0
+
+    def min_hold_frames(self, sr: int) -> int:
+        return int(np.ceil(self.min_hold_ms / (self.hop / sr * 1000.0)))
+
+    def xfade_frames(self, sr: int) -> int:
+        return int(np.ceil(self.xfade_ms / (self.hop / sr * 1000.0)))
+
+
+def compute_frame_levels(x: np.ndarray, p: AdaptiveParams,
+                         frames_per_chunk: int = 4096):
+    """Per-frame RMS dBFS of the in-range frames (ref :57-84), batched on
+    device in fixed-shape chunks. Returns (levels [F], valid_mask, times)."""
+    n_fft, hop = p.n_fft, p.hop
+    pad = n_fft // 2
+    total, ch = x.shape
+    # frame k starts at k*hop in padded coords; in-range iff
+    # 0 <= k*hop - pad < total and k*hop + n_fft <= total + 2*pad
+    k0 = -(-pad // hop)
+    k1_excl = min((total + 2 * pad - n_fft) // hop,
+                  (total + pad - 1) // hop) + 1
+    F = max(0, k1_excl - k0)
+    if F == 0:
+        return np.zeros(0, np.float32), np.zeros(0, bool), []
+
+    xp = np.concatenate([np.zeros((pad, ch), np.float32), x,
+                         np.zeros((pad, ch), np.float32)])
+    base = k0 * hop
+
+    @jax.jit
+    def level_chunk(sig):
+        frames = stft.frame_signal(sig, n_fft, hop, frames_per_chunk)
+        return dsp.frame_levels_dbfs(jnp.transpose(frames, (0, 2, 1)))
+
+    levels = np.empty(F, np.float32)
+    need = (frames_per_chunk - 1) * hop + n_fft
+    for f0 in range(0, F, frames_per_chunk):
+        nf = min(frames_per_chunk, F - f0)
+        s = base + f0 * hop
+        sig = xp[s:s + need]
+        if len(sig) < need:
+            sig = np.concatenate(
+                [sig, np.zeros((need - len(sig), ch), np.float32)])
+        levels[f0:f0 + nf] = np.asarray(level_chunk(jnp.asarray(sig)))[:nf]
+    valid = levels > p.silence_threshold
+    return levels, valid, None
+
+
+def find_optimal_threshold(levels: np.ndarray, valid: np.ndarray,
+                           hyst_db: float, min_hold_frames: int,
+                           target_c2: float) -> float:
+    """Binary search (<=30 iters, +-1% tolerance) over [p5, p95] of valid
+    levels (ref :124-154); each probe is one associative-scan gate run."""
+    valid_levels = levels[valid]
+    if len(valid_levels) == 0:
+        return float(np.median(levels))
+    t_low = float(np.percentile(valid_levels, 5))
+    t_high = float(np.percentile(valid_levels, 95))
+    best_t = float(np.median(valid_levels))
+    best_diff = 1.0
+    lv = jnp.asarray(levels)
+
+    @jax.jit
+    def c2_ratio(ton, toff):
+        states, _ = gate_ops.gate_minhold(lv, ton, toff, min_hold_frames)
+        return jnp.mean((states == 2).astype(jnp.float32))
+
+    for _ in range(30):
+        t_mid = (t_low + t_high) / 2.0
+        r = float(c2_ratio(t_mid + hyst_db / 2.0, t_mid - hyst_db / 2.0))
+        diff = abs(r - target_c2)
+        if diff < best_diff:
+            best_diff = diff
+            best_t = t_mid
+        if diff < 0.01:
+            break
+        if r < target_c2:
+            t_high = t_mid
+        else:
+            t_low = t_mid
+    return best_t
+
+
+def process_array(x: np.ndarray, sr: int, p: AdaptiveParams | None = None,
+                  frames_per_chunk: int = 1024):
+    """In-memory adaptive processing. Returns (y, info dict)."""
+    p = p or AdaptiveParams()
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    total, ch = x.shape
+    n_fft, hop = p.n_fft, p.hop
+    pad = n_fft // 2
+    min_hold = p.min_hold_frames(sr)
+    xfade = p.xfade_frames(sr)
+
+    # 1. pre-attenuation (ref :201-215)
+    input_peak = float(np.max(np.abs(x))) if x.size else 0.0
+    input_peak_dbfs = 20.0 * np.log10(input_peak + EPS)
+    max_gain = max(abs(p.c1_low), abs(p.c2_high))
+    atten_db = max(0.0, input_peak_dbfs + max_gain + p.headroom_margin)
+    x_atten = x * np.float32(10.0 ** (-atten_db / 20.0))
+
+    # 2. levels + adaptive threshold (ref :219-226)
+    levels, valid, _ = compute_frame_levels(x_atten, p)
+    F = len(levels)
+    if F == 0:
+        return x.copy(), dict(n_frames=0, optimal_threshold=0.0,
+                              c2_ratio=0.0, switch_count=0,
+                              atten_db=atten_db, levels=levels,
+                              states=np.zeros(0, np.int32),
+                              alpha=np.zeros(0, np.float32))
+    optimal_t = find_optimal_threshold(levels, valid, p.hyst_db, min_hold,
+                                       p.target_c2)
+    states_j, _ = gate_ops.gate_minhold(
+        jnp.asarray(levels), optimal_t + p.hyst_db / 2.0,
+        optimal_t - p.hyst_db / 2.0, min_hold)
+    states = np.asarray(states_j)
+
+    # 3. run-length stats (ref :228-249)
+    run_stats = gate_ops.state_run_stats(states)
+    short_runs = int(np.sum(run_stats["run_lengths"] < min_hold))
+    n_runs = len(run_stats["run_lengths"])
+
+    # 4. alpha ramp, snap-first (ref :251-265)
+    targets = (states == 2).astype(np.float32)
+    step = 1.0 / xfade if xfade > 0 else 1.0
+    alpha = np.asarray(gate_ops.alpha_ramp_snap_first(
+        jnp.asarray(targets), step))
+
+    # 5. one-shot chunked STFT pass with per-frame blended gains
+    freqs = stft.rfft_freqs(n_fft, sr)
+    g1_db = dsp.build_tilt_gain_db(freqs, p.fc, p.slope, p.c1_low, p.c1_high)
+    g2_db = dsp.build_tilt_gain_db(freqs, p.fc, p.slope, p.c2_low, p.c2_high)
+    pad_alpha = np.zeros(((F + frames_per_chunk) // frames_per_chunk + 1)
+                         * frames_per_chunk, np.float32)
+    pad_alpha[:F] = alpha
+    controller = AlphaGainController(g1_db, g2_db, pad_alpha)
+    engine = ChunkedStftEngine(n_fft, hop, ch, frames_per_chunk)
+    chunk_fn = engine.make_chunk_fn(controller, norm="floor8")
+
+    xp = np.concatenate([np.zeros((pad, ch), np.float32), x_atten,
+                         np.zeros((pad, ch), np.float32)])
+    k0 = -(-pad // hop)
+    base = k0 * hop - pad          # absolute coord of first frame's start
+    ctl_carry = controller.init_carry()
+    out_tail, w_tail = engine.zero_tails()
+    pieces = []
+    need = engine.chunk_input_len
+    inflight = None
+    for f0 in range(0, F, frames_per_chunk):
+        nf = min(frames_per_chunk, F - f0)
+        s = k0 * hop + f0 * hop
+        sig = xp[s:s + need]
+        if len(sig) < need:
+            sig = np.concatenate(
+                [sig, np.zeros((need - len(sig), ch), np.float32)])
+        emit, log, ctl_carry, out_tail, w_tail = chunk_fn(
+            jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail, w_tail)
+        try:
+            emit.block_until_ready()
+            emit.copy_to_host_async()
+        except AttributeError:
+            pass
+        if inflight is not None:
+            p_nf, p_emit = inflight
+            pieces.append(np.asarray(p_emit)[:p_nf * hop])
+        inflight = (nf, emit)
+    p_nf, p_emit = inflight
+    if p_nf < frames_per_chunk:
+        pieces.append(np.asarray(p_emit)[:p_nf * hop + engine.tail_len])
+    else:
+        pieces.append(np.asarray(p_emit)[:p_nf * hop])
+        pieces.append(np.asarray(out_tail)
+                      / np.maximum(np.asarray(w_tail)[:, None], 1e-8))
+    ystream = np.concatenate(pieces, 0)  # starts at absolute coord `base`
+
+    # crop to [0, total); samples not covered by any frame stay 0 (ref's
+    # norm=max(w,1e-8) with zero numerator)
+    y = np.zeros((total, ch), np.float32)
+    s0 = max(0, base)
+    e0 = min(total, base + len(ystream))
+    if e0 > s0:
+        y[s0:e0] = ystream[s0 - base:e0 - base]
+
+    # 6. restore attenuation + global peak protect (ref :334-345)
+    if atten_db > 0:
+        y = y * np.float32(10.0 ** (atten_db / 20.0))
+    peak = float(np.max(np.abs(y))) if y.size else 0.0
+    if peak > PEAK_LIMIT:
+        y = y * np.float32(PEAK_LIMIT / peak)
+
+    duration_min = total / sr / 60.0
+    info = dict(
+        n_frames=F,
+        optimal_threshold=float(optimal_t),
+        c2_ratio=run_stats["c2_ratio"],
+        switch_count=run_stats["switch_count"],
+        switches_per_min=(run_stats["switch_count"] / duration_min
+                          if duration_min > 0 else 0.0),
+        short_run_ratio=short_runs / n_runs if n_runs else 0.0,
+        atten_db=atten_db,
+        min_hold_frames=min_hold,
+        xfade_frames=xfade,
+        levels=levels, states=states, alpha=alpha,
+    )
+    return y, info
+
+
+def process(in_path, out_path, p: AdaptiveParams | None = None,
+            state_csv_path=None, frames_per_chunk: int = 1024) -> dict:
+    """File-to-file adaptive processing (ref :157-373). Accepts any sr/ch;
+    writes PCM_24; state CSV rows: i+1, (i+1)*hop/sr %.6f, level %.4f,
+    state, alpha %.4f (ref :354-362)."""
+    p = p or AdaptiveParams()
+    x, sr = audio.read(in_path)
+    y, info = process_array(x, sr, p, frames_per_chunk)
+    audio.write(str(out_path), y, sr, subtype="PCM_24")
+    if state_csv_path:
+        import csv
+        frame_sec = p.hop / sr
+        with open(state_csv_path, "w", newline="", encoding="utf-8") as f:
+            w = csv.writer(f)
+            w.writerow(["frame_idx", "time_sec", "level_dbfs", "state",
+                        "alpha"])
+            for i in range(info["n_frames"]):
+                w.writerow([i + 1, "%.6f" % ((i + 1) * frame_sec),
+                            "%.4f" % info["levels"][i],
+                            "C1" if info["states"][i] == 1 else "C2",
+                            "%.4f" % info["alpha"][i]])
+    out = {k: v for k, v in info.items()
+           if k not in ("levels", "states", "alpha")}
+    out.update(params=asdict(p), sr=sr, total=len(x), out_path=str(out_path))
+    return out

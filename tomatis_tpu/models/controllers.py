@@ -11,6 +11,7 @@ chunk's states come out of O(log F) vector ops.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tomatis_tpu.ops import gate as gate_ops
@@ -68,6 +69,29 @@ class GateXfadeController:
                     + alpha[:, None] * self.g2_db[None, :])
         gains = db_to_lin(mixed_db)
         return gains, {"states": states, "alpha": alpha}, (seq[-1], alpha[-1])
+
+
+class AlphaGainController:
+    """Per-frame dB-domain blend driven by a precomputed whole-file alpha
+    track (the adaptive processor's one-shot pass,
+    ref src/process_tomatis_adaptive.py:283-327). The carry is the running
+    frame offset into the alpha array; each chunk slices its window."""
+
+    def __init__(self, g1_db, g2_db, alphas):
+        self.g1_db = jnp.asarray(g1_db, jnp.float32)
+        self.g2_db = jnp.asarray(g2_db, jnp.float32)
+        self.alphas = jnp.asarray(alphas, jnp.float32)
+
+    def init_carry(self):
+        return jnp.int32(0)
+
+    def step(self, levels, valid, carry):
+        F = levels.shape[0]
+        alpha = jax.lax.dynamic_slice(self.alphas, (carry,), (F,))
+        mixed_db = ((1.0 - alpha)[:, None] * self.g1_db[None, :]
+                    + alpha[:, None] * self.g2_db[None, :])
+        gains = db_to_lin(mixed_db)
+        return gains, {"alpha": alpha}, carry + F
 
 
 class StaticGainController:

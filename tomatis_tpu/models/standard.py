@@ -62,10 +62,11 @@ def build_controller(p: StandardParams, sr: int) -> GateSelectController:
 
 
 def make_runner(p: StandardParams, sr: int, channels: int, total: int,
-                frames_per_chunk: int = 1024) -> StreamRunner:
+                frames_per_chunk: int = 1024,
+                transport: str = "f32") -> StreamRunner:
     engine = ChunkedStftEngine(p.n_fft, p.hop, channels, frames_per_chunk)
     return StreamRunner(engine, build_controller(p, sr), total,
-                        output_gain_db=p.output_gain_db)
+                        output_gain_db=p.output_gain_db, transport=transport)
 
 
 def process_array(x: np.ndarray, sr: int, p: StandardParams | None = None,
@@ -114,11 +115,16 @@ def process(in_path, out_path, p: StandardParams | None = None,
             fout = audio.AudioFile(actual_out, "w", samplerate=sr,
                                    channels=ch, subtype="PCM_24")
 
-        runner = make_runner(p, sr, ch, total, frames_per_chunk)
+        # Device-side PCM_24 packing: 4x less d2h traffic, byte-identical
+        # file payload (the clamped-flush path deviates <= 1 LSB).
+        raw = fout.supports_raw
+        runner = make_runner(p, sr, ch, total, frames_per_chunk,
+                             transport="pcm24" if raw else "f32")
         csvw = StateCsvWriter(state_csv_path, sr, total) \
             if state_csv_path else None
         try:
-            stats = runner.run(fin, on_audio=fout.write,
+            stats = runner.run(fin,
+                               on_audio=fout.write_raw if raw else fout.write,
                                on_frames=csvw.on_frames if csvw else None)
         finally:
             fout.close()

@@ -63,9 +63,11 @@ def build_controller(p: XfadeParams, sr: int) -> GateXfadeController:
 
 
 def make_runner(p: XfadeParams, sr: int, channels: int, total: int,
-                frames_per_chunk: int = 1024) -> StreamRunner:
+                frames_per_chunk: int = 1024,
+                transport: str = "f32") -> StreamRunner:
     engine = ChunkedStftEngine(p.n_fft, p.hop, channels, frames_per_chunk)
-    return StreamRunner(engine, build_controller(p, sr), total)
+    return StreamRunner(engine, build_controller(p, sr), total,
+                        transport=transport)
 
 
 def process_array(x: np.ndarray, sr: int, p: XfadeParams | None = None,
@@ -100,12 +102,15 @@ def process(in_path, out_path, p: XfadeParams | None = None,
             actual_out = out_path.rsplit(".", 1)[0] + ".wav"
             fout = audio.AudioFile(actual_out, "w", samplerate=sr,
                                    channels=ch, subtype="PCM_24")
-        runner = make_runner(p, sr, ch, total, frames_per_chunk)
+        raw = fout.supports_raw
+        runner = make_runner(p, sr, ch, total, frames_per_chunk,
+                             transport="pcm24" if raw else "f32")
         csvw = StateCsvWriter(state_csv_path, sr, total, with_alpha=True,
                               level_fmt="%.2f", alpha_fmt="%.3f") \
             if state_csv_path else None
         try:
-            stats = runner.run(fin, on_audio=fout.write,
+            stats = runner.run(fin,
+                               on_audio=fout.write_raw if raw else fout.write,
                                on_frames=csvw.on_frames if csvw else None)
         finally:
             fout.close()
