@@ -17,6 +17,11 @@ COMMANDS = {
     "process-adaptive": ("tomatis_tpu.cli.process_adaptive",
                          "adaptive processor (auto threshold, min-hold, "
                          "crossfade, headroom)"),
+    "apply-eq": ("tomatis_tpu.cli.apply_eq",
+                 "apply a static EQ curve CSV (layer 2)"),
+    "apply-residual-eq": ("tomatis_tpu.cli.apply_residual_eq",
+                          "apply clamped residual EQ from diff_spectrum.csv "
+                          "(layer 2b, --safe for Safe-B)"),
 }
 
 

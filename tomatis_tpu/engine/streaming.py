@@ -115,16 +115,20 @@ class ChunkedStftEngine:
 
         transport="f32":
             fn(sig [L, C], n_valid, ctl_carry, out_tail, w_tail) ->
-                (emit [F_c*hop + tail, C] normalized float32, log, carries)
+                (emit [F_c*hop + tail, C] normalized float32, aux, carries)
         transport="pcm24":
             ... -> (pcm uint8 [(F_c*hop + tail) * C * 3] little-endian
                     24-bit of clip(round((emit*gain) * 2^23)),
-                    peaks float32 [(F_c*hop + tail)/hop] per-hop-block
-                    max |emit*gain| (pre-quantization, for the flush clamp
-                    decision), log, carries)
+                    aux, out_f32_deviceref, carries)
             Quantizing on-device shrinks device->host traffic by 1/4 — the
             dominant cost on a tunneled TPU — and the bytes are exactly the
             PCM_24 file payload, so the host write is a memcpy.
+
+        `aux` is ONE packed float32 array [rows, W] (W = F + n_fft/hop - 1):
+        row 0 levels, then one row per controller.LOG_KEYS entry, and (pcm24
+        only) a final row of per-hop-block max |emit*gain| peaks — every
+        small per-chunk output rides a single transfer, because each
+        device->host round trip costs ~0.2 s of latency over the tunnel.
         """
         if transport not in ("f32", "pcm24"):
             raise ValueError(transport)
@@ -139,6 +143,8 @@ class ChunkedStftEngine:
         win2 = win * win
         tail = self.tail_len
         gain_lin = jnp.float32(10.0 ** (output_gain_db / 20.0))
+        log_keys = tuple(getattr(controller, "LOG_KEYS", ()))
+        self.log_keys = log_keys
 
         @jax.jit
         def chunk_fn(sig, n_valid, ctl_carry, out_tail, w_tail):
@@ -164,14 +170,17 @@ class ChunkedStftEngine:
                 emit = ola / jnp.maximum(w[:, None], 1e-8)
             else:
                 emit = ola / (w[:, None] + EPS)
-            log = dict(log)
-            log["levels"] = levels
+            W = F + n_fft // hop - 1
+            rows = [levels] + [log[k] for k in log_keys]
+            rows = [jnp.pad(r.astype(jnp.float32), (0, W - F)) for r in rows]
             carries = (ctl_carry, ola[F * hop:], w[F * hop:])
             if transport == "f32":
-                return (emit,) + (log,) + carries
+                aux = jnp.stack(rows)
+                return (emit, aux) + carries
             out = emit * gain_lin
             peaks = jnp.max(jnp.abs(out.reshape(-1, hop, out.shape[1])),
                             axis=(1, 2))
+            aux = jnp.stack(rows + [peaks])
             v = jnp.clip(jnp.round(out * 8388608.0),
                          -8388608, 8388607).astype(jnp.int32)
             pcm = jnp.stack([v & 255, (v >> 8) & 255, (v >> 16) & 255],
@@ -179,7 +188,7 @@ class ChunkedStftEngine:
             # `out` is returned as an (untransferred) device array: the rare
             # clamped flush needs pre-quantization floats — ints saturate at
             # full scale, so a needed clamp can't be recovered from bytes.
-            return (pcm, peaks, out) + (log,) + carries
+            return (pcm, aux, out) + carries
 
         return chunk_fn
 
@@ -261,18 +270,23 @@ class StreamRunner:
 
         states_count = np.zeros(3, np.int64)
 
+        log_keys = self.engine.log_keys
+
         def consume(ready):
             """Materialize a dispatched chunk's results and route them."""
             nonlocal out_base, cut_i
-            c_frame0, c_nf, c_emit, c_peaks, c_out_dev, c_log = ready
+            c_frame0, c_nf, c_emit, c_aux, c_out_dev = ready
+            aux = np.asarray(c_aux)
+            log = {"levels": aux[0, :c_nf]}
+            for i, k in enumerate(log_keys):
+                log[k] = aux[1 + i, :c_nf]
+            if "states" in log:
+                log["states"] = log["states"].astype(np.int32)
+                states_count[1] += int(np.sum(log["states"] == 1))
+                states_count[2] += int(np.sum(log["states"] == 2))
             if on_frames is not None:
                 starts = -pad + (c_frame0 + np.arange(c_nf)) * hop
-                host_log = {k: np.asarray(v)[:c_nf] for k, v in c_log.items()}
-                on_frames(c_frame0, starts, host_log)
-            if "states" in c_log:
-                s = np.asarray(c_log["states"])[:c_nf]
-                states_count[1] += int(np.sum(s == 1))
-                states_count[2] += int(np.sum(s == 2))
+                on_frames(c_frame0, starts, log)
             if c_nf < F_c:
                 # Partial (final) chunk: the stream's OLA tail lies at
                 # nf*hop, inside the emit region, already normalized.
@@ -281,7 +295,7 @@ class StreamRunner:
                 emit_n = c_nf * hop
             if pcm24:
                 out_pend.append(np.asarray(c_emit)[:emit_n * bps])
-                peak_pend.append(np.asarray(c_peaks)[:emit_n // hop])
+                peak_pend.append(aux[-1][:emit_n // hop])
                 float_refs.append((-pad + c_frame0 * hop, emit_n, c_out_dev))
             else:
                 out_pend.append(np.asarray(c_emit)[:emit_n])
@@ -315,26 +329,23 @@ class StreamRunner:
             res = self.chunk_fn(
                 jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail, w_tail)
             if pcm24:
-                emit, peaks, out_dev, log, ctl_carry, out_tail, w_tail = res
+                emit, aux, out_dev, ctl_carry, out_tail, w_tail = res
             else:
-                emit, log, ctl_carry, out_tail, w_tail = res
-                peaks = out_dev = None
+                emit, aux, ctl_carry, out_tail, w_tail = res
+                out_dev = None
             try:
                 # Wait for the (cheap) compute, then start the readback:
                 # issuing copy_to_host_async on a not-yet-computed array
                 # falls into a much slower transfer path on tunneled TPUs.
                 emit.block_until_ready()
                 emit.copy_to_host_async()
-                if peaks is not None:
-                    peaks.copy_to_host_async()
-                for v in log.values():
-                    v.copy_to_host_async()
+                aux.copy_to_host_async()
             except AttributeError:
                 pass
 
             if inflight is not None:
                 consume(inflight)
-            inflight = (frame0, nf, emit, peaks, out_dev, log)
+            inflight = (frame0, nf, emit, aux, out_dev)
 
             frame0 += nf
             keep = max(0, len(pend) - (nf * hop))

@@ -21,6 +21,8 @@ from tomatis_tpu.ops.dsp import db_to_lin
 class GateSelectController:
     """Hysteresis + up-delay gate selecting between two gain curves."""
 
+    LOG_KEYS = ("states",)
+
     def __init__(self, g1_lin, g2_lin, ton: float, toff: float,
                  delay_frames: int):
         self.table = jnp.stack([jnp.asarray(g1_lin, jnp.float32),
@@ -43,6 +45,8 @@ class GateSelectController:
 class GateXfadeController:
     """Gate + rate-limited alpha crossfade, gains blended in the dB domain
     (ref src/process_tomatis_xfade.py:251-274)."""
+
+    LOG_KEYS = ("states", "alpha")
 
     def __init__(self, g1_db, g2_db, ton: float, toff: float,
                  delay_frames: int, xfade_frames: int):
@@ -77,6 +81,8 @@ class AlphaGainController:
     ref src/process_tomatis_adaptive.py:283-327). The carry is the running
     frame offset into the alpha array; each chunk slices its window."""
 
+    LOG_KEYS = ("alpha",)
+
     def __init__(self, g1_db, g2_db, alphas):
         self.g1_db = jnp.asarray(g1_db, jnp.float32)
         self.g2_db = jnp.asarray(g2_db, jnp.float32)
@@ -96,6 +102,8 @@ class AlphaGainController:
 
 class StaticGainController:
     """A single gate-free gain row (EQ appliers)."""
+
+    LOG_KEYS = ()
 
     def __init__(self, gain_lin):
         self.gain = jnp.asarray(gain_lin, jnp.float32)

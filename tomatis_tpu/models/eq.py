@@ -1,0 +1,305 @@
+"""Layer-2 EQ appliers (capability parity with ref src/layer2_apply_eq.py,
+src/layer2b_apply_residual_eq.py, src/layer2b_apply_residual_eq_safe.py).
+
+All three are gate-free STFT gain applications sharing one uncropped
+streaming loop (the reference writes the *whole* OLA stream including the
+half-window pre-pad and tail — output files are longer than the input by
+design; downstream comparators re-align by cross-correlation).
+"""
+from __future__ import annotations
+
+import csv as _csv
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from tomatis_tpu.engine.streaming import (ChunkedStftEngine, _encode_pcm24,
+                                          EPS)
+from tomatis_tpu.io import audio
+from tomatis_tpu.models.controllers import StaticGainController
+from tomatis_tpu.ops import stft
+from tomatis_tpu.ops.dsp import db_to_lin
+
+
+# ---------------------------------------------------------------------------
+# EQ curve construction
+# ---------------------------------------------------------------------------
+
+def load_eq_csv(path):
+    """Tolerant-column EQ CSV loader (ref src/layer2_apply_eq.py:11-46):
+    freq column from {freq_hz,freq,hz,f}; gain column prefers
+    delta_db_smooth, then {delta_db,db,gain_db,delta,gain}. Sorted by f."""
+    with open(path, "r", encoding="utf-8") as f:
+        reader = _csv.DictReader(f)
+        cols = [c.lower().strip() for c in reader.fieldnames]
+
+        def pick(cands):
+            for c in cands:
+                if c in cols:
+                    return reader.fieldnames[cols.index(c)]
+            return None
+
+        f_col = pick(["freq_hz", "freq", "hz", "f"])
+        d_col = pick(["delta_db_smooth", "delta_db", "db", "gain_db",
+                      "delta", "gain"])
+        if f_col is None or d_col is None:
+            raise ValueError(f"unexpected EQ CSV columns: {reader.fieldnames}")
+        freqs, dbs = [], []
+        for row in reader:
+            freqs.append(float(row[f_col]))
+            dbs.append(float(row[d_col]))
+    freqs = np.asarray(freqs, np.float32)
+    dbs = np.asarray(dbs, np.float32)
+    idx = np.argsort(freqs)
+    return freqs[idx], dbs[idx]
+
+
+def build_gain_per_bin(sr: int, n_fft: int, eq_freqs, eq_db) -> np.ndarray:
+    """Interpolate the (f -> dB) curve onto rFFT bins on the log-f axis with
+    edge clamping (ref src/layer2_apply_eq.py:48-64). Returns linear gains."""
+    f_bins = np.fft.rfftfreq(n_fft, 1.0 / sr).astype(np.float32)
+    x = np.log10(np.maximum(eq_freqs, 1.0))
+    xb = np.log10(np.maximum(f_bins, 1.0))
+    yb = np.interp(xb, x, eq_db, left=eq_db[0], right=eq_db[-1])
+    return (10.0 ** (yb.astype(np.float32) / 20.0)).astype(np.float32)
+
+
+def smooth_on_logfreq(freq, db, win: int = 21) -> np.ndarray:
+    """Moving average on a uniform log-f grid, mapped back
+    (ref src/layer2b_apply_residual_eq.py:12-35)."""
+    freq = np.asarray(freq, np.float64)
+    db = np.asarray(db, np.float64)
+    lf = np.log10(np.maximum(freq, 1.0))
+    order = np.argsort(lf)
+    lf2, db2 = lf[order], db[order]
+    n = len(db2)
+    grid = np.linspace(lf2.min(), lf2.max(), n)
+    dbg = np.interp(grid, lf2, db2)
+    win = max(3, win | 1)
+    pad = win // 2
+    x = np.pad(dbg, (pad, pad), mode="edge")
+    y = np.convolve(x, np.ones(win) / win, mode="valid")
+    db_smooth = np.interp(lf2, grid, y)
+    out = np.empty_like(db_smooth)
+    out[order] = db_smooth
+    return out
+
+
+def build_eq_from_residual(freqs_rfft, res_freq, res_db,
+                           clamp_lo=-6.0, clamp_hi=6.0,
+                           mid_start=3000.0, mid_clamp_hi=2.0,
+                           hf_start=8000.0, hf_clamp_hi=0.0):
+    """Banded-clamp residual EQ (ref src/layer2b_apply_residual_eq.py:37-55):
+    global +-6 dB, [3k, 8k) capped at +2 dB, >=8 kHz capped at 0 dB."""
+    db = np.interp(freqs_rfft, res_freq, res_db,
+                   left=res_db[0], right=res_db[-1])
+    db = np.clip(db, clamp_lo, clamp_hi)
+    mid = (freqs_rfft >= mid_start) & (freqs_rfft < hf_start)
+    db[mid] = np.clip(db[mid], clamp_lo, mid_clamp_hi)
+    hf = freqs_rfft >= hf_start
+    db[hf] = np.clip(db[hf], clamp_lo, hf_clamp_hi)
+    return (10.0 ** (db / 20.0)).astype(np.float32), db.astype(np.float32)
+
+
+def build_eq_from_residual_safe(freqs_rfft, res_freq, res_db,
+                                clamp_lo=-1.0, clamp_hi=1.0,
+                                hf_start=3000.0):
+    """Safe-B variant (ref src/layer2b_apply_residual_eq_safe.py:37-51):
+    clamp +-1 dB, forced 0 dB above 3 kHz (no noise boost)."""
+    db = np.interp(freqs_rfft, res_freq, res_db,
+                   left=res_db[0], right=res_db[-1])
+    db = np.clip(db, clamp_lo, clamp_hi)
+    db[freqs_rfft >= hf_start] = 0.0
+    return (10.0 ** (db / 20.0)).astype(np.float32), db.astype(np.float32)
+
+
+def load_residual_csv(path):
+    """diff_spectrum.csv reader (ref src/layer2b_apply_residual_eq.py:77-82):
+    freq_hz + delta_db_base_minus_cand (or legacy delta_db)."""
+    import pandas as pd
+    diff = pd.read_csv(path)
+    col = ("delta_db_base_minus_cand"
+           if "delta_db_base_minus_cand" in diff.columns else "delta_db")
+    return (diff["freq_hz"].to_numpy(np.float32),
+            diff[col].to_numpy(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# The shared uncropped streaming applier
+# ---------------------------------------------------------------------------
+
+def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
+                      n_fft: int = 4096, hop: int = 2048,
+                      pad_len: int = 0, pre_gain: float = 1.0,
+                      frames_per_chunk: int = 1024,
+                      require_48k_stereo: bool = True) -> dict:
+    """Stream in -> per-bin gain -> OLA -> out, uncropped (the output length
+    is the last frame's end; includes the pre-pad — reference behavior).
+    Returns dict(peak_seen, out_path, n_frames, sr).
+    """
+    with audio.AudioFile(in_path, "r") as fin:
+        sr, ch, total = fin.samplerate, fin.channels, fin.frames
+        if require_48k_stereo:
+            if sr != 48000:
+                raise ValueError(f"expected 48kHz, got {sr}")
+            if ch != 2:
+                raise ValueError(f"expected stereo, got {ch} channels")
+        padded = total + 2 * pad_len
+        F = max(0, (padded - n_fft) // hop + 1)
+
+        out_path = str(out_path)
+        try:
+            fout = audio.AudioFile(out_path, "w", samplerate=sr, channels=ch,
+                                   subtype="PCM_24")
+            actual_out = out_path
+        except Exception:
+            actual_out = out_path.rsplit(".", 1)[0] + ".wav"
+            fout = audio.AudioFile(actual_out, "w", samplerate=sr,
+                                   channels=ch, subtype="PCM_24")
+
+        engine = ChunkedStftEngine(n_fft, hop, ch, frames_per_chunk)
+        controller = StaticGainController(gain_bins)
+        raw = fout.supports_raw
+        chunk_fn = engine.make_chunk_fn(
+            controller, transport="pcm24" if raw else "f32")
+
+        ctl_carry = controller.init_carry()
+        out_tail, w_tail = engine.zero_tails()
+        need = engine.chunk_input_len
+        pend = np.zeros((pad_len, ch), np.float32)
+        drained = False
+        peak_seen = 0.0
+        inflight = None
+
+        def write_piece(piece, pk):
+            nonlocal peak_seen
+            peak_seen = max(peak_seen, pk)
+            if raw:
+                fout.write_raw(piece)
+            else:
+                fout.write(piece)
+
+        def consume(ready):
+            c_nf, c_emit, c_aux = ready
+            aux = np.asarray(c_aux)
+            emit_n = c_nf * hop + (engine.tail_len if c_nf < frames_per_chunk
+                                   else 0)
+            if raw:
+                piece = np.asarray(c_emit)[:emit_n * ch * 3]
+                pk = float(np.max(aux[-1][:emit_n // hop])) if emit_n else 0.0
+            else:
+                piece = np.asarray(c_emit)[:emit_n]
+                pk = float(np.max(np.abs(piece))) if emit_n else 0.0
+            write_piece(piece, pk)
+
+        for f0 in range(0, F, frames_per_chunk):
+            nf = min(frames_per_chunk, F - f0)
+            want = (nf - 1) * hop + n_fft
+            while len(pend) < want and not drained:
+                blk = fin.read(engine.emit_len)
+                if len(blk) == 0:
+                    drained = True
+                    break
+                if pre_gain != 1.0:
+                    blk = blk * np.float32(pre_gain)
+                pend = np.concatenate([pend, np.asarray(blk, np.float32)], 0)
+            if len(pend) < want:
+                pend = np.concatenate(
+                    [pend, np.zeros((want - len(pend), ch), np.float32)], 0)
+            sig = pend[:need]
+            if len(sig) < need:
+                sig = np.concatenate(
+                    [sig, np.zeros((need - len(sig), ch), np.float32)], 0)
+            res = chunk_fn(jnp.asarray(sig), jnp.int32(nf), ctl_carry,
+                           out_tail, w_tail)
+            if raw:
+                emit, aux, _out_dev, ctl_carry, out_tail, w_tail = res
+            else:
+                emit, aux, ctl_carry, out_tail, w_tail = res
+            try:
+                emit.block_until_ready()
+                emit.copy_to_host_async()
+                aux.copy_to_host_async()
+            except AttributeError:
+                pass
+            if inflight is not None:
+                consume(inflight)
+            inflight = (nf, emit, aux)
+            pend = pend[nf * hop:]
+
+        if inflight is not None:
+            consume(inflight)
+        if F > 0 and F % frames_per_chunk == 0:
+            tail = np.asarray(out_tail) / (np.asarray(w_tail)[:, None] + EPS)
+            pk = float(np.max(np.abs(tail))) if tail.size else 0.0
+            write_piece(_encode_pcm24(tail) if raw else tail, pk)
+        fout.close()
+    return dict(peak_seen=peak_seen, out_path=actual_out, n_frames=F, sr=sr)
+
+
+# ---------------------------------------------------------------------------
+# User-facing appliers
+# ---------------------------------------------------------------------------
+
+def apply_eq(in_path, out_path, eq_csv, n_fft=4096, hop=2048, pad=True,
+             global_gain_db=0.0, auto_gain_protect=True, peak_target=0.99,
+             frames_per_chunk: int = 1024) -> dict:
+    """Layer-2 static EQ (ref src/layer2_apply_eq.py:66-233): log-f interp,
+    optional input gain, two-pass gain protect writing an extra *_gp file
+    when the streamed peak exceeds peak_target."""
+    meta = audio.info(in_path)
+    eq_freqs, eq_db = load_eq_csv(eq_csv)
+    gain_bins = build_gain_per_bin(meta.samplerate, n_fft, eq_freqs, eq_db)
+    res = apply_gain_stream(
+        in_path, out_path, gain_bins, n_fft, hop,
+        pad_len=n_fft // 2 if pad else 0,
+        pre_gain=float(10.0 ** (global_gain_db / 20.0)),
+        frames_per_chunk=frames_per_chunk)
+    res["gain_protected_path"] = None
+    if auto_gain_protect and res["peak_seen"] > peak_target:
+        scale = peak_target / max(res["peak_seen"], 1e-12)
+        src = res["out_path"]
+        root, ext = src.rsplit(".", 1)
+        gp = f"{root}_gp.{ext}"
+        with audio.AudioFile(src, "r") as fin, \
+                audio.AudioFile(gp, "w", samplerate=fin.samplerate,
+                                channels=fin.channels,
+                                subtype="PCM_24") as fgp:
+            while True:
+                x = fin.read(48000 * 30)
+                if len(x) == 0:
+                    break
+                fgp.write((x * scale).astype(np.float32))
+        res["gain_protected_path"] = gp
+        res["gain_protect_scale"] = scale
+    return res
+
+
+def apply_residual_eq(in_audio, out_audio, diff_csv, n_fft=4096, hop=2048,
+                      smooth_win=41, clamp_hi=6.0, mid_start=3000.0,
+                      mid_clamp_hi=2.0, hf_start=8000.0, hf_clamp_hi=0.0,
+                      safe: bool = False, frames_per_chunk: int = 1024) -> dict:
+    """Layer-2b residual EQ applier; safe=True selects the Safe-B clamps
+    (and the reference's different smoothing default belongs to the CLI)."""
+    res_freq, res_db = load_residual_csv(diff_csv)
+    res_db_s = smooth_on_logfreq(res_freq, res_db, win=smooth_win)
+    meta = audio.info(in_audio)
+    if meta.channels != 2:
+        raise ValueError("stereo required")
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / meta.samplerate)
+    if safe:
+        eq_lin, eq_db = build_eq_from_residual_safe(
+            freqs, res_freq, res_db_s, clamp_lo=-1.0, clamp_hi=clamp_hi,
+            hf_start=hf_start)
+    else:
+        eq_lin, eq_db = build_eq_from_residual(
+            freqs, res_freq, res_db_s, clamp_lo=-6.0, clamp_hi=clamp_hi,
+            mid_start=mid_start, mid_clamp_hi=mid_clamp_hi,
+            hf_start=hf_start, hf_clamp_hi=hf_clamp_hi)
+    # no padding in the reference residual appliers
+    out = apply_gain_stream(in_audio, out_audio, eq_lin, n_fft, hop,
+                            pad_len=0, frames_per_chunk=frames_per_chunk,
+                            require_48k_stereo=False)
+    out["eq_db"] = eq_db
+    return out
