@@ -25,10 +25,13 @@ import numpy as np
 
 
 def synth(seconds: float, sr: int = 48000, seed: int = 0) -> np.ndarray:
+    """Headroomed program material: the Tomatis workflow pre-attenuates so
+    the +-15 dB tilt does not clip (production gain_db=-17.77,
+    docs/Workflow_v2.md:49-53; the adaptive mode attenuates automatically)."""
     rng = np.random.default_rng(seed)
     n = int(seconds * sr)
     t = np.arange(n) / sr
-    env = 0.003 + 0.25 * (np.sin(2 * np.pi * 0.31 * t) > 0)
+    env = 0.0006 + 0.05 * (np.sin(2 * np.pi * 0.31 * t) > 0)
     x = env * (np.sin(2 * np.pi * 440 * t)
                + 0.4 * np.sin(2 * np.pi * 3100 * t)
                + 0.05 * rng.standard_normal(n))

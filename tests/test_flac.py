@@ -1,0 +1,104 @@
+"""Native FLAC codec tests: encode/decode round trips, seeks, facade."""
+import numpy as np
+import pytest
+
+from tomatis_tpu.io import audio
+
+
+def _sig(n=50000, ch=2, sr=48000, seed=0, amp=0.5):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    x = amp * np.sin(2 * np.pi * 440 * t)[:, None] * np.ones((1, ch))
+    x += 0.02 * rng.standard_normal((n, ch))
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+@pytest.mark.parametrize("subtype,tol", [("PCM_16", 2 ** -15),
+                                         ("PCM_24", 2 ** -23)])
+def test_flac_roundtrip(tmp_path, subtype, tol):
+    x = _sig()
+    p = tmp_path / "a.flac"
+    audio.write(p, x, 48000, subtype=subtype)
+    meta = audio.info(p)
+    assert (meta.samplerate, meta.channels, meta.frames) == (48000, 2, len(x))
+    assert meta.format == "FLAC" and meta.subtype == subtype
+    y, sr = audio.read(p)
+    assert sr == 48000 and y.shape == x.shape
+    assert np.max(np.abs(y - x)) <= tol + 1e-7
+
+
+def test_flac_compresses(tmp_path):
+    """A tonal signal must compress well below raw PCM size."""
+    import os
+    x = _sig(n=200000, amp=0.3)
+    x[:, 1] = x[:, 0]  # correlated channels still encoded independently
+    p = tmp_path / "c.flac"
+    audio.write(p, x, 48000, subtype="PCM_24")
+    raw = 200000 * 2 * 3
+    assert os.path.getsize(p) < 0.9 * raw
+
+
+def test_flac_streaming_and_seek(tmp_path):
+    x = _sig(n=30011)  # non-multiple of block size -> partial last frame
+    p = tmp_path / "s.flac"
+    with audio.AudioFile(p, "w", samplerate=44100, channels=2,
+                         subtype="PCM_24") as f:
+        for i in range(0, len(x), 7000):
+            f.write(x[i:i + 7000])
+    with audio.AudioFile(p, "r") as f:
+        assert f.frames == len(x)
+        chunks = []
+        while True:
+            c = f.read(4097)
+            if len(c) == 0:
+                break
+            chunks.append(c)
+        y = np.concatenate(chunks)
+    assert y.shape == x.shape
+    assert np.max(np.abs(y - x)) <= 2 ** -23 + 1e-7
+    # ranged read via facade
+    y2, _ = audio.read(p, frames=1000, start=12345)
+    np.testing.assert_allclose(y2, y[12345:13345], atol=1e-9)
+
+
+def test_flac_mono_16bit(tmp_path):
+    x = _sig(n=9000, ch=1, amp=0.7)
+    p = tmp_path / "m.flac"
+    audio.write(p, x[:, 0], 22050, subtype="PCM_16")
+    y, sr = audio.read(p, always_2d=False)
+    assert sr == 22050 and y.ndim == 1 and len(y) == 9000
+    assert np.max(np.abs(y - x[:, 0])) <= 2 ** -15 + 1e-7
+
+
+def test_flac_write_raw_pcm24(tmp_path):
+    x = _sig(n=20000)
+    v = np.clip(np.rint(x * 8388608.0), -8388608, 8388607).astype(np.int32)
+    flat = v.reshape(-1)
+    raw = np.empty((flat.size, 3), np.uint8)
+    raw[:, 0] = flat & 0xFF
+    raw[:, 1] = (flat >> 8) & 0xFF
+    raw[:, 2] = (flat >> 16) & 0xFF
+    p = tmp_path / "r.flac"
+    with audio.AudioFile(p, "w", samplerate=48000, channels=2,
+                         subtype="PCM_24") as f:
+        assert f.supports_raw
+        f.write_raw(raw.reshape(-1))
+    y, _ = audio.read(p)
+    np.testing.assert_allclose(y, v.astype(np.float32) / 8388608.0, atol=1e-9)
+
+
+def test_external_flac_decode_if_available(tmp_path):
+    """Cross-check our decoder against the system `flac` tool if present."""
+    import shutil
+    import subprocess
+    if shutil.which("flac") is None:
+        pytest.skip("no system flac binary")
+    x = _sig(n=12345)
+    wav = tmp_path / "x.wav"
+    audio.write(wav, x, 48000, subtype="PCM_24")
+    fl = tmp_path / "x.flac"
+    subprocess.run(["flac", "--silent", "-o", str(fl), str(wav)], check=True)
+    y, sr = audio.read(fl)
+    w, _ = audio.read(wav)
+    assert sr == 48000
+    np.testing.assert_allclose(y, w, atol=1e-9)

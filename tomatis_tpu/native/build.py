@@ -1,0 +1,41 @@
+"""Build + load the native C++ components.
+
+Shared objects are compiled on first use with g++ (-O2 -shared -fPIC) and
+cached next to the sources in build/; a source-mtime check triggers
+rebuilds. No external build system needed for these single-TU libraries.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BUILD_DIR = os.path.join(_HERE, "build")
+_LOCK = threading.Lock()
+_CACHE: dict = {}
+
+
+def _compile(src: str, out: str):
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-std=c++17", "-O2", "-shared", "-fPIC", src, "-o", out]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"native build failed: {' '.join(cmd)}\n{proc.stderr}")
+
+
+def load_library(name: str) -> ctypes.CDLL:
+    """Load lib<name>.so built from <name>.cpp, compiling if stale."""
+    with _LOCK:
+        if name in _CACHE:
+            return _CACHE[name]
+        src = os.path.join(_HERE, f"{name}.cpp")
+        so = os.path.join(_BUILD_DIR, f"lib{name}.so")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            _compile(src, so)
+        lib = ctypes.CDLL(so)
+        _CACHE[name] = lib
+        return lib
