@@ -22,6 +22,9 @@ COMMANDS = {
     "apply-residual-eq": ("tomatis_tpu.cli.apply_residual_eq",
                           "apply clamped residual EQ from diff_spectrum.csv "
                           "(layer 2b, --safe for Safe-B)"),
+    "declick": ("tomatis_tpu.cli.repair",
+                "detect and inpaint clicks/pops"),
+    "cut": ("tomatis_tpu.cli.cut", "trim the first N seconds"),
 }
 
 
