@@ -25,6 +25,9 @@ COMMANDS = {
     "declick": ("tomatis_tpu.cli.repair",
                 "detect and inpaint clicks/pops"),
     "cut": ("tomatis_tpu.cli.cut", "trim the first N seconds"),
+    "validate": ("tomatis_tpu.cli.validate",
+                 "layer-1 validation (gate recomputation, filter shape, "
+                 "engineering)"),
 }
 
 

@@ -98,10 +98,32 @@ class ChunkedStftEngine:
         self.tail_len = n_fft - hop
         self.chunk_input_len = (frames_per_chunk - 1) * hop + n_fft
         self.emit_len = frames_per_chunk * hop
+        self.emit_full = self.emit_len + self.tail_len
+        self.aux_width = frames_per_chunk + n_fft // hop - 1
+        self.log_keys: tuple = ()
 
     def zero_tails(self):
         return (jnp.zeros((self.tail_len, self.channels), jnp.float32),
                 jnp.zeros((self.tail_len,), jnp.float32))
+
+    def unpack_f32(self, packed: np.ndarray):
+        """Split a materialized f32-transport array into (emit [S, C],
+        aux rows [R, W])."""
+        L = self.emit_full * self.channels
+        emit = packed[:L].reshape(self.emit_full, self.channels)
+        R = 1 + len(self.log_keys)
+        aux = packed[L:L + R * self.aux_width].reshape(R, self.aux_width)
+        return emit, aux
+
+    def unpack_pcm24(self, packed: np.ndarray):
+        """Split a materialized pcm24-transport array into (pcm bytes
+        [S*C*3], aux rows [R, W]) — last aux row is block peaks."""
+        nb = self.emit_full * self.channels * 3
+        pcm = packed[:nb]
+        R = 2 + len(self.log_keys)
+        aux = packed[nb:nb + R * self.aux_width * 4].copy().view(
+            np.float32).reshape(R, self.aux_width)
+        return pcm, aux
 
     def make_chunk_fn(self, controller, transport: str = "f32",
                       output_gain_db: float = 0.0,
@@ -115,20 +137,23 @@ class ChunkedStftEngine:
 
         transport="f32":
             fn(sig [L, C], n_valid, ctl_carry, out_tail, w_tail) ->
-                (emit [F_c*hop + tail, C] normalized float32, aux, carries)
+                (packed, carries) where packed is ONE flat float32 array:
+                normalized emit [(F_c*hop + tail) * C] followed by the aux
+                rows (unpack with engine.unpack_f32).
         transport="pcm24":
-            ... -> (pcm uint8 [(F_c*hop + tail) * C * 3] little-endian
-                    24-bit of clip(round((emit*gain) * 2^23)),
-                    aux, out_f32_deviceref, carries)
-            Quantizing on-device shrinks device->host traffic by 1/4 — the
-            dominant cost on a tunneled TPU — and the bytes are exactly the
-            PCM_24 file payload, so the host write is a memcpy.
+            ... -> (packed, out_f32_deviceref, carries) where packed is ONE
+            flat uint8 array: little-endian 24-bit PCM of
+            clip(round((emit*gain) * 2^23)) followed by the aux rows'
+            float32 bytes (unpack with engine.unpack_pcm24). Quantizing
+            on-device shrinks device->host traffic by 1/4 — the dominant
+            cost on a tunneled TPU — and the bytes are exactly the PCM_24
+            file payload, so the host write is a memcpy.
 
-        `aux` is ONE packed float32 array [rows, W] (W = F + n_fft/hop - 1):
-        row 0 levels, then one row per controller.LOG_KEYS entry, and (pcm24
-        only) a final row of per-hop-block max |emit*gain| peaks — every
-        small per-chunk output rides a single transfer, because each
-        device->host round trip costs ~0.2 s of latency over the tunnel.
+        Aux rows [R, W] (W = F + n_fft/hop - 1): row 0 levels, one row per
+        controller.LOG_KEYS entry, and (pcm24 only) a final row of
+        per-hop-block max |emit*gain| peaks. Everything rides a single
+        transfer because each device->host round trip costs ~0.2 s of
+        latency over the tunnel.
         """
         if transport not in ("f32", "pcm24"):
             raise ValueError(transport)
@@ -145,6 +170,7 @@ class ChunkedStftEngine:
         gain_lin = jnp.float32(10.0 ** (output_gain_db / 20.0))
         log_keys = tuple(getattr(controller, "LOG_KEYS", ()))
         self.log_keys = log_keys
+        self.transport = transport
 
         @jax.jit
         def chunk_fn(sig, n_valid, ctl_carry, out_tail, w_tail):
@@ -175,8 +201,11 @@ class ChunkedStftEngine:
             rows = [jnp.pad(r.astype(jnp.float32), (0, W - F)) for r in rows]
             carries = (ctl_carry, ola[F * hop:], w[F * hop:])
             if transport == "f32":
-                aux = jnp.stack(rows)
-                return (emit, aux) + carries
+                # Fuse payload + aux into ONE flat f32 array: each extra
+                # device->host transfer costs ~0.2 s of tunnel latency.
+                packed = jnp.concatenate(
+                    [emit.reshape(-1)] + [r for r in rows])
+                return (packed,) + carries
             out = emit * gain_lin
             peaks = jnp.max(jnp.abs(out.reshape(-1, hop, out.shape[1])),
                             axis=(1, 2))
@@ -185,10 +214,13 @@ class ChunkedStftEngine:
                          -8388608, 8388607).astype(jnp.int32)
             pcm = jnp.stack([v & 255, (v >> 8) & 255, (v >> 16) & 255],
                             axis=-1).astype(jnp.uint8).reshape(-1)
+            packed = jnp.concatenate(
+                [pcm, jax.lax.bitcast_convert_type(
+                    aux, jnp.uint8).reshape(-1)])
             # `out` is returned as an (untransferred) device array: the rare
             # clamped flush needs pre-quantization floats — ints saturate at
             # full scale, so a needed clamp can't be recovered from bytes.
-            return (pcm, aux, out) + carries
+            return (packed, out) + carries
 
         return chunk_fn
 
@@ -275,8 +307,12 @@ class StreamRunner:
         def consume(ready):
             """Materialize a dispatched chunk's results and route them."""
             nonlocal out_base, cut_i
-            c_frame0, c_nf, c_emit, c_aux, c_out_dev = ready
-            aux = np.asarray(c_aux)
+            c_frame0, c_nf, c_packed, c_out_dev = ready
+            packed = np.asarray(c_packed)
+            if pcm24:
+                payload, aux = eng.unpack_pcm24(packed)
+            else:
+                payload, aux = eng.unpack_f32(packed)
             log = {"levels": aux[0, :c_nf]}
             for i, k in enumerate(log_keys):
                 log[k] = aux[1 + i, :c_nf]
@@ -294,11 +330,11 @@ class StreamRunner:
             else:
                 emit_n = c_nf * hop
             if pcm24:
-                out_pend.append(np.asarray(c_emit)[:emit_n * bps])
+                out_pend.append(payload[:emit_n * bps])
                 peak_pend.append(aux[-1][:emit_n // hop])
                 float_refs.append((-pad + c_frame0 * hop, emit_n, c_out_dev))
             else:
-                out_pend.append(np.asarray(c_emit)[:emit_n])
+                out_pend.append(payload[:emit_n])
             cut_i, out_base = self._drain(
                 out_pend, peak_pend, float_refs, cut_i, out_base,
                 False, on_audio)
@@ -329,23 +365,22 @@ class StreamRunner:
             res = self.chunk_fn(
                 jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail, w_tail)
             if pcm24:
-                emit, aux, out_dev, ctl_carry, out_tail, w_tail = res
+                packed, out_dev, ctl_carry, out_tail, w_tail = res
             else:
-                emit, aux, ctl_carry, out_tail, w_tail = res
+                packed, ctl_carry, out_tail, w_tail = res
                 out_dev = None
             try:
                 # Wait for the (cheap) compute, then start the readback:
                 # issuing copy_to_host_async on a not-yet-computed array
                 # falls into a much slower transfer path on tunneled TPUs.
-                emit.block_until_ready()
-                emit.copy_to_host_async()
-                aux.copy_to_host_async()
+                packed.block_until_ready()
+                packed.copy_to_host_async()
             except AttributeError:
                 pass
 
             if inflight is not None:
                 consume(inflight)
-            inflight = (frame0, nf, emit, aux, out_dev)
+            inflight = (frame0, nf, packed, out_dev)
 
             frame0 += nf
             keep = max(0, len(pend) - (nf * hop))

@@ -202,22 +202,24 @@ def process_array(x: np.ndarray, sr: int, p: AdaptiveParams | None = None,
         if len(sig) < need:
             sig = np.concatenate(
                 [sig, np.zeros((need - len(sig), ch), np.float32)])
-        emit, log, ctl_carry, out_tail, w_tail = chunk_fn(
+        packed, ctl_carry, out_tail, w_tail = chunk_fn(
             jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail, w_tail)
         try:
-            emit.block_until_ready()
-            emit.copy_to_host_async()
+            packed.block_until_ready()
+            packed.copy_to_host_async()
         except AttributeError:
             pass
         if inflight is not None:
-            p_nf, p_emit = inflight
-            pieces.append(np.asarray(p_emit)[:p_nf * hop])
-        inflight = (nf, emit)
-    p_nf, p_emit = inflight
+            p_nf, p_packed = inflight
+            p_emit, _ = engine.unpack_f32(np.asarray(p_packed))
+            pieces.append(p_emit[:p_nf * hop])
+        inflight = (nf, packed)
+    p_nf, p_packed = inflight
+    p_emit, _ = engine.unpack_f32(np.asarray(p_packed))
     if p_nf < frames_per_chunk:
-        pieces.append(np.asarray(p_emit)[:p_nf * hop + engine.tail_len])
+        pieces.append(p_emit[:p_nf * hop + engine.tail_len])
     else:
-        pieces.append(np.asarray(p_emit)[:p_nf * hop])
+        pieces.append(p_emit[:p_nf * hop])
         pieces.append(np.asarray(out_tail)
                       / np.maximum(np.asarray(w_tail)[:, None], 1e-8))
     ystream = np.concatenate(pieces, 0)  # starts at absolute coord `base`

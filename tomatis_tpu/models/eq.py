@@ -181,15 +181,17 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 fout.write(piece)
 
         def consume(ready):
-            c_nf, c_emit, c_aux = ready
-            aux = np.asarray(c_aux)
+            c_nf, c_packed = ready
+            packed = np.asarray(c_packed)
             emit_n = c_nf * hop + (engine.tail_len if c_nf < frames_per_chunk
                                    else 0)
             if raw:
-                piece = np.asarray(c_emit)[:emit_n * ch * 3]
+                payload, aux = engine.unpack_pcm24(packed)
+                piece = payload[:emit_n * ch * 3]
                 pk = float(np.max(aux[-1][:emit_n // hop])) if emit_n else 0.0
             else:
-                piece = np.asarray(c_emit)[:emit_n]
+                payload, aux = engine.unpack_f32(packed)
+                piece = payload[:emit_n]
                 pk = float(np.max(np.abs(piece))) if emit_n else 0.0
             write_piece(piece, pk)
 
@@ -214,18 +216,17 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
             res = chunk_fn(jnp.asarray(sig), jnp.int32(nf), ctl_carry,
                            out_tail, w_tail)
             if raw:
-                emit, aux, _out_dev, ctl_carry, out_tail, w_tail = res
+                packed, _out_dev, ctl_carry, out_tail, w_tail = res
             else:
-                emit, aux, ctl_carry, out_tail, w_tail = res
+                packed, ctl_carry, out_tail, w_tail = res
             try:
-                emit.block_until_ready()
-                emit.copy_to_host_async()
-                aux.copy_to_host_async()
+                packed.block_until_ready()
+                packed.copy_to_host_async()
             except AttributeError:
                 pass
             if inflight is not None:
                 consume(inflight)
-            inflight = (nf, emit, aux)
+            inflight = (nf, packed)
             pend = pend[nf * hop:]
 
         if inflight is not None:
