@@ -43,7 +43,7 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=600.0,
                     help="audio length to process per timed run")
     ap.add_argument("--sr", type=int, default=48000)
-    ap.add_argument("--frames_per_chunk", type=int, default=4096)
+    ap.add_argument("--frames_per_chunk", type=int, default=1024)
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 

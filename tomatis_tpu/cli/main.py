@@ -28,6 +28,10 @@ COMMANDS = {
     "validate": ("tomatis_tpu.cli.validate",
                  "layer-1 validation (gate recomputation, filter shape, "
                  "engineering)"),
+    "calibrate": ("tomatis_tpu.cli.calibrate",
+                  "fit gate params to a device recording (v1)"),
+    "calibrate-v2": ("tomatis_tpu.cli.calibrate_v2",
+                     "fit gate params + gain to a device recording (v2)"),
 }
 
 
