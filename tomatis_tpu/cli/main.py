@@ -32,6 +32,10 @@ COMMANDS = {
                   "fit gate params to a device recording (v1)"),
     "calibrate-v2": ("tomatis_tpu.cli.calibrate_v2",
                      "fit gate params + gain to a device recording (v2)"),
+    "analyze-eq": ("tomatis_tpu.cli.analyze_eq",
+                   "derive the layer-2 static EQ curve (base - target)"),
+    "compare": ("tomatis_tpu.cli.compare",
+                "pairwise comparison: band deltas, SNR, diff_spectrum.csv"),
 }
 
 
