@@ -1,0 +1,117 @@
+"""verify-15db-v2 (adaptive output) and tilt-amplitude verifier tests."""
+import numpy as np
+
+from tomatis_tpu.io import audio
+from tomatis_tpu.models.adaptive import AdaptiveParams, process
+from tomatis_tpu.models.standard import StandardParams
+from tomatis_tpu.models.standard import process as std_process
+from tomatis_tpu.verify.verify_15db_v2 import (find_optimal_threshold,
+                                               verify_v2)
+from tomatis_tpu.verify.tilt_amplitude import analyze_tilt_amplitude
+from tests.oracle import refdsp
+
+
+def _signal(seconds=8.0, sr=48000, seed=13):
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    from scipy.signal import lfilter
+    noise = lfilter([1.0], [1.0, -0.9], rng.standard_normal(n))
+    noise = noise / np.max(np.abs(noise))
+    env = 0.003 + 0.05 * (np.sin(2 * np.pi * 0.45 * t) > 0)
+    x = env * (0.6 * noise + np.sin(2 * np.pi * 330 * t)
+               + 0.6 * np.sin(2 * np.pi * 1000 * t)
+               + 0.4 * np.sin(2 * np.pi * 5000 * t))
+    return np.clip(np.stack([x, 0.95 * x], 1), -1, 1).astype(np.float32)
+
+
+def test_find_optimal_threshold_hits_target():
+    rng = np.random.default_rng(1)
+    levels = np.concatenate([rng.normal(-50, 2, 500),
+                             rng.normal(-25, 2, 500)]).astype(np.float32)
+    t, ratio = find_optimal_threshold(levels, hyst_db=1.0,
+                                      target_c2_ratio=0.5)
+    assert abs(ratio - 0.5) < 0.05
+    assert -45 < t < -28
+
+
+def test_verify_v2_on_adaptive_output(tmp_path):
+    sr = 48000
+    x = _signal()
+    ip, op = tmp_path / "in.flac", tmp_path / "out.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    # hard switching (xfade 0) so conditional spectra are clean
+    process(ip, op, AdaptiveParams(xfade_ms=0.0, min_hold_ms=0.0))
+    res = verify_v2(ip, op, out_prefix=str(tmp_path / "v2"))
+    assert res["checks"]["engineering"]["pass"]
+    sp = res["checks"]["spectrum"]
+    assert sp["c1_frames"] > 0 and sp["c2_frames"] > 0
+    # the adaptive processor's pre-attenuation/restore cancels, so the
+    # realized response should track the +-15 tilt within tolerances
+    assert sp["c1_fc_error"] < 0.5 and sp["c2_fc_error"] < 0.5
+    assert sp["c1_slope_rmse"] < 2.0 and sp["c2_slope_rmse"] < 2.0
+    assert res["checks"]["tilt_index"]["ti_effect"] > 5.0
+    assert (tmp_path / "v2_report.txt").exists()
+
+
+def test_tilt_amplitude_measures_pm15(tmp_path):
+    sr = 48000
+    # broadband noise probe: the tool's rectified power-mono envelope is
+    # nonlinear, and strong discrete tones would swamp the 4 kHz band with
+    # rectification harmonics
+    rng = np.random.default_rng(3)
+    n = int(6.0 * sr)
+    t = np.arange(n) / sr
+    env = 0.003 + 0.05 * (np.sin(2 * np.pi * 0.45 * t) > 0)
+    w = rng.standard_normal(n)
+    x = np.clip(np.stack([env * w, env * 0.95 * w], 1), -1,
+                1).astype(np.float32)
+    ip, op = tmp_path / "in.flac", tmp_path / "out.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = StandardParams(gate_mode="linear", gate_ui=40.0, gate_offset=-75.0,
+                       hysteresis_db=1.0, up_delay_ms=0.0)
+    std_process(ip, op, p)
+    res = analyze_tilt_amplitude(ip, op, sr=sr)
+    assert res["n_c1"] > 10 and res["n_c2"] > 10
+    # The tool measures on the rectified power-mono envelope, which only
+    # partially reflects the true filter shape (the reference's own work
+    # log saw about half of theory, docs/TOMATIS_WORK_LOG.md:63-72).
+    # Exactness target: parity with a loop oracle of the same math.
+    y_in, _ = audio.read(ip)
+    y_out, _ = audio.read(op)
+    c1_ref, c2_ref = _oracle_tilt(y_in, y_out, sr)
+    assert abs(res["c1_tilt"] - c1_ref) < 0.5
+    assert abs(res["c2_tilt"] - c2_ref) < 0.5
+    assert res["c1_tilt"] < -10  # C1 down-tilt is visible on this probe
+
+
+def _oracle_tilt(inp, out, sr, n_fft=4096, hop=2048):
+    """Loop transcription of ref verify_tilt_amplitude.py:48-136."""
+    eps = 1e-12
+
+    def pmono(a):
+        return np.sqrt(0.5 * (a[:, 0] ** 2 + a[:, 1] ** 2) + eps)
+
+    win = np.hanning(n_fft).astype(np.float32)
+    freqs = np.fft.rfftfreq(n_fft, 1 / sr)
+    n = min(len(inp), len(out))
+    n_frames = 1 + (n - n_fft) // hop
+    c1d, c2d = [], []
+    for i in range(n_frames):
+        st = i * hop
+        fi = pmono(inp[st:st + n_fft])
+        fo = pmono(out[st:st + n_fft])
+        lv = 20 * np.log10(np.sqrt(np.mean(fi ** 2) + eps) + eps)
+        di = 20 * np.log10(np.abs(np.fft.rfft(fi * win)) + eps)
+        do = 20 * np.log10(np.abs(np.fft.rfft(fo * win)) + eps)
+        if lv < -45:
+            c1d.append(do - di)
+        elif lv > -30:
+            c2d.append(do - di)
+
+    def tilt(avg):
+        lo = np.mean(avg[(freqs >= 200) & (freqs < 300)])
+        hi = np.mean(avg[(freqs >= 3500) & (freqs < 4500)])
+        return hi - lo
+
+    return tilt(np.mean(c1d, axis=0)), tilt(np.mean(c2d, axis=0))

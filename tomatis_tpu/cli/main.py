@@ -36,6 +36,12 @@ COMMANDS = {
                    "derive the layer-2 static EQ curve (base - target)"),
     "compare": ("tomatis_tpu.cli.compare",
                 "pairwise comparison: band deltas, SNR, diff_spectrum.csv"),
+    "verify-15db": ("tomatis_tpu.cli.verify_15db",
+                    "full +-15 dB verification suite"),
+    "verify-15db-v2": ("tomatis_tpu.cli.verify_15db_v2",
+                       "adaptive-mode verification (auto threshold)"),
+    "verify-tilt": ("tomatis_tpu.cli.verify_tilt",
+                    "measure realized tilt amplitude by level grouping"),
 }
 
 

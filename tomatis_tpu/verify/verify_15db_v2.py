@@ -1,0 +1,222 @@
+"""±15 dB verifier v2 — adaptive-processor variant (capability parity with
+ref src/verify_tomatis_15db_v2.py): levels computed once, gate simulated
+per candidate threshold with a frame-based up-delay, auto threshold solve
+(binary search to a target C2 ratio), conditional spectrum with weak-frame
+rejection and per-frame 900-1100 Hz anchor normalization, platform/slope
+RMSE metrics, Tilt Index with weak-frame rejection.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tomatis_tpu.io import audio
+from tomatis_tpu.ops import dsp, gate as gate_ops, stft
+from tomatis_tpu.verify.validate_layer1 import (_inrange_frame_levels,
+                                                find_stable_frames)
+from tomatis_tpu.verify.verify_15db import (analyze_tilt_index,
+                                            check_engineering,
+                                            compute_tilt_index)
+
+
+def compute_frame_levels(x: np.ndarray, sr: int, n_fft: int, hop: int):
+    """In-range frame levels (ref :101-123), batched on device."""
+    return _inrange_frame_levels(x, n_fft, hop)
+
+
+def simulate_gate_frames(levels, threshold_dbfs, hyst_db,
+                         up_delay_frames: int = 0):
+    """Frame-count up-delay gate (ref :126-152) via the associative scan."""
+    states, _ = gate_ops.gate_updelay(
+        jnp.asarray(np.asarray(levels, np.float32)),
+        threshold_dbfs + hyst_db / 2.0, threshold_dbfs - hyst_db / 2.0,
+        int(up_delay_frames))
+    return ["C1" if s == 1 else "C2" for s in np.asarray(states)]
+
+
+def find_optimal_threshold(levels, hyst_db, target_c2_ratio=0.5,
+                           up_delay_frames: int = 0):
+    """Binary search to the target C2 ratio (ref :155-199)."""
+    levels = np.asarray(levels)
+    t_low = float(np.min(levels)) - 10
+    t_high = float(np.max(levels)) + 10
+    best_t = float(np.median(levels))
+    best_ratio = 0.0
+    best_diff = 1.0
+    lv = jnp.asarray(levels.astype(np.float32))
+
+    @jax.jit
+    def ratio_fn(ton, toff):
+        states, _ = gate_ops.gate_updelay(lv, ton, toff, up_delay_frames)
+        return jnp.mean((states == 2).astype(jnp.float32))
+
+    for _ in range(30):
+        t_mid = (t_low + t_high) / 2
+        r = float(ratio_fn(t_mid + hyst_db / 2, t_mid - hyst_db / 2))
+        d = abs(r - target_c2_ratio)
+        if d < best_diff:
+            best_diff, best_t, best_ratio = d, t_mid, r
+        if d < 0.01:
+            break
+        if r < target_c2_ratio:
+            t_high = t_mid
+        else:
+            t_low = t_mid
+    return best_t, best_ratio
+
+
+def conditional_spectrum_v2(x, y, sr, states, levels, n_fft, hop,
+                            level_percentile: float = 10,
+                            anchor_band=(900, 1100), batch: int = 512):
+    """ref :270-369: drop the weakest level_percentile% frames; normalize
+    each frame's |Y|/|X| ratio to its anchor-band mean; median per state."""
+    if x.ndim == 1:
+        x = x[:, None]
+    if y.ndim == 1:
+        y = y[:, None]
+    ch = x.shape[1]
+    pad = n_fft // 2
+    total = len(x)
+    xp = np.concatenate([np.zeros((pad, ch), np.float32), x,
+                         np.zeros((pad, ch), np.float32)])
+    yp = np.concatenate([np.zeros((pad, ch), np.float32), y[:total],
+                         np.zeros((pad, ch), np.float32)])
+    level_threshold = float(np.percentile(levels, level_percentile))
+    c1_idx, c2_idx = find_stable_frames(states, margin=2)
+    freqs = stft.rfft_freqs(n_fft, sr)
+    win = jnp.asarray(stft.hann_symmetric(n_fft))
+    anchor = jnp.asarray((freqs >= anchor_band[0]) & (freqs <= anchor_band[1]))
+    nbins = len(freqs)
+
+    @jax.jit
+    def ratios(fx, fy):
+        X = jnp.mean(jnp.abs(jnp.fft.rfft(
+            jnp.transpose(fx, (0, 2, 1)) * win)), axis=1)
+        Y = jnp.mean(jnp.abs(jnp.fft.rfft(
+            jnp.transpose(fy, (0, 2, 1)) * win)), axis=1)
+        X = jnp.maximum(X, 1e-10)
+        r = Y / X
+        ag = jnp.mean(jnp.where(anchor, r, 0.0), axis=-1) \
+            * (r.shape[-1] / jnp.sum(anchor))
+        return jnp.where(ag[:, None] > 0, r / ag[:, None], r)
+
+    def collect(idx_list):
+        keep = []
+        for b0 in range(0, len(idx_list), batch):
+            ids = idx_list[b0:b0 + batch]
+            ids = ids[(ids * hop + n_fft <= total)]
+            ids = ids[np.asarray(levels)[ids] >= level_threshold]
+            if len(ids) == 0:
+                continue
+            fx = np.stack([xp[i * hop + pad:i * hop + pad + n_fft]
+                           for i in ids])
+            fy = np.stack([yp[i * hop + pad:i * hop + pad + n_fft]
+                           for i in ids])
+            keep.append(np.asarray(ratios(jnp.asarray(fx), jnp.asarray(fy))))
+        if not keep:
+            return np.zeros(nbins), 0
+        allr = np.concatenate(keep, 0)
+        return 20.0 * np.log10(np.median(allr, axis=0) + dsp.EPS), len(allr)
+
+    c1_db, n1 = collect(c1_idx)
+    c2_db, n2 = collect(c2_idx)
+    return freqs, c1_db, c2_db, n1, n2
+
+
+def compute_spectrum_metrics_v2(freqs, c1_db, c2_db, c1_theory, c2_theory,
+                                fc, gain_limit) -> dict:
+    """Platform/slope segment RMSE + fc band error (ref :372-418)."""
+    m = {}
+    f_lo = fc * 2 ** (-gain_limit / 12)
+    f_hi = fc * 2 ** (gain_limit / 12)
+    lo = (freqs >= 100) & (freqs <= f_lo * 0.8)
+    if np.any(lo):
+        m["c1_lo_platform_rmse"] = float(np.sqrt(np.mean(
+            (c1_db[lo] - c1_theory[lo]) ** 2)))
+        m["c2_lo_platform_rmse"] = float(np.sqrt(np.mean(
+            (c2_db[lo] - c2_theory[lo]) ** 2)))
+        m["c1_lo_platform_mean"] = float(np.mean(c1_db[lo]))
+        m["c2_lo_platform_mean"] = float(np.mean(c2_db[lo]))
+    hi = (freqs >= f_hi * 1.2) & (freqs <= 10000)
+    if np.any(hi):
+        m["c1_hi_platform_rmse"] = float(np.sqrt(np.mean(
+            (c1_db[hi] - c1_theory[hi]) ** 2)))
+        m["c2_hi_platform_rmse"] = float(np.sqrt(np.mean(
+            (c2_db[hi] - c2_theory[hi]) ** 2)))
+        m["c1_hi_platform_mean"] = float(np.mean(c1_db[hi]))
+        m["c2_hi_platform_mean"] = float(np.mean(c2_db[hi]))
+    sl = (freqs >= f_lo * 1.2) & (freqs <= f_hi * 0.8)
+    if np.any(sl):
+        m["c1_slope_rmse"] = float(np.sqrt(np.mean(
+            (c1_db[sl] - c1_theory[sl]) ** 2)))
+        m["c2_slope_rmse"] = float(np.sqrt(np.mean(
+            (c2_db[sl] - c2_theory[sl]) ** 2)))
+    f = (freqs >= 900) & (freqs <= 1100)
+    if np.any(f):
+        m["c1_fc_error"] = float(abs(np.mean(c1_db[f])))
+        m["c2_fc_error"] = float(abs(np.mean(c2_db[f])))
+    return m
+
+
+def verify_v2(in_path, out_path, hyst_db=1.0, up_delay_ms=0.0,
+              target_c2=0.5, fc=1000.0, slope=12.0, c1_low=15.0,
+              c1_high=-15.0, c2_low=-15.0, c2_high=15.0, n_fft=4096,
+              hop=2048, level_percentile=10.0,
+              out_prefix="verify_15db_v2") -> dict:
+    gain_limit = abs(c1_low)
+    results = {"pass": True, "checks": {}}
+
+    eng = check_engineering(in_path, out_path)
+    eng_pass = (eng["sr_match"] and eng["ch_match"] and eng["frames_match"]
+                and eng["peak_safe"] and eng["dc_safe"])
+    results["checks"]["engineering"] = dict(eng, **{"pass": eng_pass})
+    if not eng_pass:
+        results["pass"] = False
+
+    x, sr = audio.read(in_path)
+    levels = compute_frame_levels(x, sr, n_fft, hop)
+    frame_ms = hop / sr * 1000.0
+    up_frames = int(round(up_delay_ms / frame_ms)) if up_delay_ms else 0
+    t_opt, c2_ratio = find_optimal_threshold(levels, hyst_db, target_c2,
+                                             up_frames)
+    states = simulate_gate_frames(levels, t_opt, hyst_db, up_frames)
+    results["auto_threshold_dbfs"] = t_opt
+    results["achieved_c2_ratio"] = c2_ratio
+
+    y, _ = audio.read(out_path)
+    freqs, c1_db, c2_db, n1, n2 = conditional_spectrum_v2(
+        x, y, sr, states, levels, n_fft, hop, level_percentile)
+    c1_theory = np.asarray(dsp.build_tilt_gain_db(freqs, fc, slope,
+                                                  c1_low, c1_high))
+    c2_theory = np.asarray(dsp.build_tilt_gain_db(freqs, fc, slope,
+                                                  c2_low, c2_high))
+    metrics = compute_spectrum_metrics_v2(freqs, c1_db, c2_db, c1_theory,
+                                          c2_theory, fc, gain_limit)
+    spectrum_pass = (
+        metrics.get("c1_lo_platform_rmse", 99) < 1.5
+        and metrics.get("c2_lo_platform_rmse", 99) < 1.5
+        and metrics.get("c1_hi_platform_rmse", 99) < 1.5
+        and metrics.get("c2_hi_platform_rmse", 99) < 1.5
+        and metrics.get("c1_fc_error", 99) < 0.5
+        and metrics.get("c2_fc_error", 99) < 0.5)
+    results["checks"]["spectrum"] = dict(
+        metrics, c1_frames=n1, c2_frames=n2, **{"pass": spectrum_pass})
+    if not spectrum_pass:
+        results["pass"] = False
+
+    ti = compute_tilt_index(x, y, sr, states, n_fft, hop)
+    ti_stats = analyze_tilt_index(ti)
+    ti_stats["effect_ok"] = ti_stats.get("ti_effect", 0) > 5.0
+    results["checks"]["tilt_index"] = ti_stats
+
+    if out_prefix:
+        with open(f"{out_prefix}_report.txt", "w", encoding="utf-8") as f:
+            f.write(f"auto threshold: {t_opt:.2f} dBFS "
+                    f"(C2 {c2_ratio * 100:.1f}%)\n")
+            for k, v in metrics.items():
+                f.write(f"{k}: {v:.3f}\n")
+            f.write(f"ti_effect: {ti_stats.get('ti_effect', 0):.2f} dB\n")
+            f.write(f"overall: {'PASS' if results['pass'] else 'FAIL'}\n")
+    return results
