@@ -42,6 +42,29 @@ COMMANDS = {
                        "adaptive-mode verification (auto threshold)"),
     "verify-tilt": ("tomatis_tpu.cli.verify_tilt",
                     "measure realized tilt amplitude by level grouping"),
+    "analyze-dbfs": ("tomatis_tpu.cli.analyzers",
+                     "RMS dBFS distribution / gate_ui suggestions",
+                     "dbfs_main"),
+    "analyze-gate-threshold": ("tomatis_tpu.cli.analyzers",
+                               "estimate device gate threshold from "
+                               "dBFS CSVs", "gate_threshold_main"),
+    "analyze-stereo": ("tomatis_tpu.cli.analyzers",
+                       "per-channel threshold + min-hold gate CSV",
+                       "stereo_main"),
+    "merge-state-volume": ("tomatis_tpu.cli.analyzers",
+                           "join state CSV with per-channel dBFS",
+                           "merge_main"),
+    "inspect": ("tomatis_tpu.cli.analyzers",
+                "amplitude profile with ASCII bars + plot", "inspect_main"),
+    "inspect-transition": ("tomatis_tpu.cli.analyzers",
+                           "100ms dBFS table of a window",
+                           "transition_main"),
+    "find-segment": ("tomatis_tpu.cli.analyzers",
+                     "find the main music segment", "find_segment_main"),
+    "find-start": ("tomatis_tpu.cli.analyzers",
+                   "smart music-start detection", "find_start_main"),
+    "find-end": ("tomatis_tpu.cli.analyzers",
+                 "smart music-end detection", "find_end_main"),
 }
 
 
@@ -49,15 +72,17 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: tomatis <command> [options]\n\ncommands:")
-        for name, (_, desc) in sorted(COMMANDS.items()):
-            print(f"  {name:20s} {desc}")
+        for name, spec in sorted(COMMANDS.items()):
+            print(f"  {name:24s} {spec[1]}")
         return 0
     cmd = argv[0]
     if cmd not in COMMANDS:
         print(f"unknown command: {cmd!r} (see --help)")
         return 2
-    mod = importlib.import_module(COMMANDS[cmd][0])
-    return mod.main(argv[1:])
+    spec = COMMANDS[cmd]
+    mod = importlib.import_module(spec[0])
+    entry = getattr(mod, spec[2]) if len(spec) > 2 else mod.main
+    return entry(argv[1:])
 
 
 if __name__ == "__main__":
