@@ -65,6 +65,20 @@ COMMANDS = {
                    "smart music-start detection", "find_start_main"),
     "find-end": ("tomatis_tpu.cli.analyzers",
                  "smart music-end detection", "find_end_main"),
+    "compare-baseline": ("tomatis_tpu.cli.compare_suite",
+                         "multi-candidate baseline comparison report",
+                         "baseline_main"),
+    "compare-three": ("tomatis_tpu.cli.compare_suite",
+                      "Welch-spectrum + envelope comparison", "three_main"),
+    "compare-diff-spectrum": ("tomatis_tpu.cli.compare_suite",
+                              "RMS-gated diff spectrum on a log-f grid",
+                              "diff_spectrum_main"),
+    "plot-diff": ("tomatis_tpu.cli.compare_suite",
+                  "plot a diff-spectrum CSV", "plot_main"),
+    "reverse-engineer": ("tomatis_tpu.cli.reverse",
+                         "reverse-engineer device gate/tilt parameters"),
+    "doctor": ("tomatis_tpu.cli.doctor",
+               "verify the runtime environment end to end"),
 }
 
 
