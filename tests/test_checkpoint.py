@@ -1,0 +1,94 @@
+"""Checkpoint/resume: interrupt a processing run mid-stream and verify the
+resumed output is identical to an uninterrupted run."""
+import numpy as np
+import pytest
+
+from tomatis_tpu.io import audio
+from tomatis_tpu.models.standard import StandardParams, process
+
+
+def _signal(seconds=8.0, sr=48000, seed=17):
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    env = 0.002 + 0.05 * (np.sin(2 * np.pi * 0.7 * t) > 0)
+    x = env * (np.sin(2 * np.pi * 500 * t)
+               + 0.02 * rng.standard_normal(n))
+    return np.clip(np.stack([x, 0.9 * x], 1), -1, 1).astype(np.float32)
+
+
+class _Bomb(Exception):
+    pass
+
+
+def test_resume_after_interrupt(tmp_path, monkeypatch):
+    sr = 48000
+    x = _signal()
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = StandardParams(require_48k_stereo=False)
+
+    ref = tmp_path / "ref.flac"
+    process(ip, ref, p, state_csv_path=tmp_path / "ref.csv",
+            frames_per_chunk=16)
+
+    out = tmp_path / "out.flac"
+    ck = tmp_path / "ck.npz"
+
+    # interrupt: blow up after N audio writes
+    from tomatis_tpu.engine import streaming as S
+    orig_write = S.StreamRunner._write_cut_pcm24
+    calls = {"n": 0}
+
+    def bomb(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] > 1:  # 8 s audio has two flush cuts; die on the last
+            raise _Bomb()
+        return orig_write(self, *a, **k)
+
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_pcm24", bomb)
+    with pytest.raises(_Bomb):
+        process(ip, out, p, state_csv_path=tmp_path / "out.csv",
+                frames_per_chunk=16, checkpoint_path=ck,
+                checkpoint_every=4)
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_pcm24", orig_write)
+    assert ck.exists()
+
+    # resume and complete
+    process(ip, out, p, state_csv_path=tmp_path / "out.csv",
+            frames_per_chunk=16, checkpoint_path=ck, checkpoint_every=4)
+    assert not ck.exists()  # cleared on success
+
+    y_ref, _ = audio.read(ref)
+    y_out, _ = audio.read(out)
+    np.testing.assert_array_equal(y_out, y_ref)
+    ref_csv = open(tmp_path / "ref.csv").read()
+    out_csv = open(tmp_path / "out.csv").read()
+    assert out_csv == ref_csv
+
+
+def test_checkpoint_rejects_changed_config(tmp_path, monkeypatch):
+    sr = 48000
+    x = _signal(4.0)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    ck = tmp_path / "ck.npz"
+    p = StandardParams(require_48k_stereo=False)
+
+    from tomatis_tpu.engine import streaming as S
+    orig = S.StreamRunner._write_cut_pcm24
+    calls = {"n": 0}
+
+    def bomb(self, *a, **k):
+        # 4 s audio has a single (final) flush; die on it
+        raise _Bomb()
+
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_pcm24", bomb)
+    with pytest.raises(_Bomb):
+        process(ip, tmp_path / "o.flac", p, frames_per_chunk=8,
+                checkpoint_path=ck, checkpoint_every=2)
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_pcm24", orig)
+    p2 = StandardParams(require_48k_stereo=False, gate_ui=60.0)
+    with pytest.raises(ValueError):
+        process(ip, tmp_path / "o.flac", p2, frames_per_chunk=8,
+                checkpoint_path=ck, checkpoint_every=2)

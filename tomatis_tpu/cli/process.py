@@ -25,17 +25,35 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-frame state CSV output path")
     ap.add_argument("--output_gain_db", type=float, default=0.0,
                     help="output gain compensation (dB)")
+    ap.add_argument("--calibration", default=None,
+                    help="calibration(.json) from calibrate/calibrate-v2: "
+                         "overrides gate_ui/scale/offset/hyst/up_delay")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file for crash recovery; re-running "
+                         "the same command resumes")
+    ap.add_argument("--checkpoint_every", type=int, default=8,
+                    help="chunks between checkpoints")
     add_engine_flags(ap)
     return ap
 
 
 def run(args) -> int:
     from tomatis_tpu.models.standard import StandardParams, process
+    cal = {}
+    if args.calibration:
+        import json
+        with open(args.calibration, "r", encoding="utf-8") as f:
+            cal = json.load(f)
+        print(f"calibration loaded: {args.calibration}")
     p = StandardParams(
-        gate_ui=args.gate_ui, gate_mode=args.gate_mode,
-        dynamic_range=args.dynamic_range, gate_scale=args.gate_scale,
-        gate_offset=args.gate_offset, hysteresis_db=args.hyst_db,
-        up_delay_ms=args.up_delay_ms, fc=args.fc, slope=args.slope,
+        gate_ui=cal.get("gate_ui", args.gate_ui),
+        gate_mode="linear" if cal else args.gate_mode,
+        dynamic_range=args.dynamic_range,
+        gate_scale=cal.get("gate_scale", args.gate_scale),
+        gate_offset=cal.get("gate_offset", args.gate_offset),
+        hysteresis_db=cal.get("hyst_db", args.hyst_db),
+        up_delay_ms=cal.get("up_delay_ms", args.up_delay_ms),
+        fc=args.fc, slope=args.slope,
         c1_low=args.c1_low, c1_high=args.c1_high,
         c2_low=args.c2_low, c2_high=args.c2_high,
         n_fft=args.n_fft, hop=args.hop,
@@ -46,7 +64,9 @@ def run(args) -> int:
           f"Toff {p.threshold_dbfs() - p.hysteresis_db / 2:.1f})")
     stats = process(args.input, args.output, p,
                     state_csv_path=args.state_csv,
-                    frames_per_chunk=args.frames_per_chunk)
+                    frames_per_chunk=args.frames_per_chunk,
+                    checkpoint_path=args.checkpoint,
+                    checkpoint_every=args.checkpoint_every)
     n = max(1, stats["n_frames"])
     print(f"frames: {stats['n_frames']}  "
           f"C1: {stats['c1_frames']} ({100 * stats['c1_frames'] / n:.1f}%)  "

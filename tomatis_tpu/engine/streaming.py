@@ -276,7 +276,13 @@ class StreamRunner:
         self.stats = {}
 
     def run(self, source, on_audio: Callable | None = None,
-            on_frames: Callable | None = None) -> dict:
+            on_frames: Callable | None = None, ckpt=None,
+            resume_state: dict | None = None) -> dict:
+        """ckpt: optional engine.checkpoint.CheckpointManager — persists the
+        stream state every N chunks. resume_state: a state dict previously
+        returned by ckpt.load(); the caller must position its sinks at
+        resume_state meta['scalars'] offsets (audio_samples_written,
+        frames_consumed) before calling."""
         eng, plan = self.engine, self.plan
         n_fft, hop, F_c = eng.n_fft, eng.hop, eng.frames_per_chunk
         C = eng.channels
@@ -287,10 +293,6 @@ class StreamRunner:
         pcm24 = self.transport == "pcm24"
         bps = C * 3  # bytes per sample frame in pcm24 transport
 
-        # Rolling input: absolute sample coordinate of pend[0] is in_base.
-        pend = np.zeros((pad, C), np.float32)
-        in_base = -pad
-        blocks = _iter_blocks(source, eng.emit_len)
         frame0 = 0         # absolute index of next chunk's first frame
         # Normalized output collector in absolute coords starting at -pad.
         out_pend: list[np.ndarray] = []
@@ -299,8 +301,41 @@ class StreamRunner:
         out_base = -pad
         cut_i = 0
         drained = False
-
         states_count = np.zeros(3, np.int64)
+        self.audio_samples_written = 0
+
+        if resume_state is not None:
+            sc = resume_state["__meta__"]["scalars"]
+            frame0 = int(sc["frame0"])
+            out_base = int(sc["out_base"])
+            cut_i = int(sc["cut_i"])
+            self.audio_samples_written = int(sc["audio_samples_written"])
+            states_count = resume_state["states_count"].copy()
+            leaves = [jnp.asarray(resume_state[f"carry{i}"])
+                      for i in range(int(sc["n_carry_leaves"]))]
+            treedef = jax.tree_util.tree_structure(ctl_carry)
+            ctl_carry = jax.tree_util.tree_unflatten(treedef, leaves)
+            out_tail = jnp.asarray(resume_state["out_tail"])
+            w_tail = jnp.asarray(resume_state["w_tail"])
+            if resume_state["out_pend"].size:
+                out_pend = [resume_state["out_pend"]]
+            if resume_state["peak_pend"].size:
+                peak_pend = [resume_state["peak_pend"]]
+            fr = resume_state.get("ref_floats")
+            if fr is not None and fr.size:
+                float_refs = [(out_base, len(fr), fr)]
+
+        # Rolling input: absolute sample coordinate of pend[0] is in_base.
+        in_base = -pad + frame0 * hop
+        if in_base > 0:
+            if isinstance(source, np.ndarray):
+                source = source[in_base:]
+            else:
+                source.seek(in_base)
+            pend = np.zeros((0, C), np.float32)
+        else:
+            pend = np.zeros((-in_base, C), np.float32)
+        blocks = _iter_blocks(source, eng.emit_len)
 
         log_keys = self.engine.log_keys
 
@@ -339,13 +374,50 @@ class StreamRunner:
                 out_pend, peak_pend, float_refs, cut_i, out_base,
                 False, on_audio)
 
+        def capture_snapshot(next_frame0, carry, ot, wt):
+            """Pre-dispatch state for chunk `next_frame0` (host copies)."""
+            leaves, _ = jax.tree_util.tree_flatten(carry)
+            return dict(frame0=next_frame0,
+                        leaves=[np.asarray(l) for l in leaves],
+                        out_tail=np.asarray(ot), w_tail=np.asarray(wt))
+
+        def save_checkpoint(snap):
+            buf = (np.concatenate(out_pend) if len(out_pend) != 1
+                   else out_pend[0]) if out_pend else np.zeros(
+                0, np.uint8 if pcm24 else np.float32)
+            pk = (np.concatenate(peak_pend) if len(peak_pend) != 1
+                  else peak_pend[0]) if peak_pend else np.zeros(0, np.float32)
+            unit = bps if pcm24 else 1
+            n_pend = len(buf) // unit
+            refs = self._gather_floats(float_refs, out_base,
+                                       out_base + n_pend, C) \
+                if pcm24 and n_pend else np.zeros((0, C), np.float32)
+            state = {f"carry{i}": l for i, l in enumerate(snap["leaves"])}
+            state.update(out_tail=snap["out_tail"], w_tail=snap["w_tail"],
+                         out_pend=buf, peak_pend=pk, ref_floats=refs,
+                         states_count=states_count)
+            state["__scalars__"] = dict(
+                frame0=int(snap["frame0"]), out_base=int(out_base),
+                cut_i=int(cut_i), n_carry_leaves=len(snap["leaves"]),
+                audio_samples_written=int(self.audio_samples_written),
+                frames_consumed=int(snap["frame0"]))
+            ckpt.maybe_save(state, force=True)
+
         # Software pipeline: dispatch chunk k+1 (async) before materializing
         # chunk k, so device->host readback (the bottleneck over a tunneled
         # TPU) overlaps the next chunk's compute. copy_to_host_async starts
         # the transfer without blocking.
         inflight = None
+        chunk_i = 0
+        snapshot = None
         while frame0 < n_frames:
             nf = min(F_c, n_frames - frame0)
+            take_snap = (ckpt is not None and chunk_i > 0
+                         and chunk_i % ckpt.every == 0)
+            if take_snap:
+                snapshot = capture_snapshot(frame0, ctl_carry, out_tail,
+                                            w_tail)
+            chunk_i += 1
             need = (nf - 1) * hop + n_fft
             while len(pend) < need and not drained:
                 blk = next(blocks, None)
@@ -380,6 +452,11 @@ class StreamRunner:
 
             if inflight is not None:
                 consume(inflight)
+            if snapshot is not None:
+                # everything before snapshot['frame0'] is now consumed and
+                # drained; the saved state resumes exactly there
+                save_checkpoint(snapshot)
+                snapshot = None
             inflight = (frame0, nf, packed, out_dev)
 
             frame0 += nf
@@ -468,6 +545,7 @@ class StreamRunner:
             peak = float(np.max(np.abs(out))) if out.size else 0.0
             if peak > PEAK_LIMIT:
                 out = out * (PEAK_LIMIT / peak)
+        self.audio_samples_written += len(out)
         on_audio(np.asarray(out, np.float32))
 
     def _write_cut_pcm24(self, chunk_bytes: np.ndarray, peaks: np.ndarray,
@@ -497,6 +575,7 @@ class StreamRunner:
             if true_peak > PEAK_LIMIT:
                 x = x * (PEAK_LIMIT / true_peak)
             out = _encode_pcm24(x)
+        self.audio_samples_written += len(out) // (C * 3)
         on_audio(out)
 
     @staticmethod

@@ -168,6 +168,23 @@ class WavWriter:
         self._data_bytes = 0
         self._write_header(0)
 
+    @classmethod
+    def reopen(cls, path, frames: int) -> "WavWriter":
+        """Reopen an existing WAV for appending after truncating to
+        `frames` sample frames (checkpoint/resume support)."""
+        with open(path, "rb") as f:
+            info = _parse_header(f)
+        w = cls.__new__(cls)
+        w.samplerate = info.samplerate
+        w.channels = info.channels
+        w.subtype = info.subtype
+        keep = min(frames, info.frames) * info.bytes_per_frame
+        w._f = open(path, "r+b")
+        w._f.truncate(info.data_offset + keep)
+        w._f.seek(info.data_offset + keep)
+        w._data_bytes = keep
+        return w
+
     def _write_header(self, data_size: int):
         fmt_code, bits = _SUBTYPE_FMT[self.subtype]
         bpf = self.channels * bits // 8

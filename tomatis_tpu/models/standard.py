@@ -88,6 +88,7 @@ def process_array(x: np.ndarray, sr: int, p: StandardParams | None = None,
 
 def process(in_path, out_path, p: StandardParams | None = None,
             state_csv_path=None, frames_per_chunk: int = 1024,
+            checkpoint_path=None, checkpoint_every: int = 8,
             progress=None) -> dict:
     """File-to-file processing with reference CLI semantics.
 
@@ -95,7 +96,12 @@ def process(in_path, out_path, p: StandardParams | None = None,
     - writes FLAC PCM_24 for .flac outputs, WAV PCM_24 otherwise; if FLAC
       encoding is unavailable falls back to .wav (ref :241-251)
     - optional per-frame state CSV (ref :302-307,408-409)
+    - checkpoint_path enables chunk-granular crash recovery: stream state
+      is persisted every checkpoint_every chunks; re-running the same call
+      resumes from the last checkpoint. FLAC outputs stage through a .part
+      WAV and are encoded on completion (WAV supports truncate+append).
     """
+    import os
     p = p or StandardParams()
     with audio.AudioFile(in_path, "r") as fin:
         sr, ch, total = fin.samplerate, fin.channels, fin.frames
@@ -106,31 +112,99 @@ def process(in_path, out_path, p: StandardParams | None = None,
                 raise ValueError(f"expected stereo, got {ch} channels")
 
         out_path = str(out_path)
-        try:
-            fout = audio.AudioFile(out_path, "w", samplerate=sr, channels=ch,
-                                   subtype="PCM_24")
+        ckpt = resume_state = None
+        stage_path = None
+        if checkpoint_path:
+            from tomatis_tpu.engine.checkpoint import CheckpointManager
+            from tomatis_tpu.io.wav import WavWriter
+            config = dict(asdict(p), sr=sr, ch=ch, total=total,
+                          frames_per_chunk=frames_per_chunk, model="standard")
+            ckpt = CheckpointManager(checkpoint_path, config,
+                                     checkpoint_every)
+            resume_state = ckpt.load()
+            stage_path = (out_path if out_path.lower().endswith(".wav")
+                          else out_path + ".part.wav")
+            if resume_state is not None and os.path.exists(stage_path):
+                sc = resume_state["__meta__"]["scalars"]
+                fout_h = WavWriter.reopen(stage_path,
+                                          sc["audio_samples_written"])
+                fout = _RawWav(fout_h, ch)
+            else:
+                resume_state = None
+                fout = _RawWav(WavWriter(stage_path, sr, ch, "PCM_24"), ch)
             actual_out = out_path
-        except Exception:
-            actual_out = out_path.rsplit(".", 1)[0] + ".wav"
-            fout = audio.AudioFile(actual_out, "w", samplerate=sr,
-                                   channels=ch, subtype="PCM_24")
+        else:
+            try:
+                fout = audio.AudioFile(out_path, "w", samplerate=sr,
+                                       channels=ch, subtype="PCM_24")
+                actual_out = out_path
+            except Exception:
+                actual_out = out_path.rsplit(".", 1)[0] + ".wav"
+                fout = audio.AudioFile(actual_out, "w", samplerate=sr,
+                                       channels=ch, subtype="PCM_24")
 
         # Device-side PCM_24 packing: 4x less d2h traffic, byte-identical
         # file payload (the clamped-flush path deviates <= 1 LSB).
         raw = fout.supports_raw
         runner = make_runner(p, sr, ch, total, frames_per_chunk,
                              transport="pcm24" if raw else "f32")
-        csvw = StateCsvWriter(state_csv_path, sr, total) \
+        resume_frame = None
+        if resume_state is not None:
+            resume_frame = resume_state["__meta__"]["scalars"][
+                "frames_consumed"]
+        csvw = StateCsvWriter(state_csv_path, sr, total,
+                              resume_at_frame=resume_frame) \
             if state_csv_path else None
         try:
             stats = runner.run(fin,
                                on_audio=fout.write_raw if raw else fout.write,
-                               on_frames=csvw.on_frames if csvw else None)
+                               on_frames=csvw.on_frames if csvw else None,
+                               ckpt=ckpt, resume_state=resume_state)
         finally:
             fout.close()
             if csvw:
                 csvw.close()
+        if ckpt is not None:
+            if stage_path != out_path:
+                _transcode_wav_to(stage_path, out_path)
+                os.remove(stage_path)
+            ckpt.clear()
 
     stats.update(params=asdict(p), sr=sr, channels=ch, total=total,
                  threshold_dbfs=p.threshold_dbfs(), out_path=actual_out)
     return stats
+
+
+class _RawWav:
+    """Minimal AudioFile-like adapter over a bare WavWriter (for the
+    checkpointed staging path)."""
+
+    def __init__(self, writer, channels):
+        self._w = writer
+        self.channels = channels
+        self.subtype = writer.subtype
+
+    @property
+    def supports_raw(self):
+        return self.subtype == "PCM_24"
+
+    def write(self, data):
+        self._w.write(data)
+
+    def write_raw(self, raw):
+        self._w.write_raw(raw)
+
+    def close(self):
+        self._w.close()
+
+
+def _transcode_wav_to(wav_path, out_path):
+    """Stream-copy a staged WAV into the final container (e.g. FLAC)."""
+    with audio.AudioFile(wav_path, "r") as fin, \
+            audio.AudioFile(str(out_path), "w", samplerate=fin.samplerate,
+                            channels=fin.channels, subtype="PCM_24") as fo:
+        while True:
+            x = fin.read(fin.samplerate * 30)
+            if len(x) == 0:
+                break
+            fo.write(x)
