@@ -79,6 +79,9 @@ COMMANDS = {
                          "reverse-engineer device gate/tilt parameters"),
     "doctor": ("tomatis_tpu.cli.doctor",
                "verify the runtime environment end to end"),
+    "process-batch": ("tomatis_tpu.cli.process_batch",
+                      "process many files per device dispatch "
+                      "(per-file failure isolation)"),
 }
 
 

@@ -254,7 +254,8 @@ class StreamRunner:
 
     def __init__(self, engine: ChunkedStftEngine, controller,
                  total: int, output_gain_db: float = 0.0,
-                 peak_mode: str = "per_flush", transport: str = "f32"):
+                 peak_mode: str = "per_flush", transport: str = "f32",
+                 build_chunk_fn: bool = True):
         """transport="pcm24" quantizes + packs PCM_24 bytes on-device (4x
         less device->host traffic; the host write becomes a memcpy). The
         per-flush clamp decision then uses device-computed per-hop-block
@@ -272,8 +273,10 @@ class StreamRunner:
         self.transport = transport
         self.chunk_fn = engine.make_chunk_fn(
             controller, transport=transport,
-            output_gain_db=output_gain_db if transport == "pcm24" else 0.0)
+            output_gain_db=output_gain_db if transport == "pcm24" else 0.0) \
+            if build_chunk_fn else None
         self.stats = {}
+        self.audio_samples_written = 0
 
     def run(self, source, on_audio: Callable | None = None,
             on_frames: Callable | None = None, ckpt=None,

@@ -1,0 +1,280 @@
+"""Batch processing: B files per device dispatch (BASELINE.json config 5).
+
+One vmapped chunk executable processes a lane per file; every device round
+trip carries ALL lanes' audio, amortizing the tunnel's fixed per-transfer
+cost that dominates single-file streaming. Lanes are fully independent —
+per-file gate carries, OLA tails, flush plans and writers — and a file
+whose I/O fails is isolated: its lane is dropped and the rest continue
+(SURVEY §5 failure isolation).
+
+Single-chip: lanes ride the vmap batch dimension. Multi-chip: shard the
+lane axis over a 1-D mesh ('data') so each device processes its share —
+same executable, jax.sharding does the placement.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tomatis_tpu.engine.streaming import ChunkedStftEngine, StreamRunner
+from tomatis_tpu.io import audio
+from tomatis_tpu.utils.stateio import StateCsvWriter
+
+
+class _Lane:
+    """Host-side state of one file's stream."""
+
+    def __init__(self, in_path, out_path, runner: StreamRunner,
+                 state_csv_path=None):
+        self.in_path = str(in_path)
+        self.out_path = str(out_path)
+        self.runner = runner
+        self.eng = runner.engine
+        self.plan = runner.plan
+        self.reader = None
+        self.writer = None
+        self.csvw = None
+        self.state_csv_path = state_csv_path
+        self.pend = np.zeros((self.plan.pad, runner.engine.channels),
+                             np.float32)
+        self.drained = False
+        self.frame0 = 0
+        self.out_pend: list = []
+        self.peak_pend: list = []
+        self.float_refs: list = []
+        self.out_base = -self.plan.pad
+        self.cut_i = 0
+        self.states_count = np.zeros(3, np.int64)
+        self.failed = None
+        self.done = False
+
+    @property
+    def n_frames(self):
+        return self.plan.n_frames
+
+    def open(self, sr, ch):
+        self.reader = audio.AudioFile(self.in_path, "r")
+        self.writer = audio.AudioFile(self.out_path, "w", samplerate=sr,
+                                      channels=ch, subtype="PCM_24")
+        if self.state_csv_path:
+            self.csvw = StateCsvWriter(self.state_csv_path, sr,
+                                       self.runner.total)
+
+    def fail(self, err):
+        self.failed = str(err)
+        self.done = True
+        for h in (self.reader, self.writer, self.csvw):
+            try:
+                if h:
+                    h.close()
+            except Exception:
+                pass
+
+    def next_sig(self):
+        """Prepare this lane's fixed-shape input slice; returns (sig, nf)."""
+        eng = self.eng
+        hop, n_fft, C = eng.hop, eng.n_fft, eng.channels
+        nf = min(eng.frames_per_chunk, self.n_frames - self.frame0)
+        if nf <= 0:
+            return (np.zeros((eng.chunk_input_len, C), np.float32), 0)
+        need = (nf - 1) * hop + n_fft
+        while len(self.pend) < need and not self.drained:
+            blk = self.reader.read(eng.emit_len)
+            if len(blk) == 0:
+                self.drained = True
+                break
+            self.pend = np.concatenate([self.pend, blk], 0)
+        if len(self.pend) < need:
+            self.pend = np.concatenate(
+                [self.pend,
+                 np.zeros((need - len(self.pend), C), np.float32)], 0)
+        sig = self.pend[:eng.chunk_input_len]
+        if len(sig) < eng.chunk_input_len:
+            sig = np.concatenate(
+                [sig, np.zeros((eng.chunk_input_len - len(sig), C),
+                               np.float32)], 0)
+        return sig, nf
+
+    def advance(self, nf):
+        self.pend = self.pend[nf * self.eng.hop:]
+        self.frame0 += nf
+
+    def consume(self, c_frame0, c_nf, packed, out_dev):
+        eng, runner = self.eng, self.runner
+        hop = eng.hop
+        pad = self.plan.pad
+        payload, aux = eng.unpack_pcm24(packed)
+        log = {"levels": aux[0, :c_nf]}
+        for i, k in enumerate(eng.log_keys):
+            log[k] = aux[1 + i, :c_nf]
+        if "states" in log:
+            log["states"] = log["states"].astype(np.int32)
+            self.states_count[1] += int(np.sum(log["states"] == 1))
+            self.states_count[2] += int(np.sum(log["states"] == 2))
+        if self.csvw is not None:
+            starts = -pad + (c_frame0 + np.arange(c_nf)) * hop
+            self.csvw.on_frames(c_frame0, starts, log)
+        emit_n = c_nf * hop + (eng.tail_len
+                               if c_nf < eng.frames_per_chunk else 0)
+        self.out_pend.append(payload[:emit_n * eng.channels * 3])
+        self.peak_pend.append(aux[-1][:emit_n // hop])
+        self.float_refs.append((-pad + c_frame0 * hop, emit_n, out_dev))
+        self.cut_i, self.out_base = runner._drain(
+            self.out_pend, self.peak_pend, self.float_refs, self.cut_i,
+            self.out_base, False, self.writer.write_raw)
+
+    def finish(self, out_tail, w_tail):
+        from tomatis_tpu.engine.streaming import EPS, _encode_pcm24
+        eng, runner = self.eng, self.runner
+        if self.n_frames % eng.frames_per_chunk == 0 and self.n_frames > 0:
+            tail = (np.asarray(out_tail)
+                    / (np.asarray(w_tail)[:, None] + EPS))
+            tail_out = tail * np.float32(runner.output_gain)
+            nblk = eng.tail_len // eng.hop
+            if nblk:
+                self.peak_pend.append(np.max(np.abs(tail_out.reshape(
+                    nblk, eng.hop, eng.channels)), axis=(1, 2)))
+            self.out_pend.append(_encode_pcm24(tail_out))
+            self.float_refs.append((-self.plan.pad
+                                    + self.n_frames * eng.hop,
+                                    eng.tail_len, tail_out))
+        runner._drain(self.out_pend, self.peak_pend, self.float_refs,
+                      self.cut_i, self.out_base, True,
+                      self.writer.write_raw)
+        self.writer.close()
+        self.reader.close()
+        if self.csvw:
+            self.csvw.close()
+        self.done = True
+
+    def stats(self):
+        tf = int(self.states_count[1] + self.states_count[2])
+        return dict(in_path=self.in_path, out_path=self.out_path,
+                    failed=self.failed, n_frames=self.n_frames,
+                    c1_frames=int(self.states_count[1]),
+                    c2_frames=int(self.states_count[2]),
+                    c2_ratio=self.states_count[2] / tf if tf else 0.0)
+
+
+def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
+                  state_csv_paths=None, devices=None) -> list:
+    """Process a batch of files with one vmapped engine.
+
+    jobs: list of (in_path, out_path). All inputs must share sr/channels
+    (a mismatched file fails in isolation). Returns per-file stats dicts.
+    """
+    from tomatis_tpu.models.standard import StandardParams, build_controller
+    p = params or StandardParams()
+    jobs = list(jobs)
+    B = len(jobs)
+    csvs = state_csv_paths or [None] * B
+
+    # probe the batch's sr/ch from the first openable file
+    sr = ch = None
+    metas = []
+    for in_path, _ in jobs:
+        try:
+            m = audio.info(in_path)
+            metas.append(m)
+            if sr is None:
+                sr, ch = m.samplerate, m.channels
+        except Exception as e:
+            metas.append(e)
+
+    engine = ChunkedStftEngine(p.n_fft, p.hop, ch, frames_per_chunk)
+    controller = build_controller(p, sr)
+    chunk_fn = engine.make_chunk_fn(controller, transport="pcm24",
+                                    output_gain_db=p.output_gain_db)
+    vchunk = jax.jit(jax.vmap(chunk_fn))
+
+    lanes = []
+    for (in_path, out_path), m, csvp in zip(jobs, metas, csvs):
+        runner = StreamRunner(engine, controller,
+                              total=m.frames if not isinstance(m, Exception)
+                              else 0,
+                              output_gain_db=p.output_gain_db,
+                              transport="pcm24", build_chunk_fn=False)
+        lane = _Lane(in_path, out_path, runner, csvp)
+        if isinstance(m, Exception):
+            lane.fail(m)
+        elif p.require_48k_stereo and (m.samplerate != 48000
+                                       or m.channels != 2):
+            lane.fail(f"expected 48kHz stereo, got {m.samplerate}/"
+                      f"{m.channels}")
+        elif m.samplerate != sr or m.channels != ch:
+            lane.fail(f"batch sr/ch mismatch: {m.samplerate}/{m.channels}")
+        else:
+            try:
+                lane.open(sr, ch)
+            except Exception as e:
+                lane.fail(e)
+        lanes.append(lane)
+
+    carries = [controller.init_carry() for _ in lanes]
+    tails = [engine.zero_tails() for _ in lanes]
+
+    def stack_carry(cs):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cs)
+
+    carry_b = stack_carry(carries)
+    out_tail_b = jnp.stack([t[0] for t in tails])
+    w_tail_b = jnp.stack([t[1] for t in tails])
+
+    inflight = None
+    while True:
+        sigs = np.zeros((B, engine.chunk_input_len, ch), np.float32)
+        nfs = np.zeros(B, np.int32)
+        active = False
+        for i, lane in enumerate(lanes):
+            if lane.done or lane.failed:
+                continue
+            try:
+                sig, nf = lane.next_sig()
+            except Exception as e:
+                lane.fail(e)
+                continue
+            sigs[i] = sig
+            nfs[i] = nf
+            active = active or nf > 0
+        if not active:
+            break
+        res = vchunk(jnp.asarray(sigs), jnp.asarray(nfs), carry_b,
+                     out_tail_b, w_tail_b)
+        packed, out_dev, carry_b, out_tail_b, w_tail_b = res
+        try:
+            packed.block_until_ready()
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        if inflight is not None:
+            _consume_all(lanes, *inflight)
+        frame0s = [ln.frame0 for ln in lanes]
+        for i, lane in enumerate(lanes):
+            if not (lane.done or lane.failed) and nfs[i] > 0:
+                lane.advance(int(nfs[i]))
+        inflight = (frame0s, nfs, packed, out_dev)
+    if inflight is not None:
+        _consume_all(lanes, *inflight)
+
+    out_tail_np = np.asarray(out_tail_b)
+    w_tail_np = np.asarray(w_tail_b)
+    for i, lane in enumerate(lanes):
+        if lane.failed or lane.done:
+            continue
+        try:
+            lane.finish(out_tail_np[i], w_tail_np[i])
+        except Exception as e:
+            lane.fail(e)
+    return [lane.stats() for lane in lanes]
+
+
+def _consume_all(lanes, frame0s, nfs, packed, out_dev):
+    packed_np = np.asarray(packed)
+    for i, lane in enumerate(lanes):
+        if lane.failed or int(nfs[i]) <= 0:
+            continue
+        try:
+            lane.consume(frame0s[i], int(nfs[i]), packed_np[i], out_dev[i])
+        except Exception as e:
+            lane.fail(e)
