@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "the same command resumes")
     ap.add_argument("--checkpoint_every", type=int, default=8,
                     help="chunks between checkpoints")
+    ap.add_argument("--profile_dir", default=None,
+                    help="write a jax.profiler trace of the run here "
+                         "(view with TensorBoard)")
     add_engine_flags(ap)
     return ap
 
@@ -62,16 +65,28 @@ def run(args) -> int:
     print(f"threshold: {p.threshold_dbfs():.1f} dBFS "
           f"(Ton {p.threshold_dbfs() + p.hysteresis_db / 2:.1f}, "
           f"Toff {p.threshold_dbfs() - p.hysteresis_db / 2:.1f})")
-    stats = process(args.input, args.output, p,
-                    state_csv_path=args.state_csv,
-                    frames_per_chunk=args.frames_per_chunk,
-                    checkpoint_path=args.checkpoint,
-                    checkpoint_every=args.checkpoint_every)
+    if args.profile_dir:
+        import jax
+        with jax.profiler.trace(args.profile_dir):
+            stats = process(args.input, args.output, p,
+                            state_csv_path=args.state_csv,
+                            frames_per_chunk=args.frames_per_chunk,
+                            checkpoint_path=args.checkpoint,
+                            checkpoint_every=args.checkpoint_every)
+        print(f"profiler trace written to {args.profile_dir}")
+    else:
+        stats = process(args.input, args.output, p,
+                        state_csv_path=args.state_csv,
+                        frames_per_chunk=args.frames_per_chunk,
+                        checkpoint_path=args.checkpoint,
+                        checkpoint_every=args.checkpoint_every)
     n = max(1, stats["n_frames"])
     print(f"frames: {stats['n_frames']}  "
           f"C1: {stats['c1_frames']} ({100 * stats['c1_frames'] / n:.1f}%)  "
           f"C2: {stats['c2_frames']} ({100 * stats['c2_frames'] / n:.1f}%)")
     print(f"output: {stats['out_path']} ({stats['total']} samples)")
+    print(f"wall: {stats['wall_seconds']:.2f}s "
+          f"({stats['realtime_factor']:.1f}x realtime)")
     return 0
 
 

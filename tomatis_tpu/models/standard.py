@@ -102,6 +102,8 @@ def process(in_path, out_path, p: StandardParams | None = None,
       WAV and are encoded on completion (WAV supports truncate+append).
     """
     import os
+    import time
+    t_start = time.perf_counter()
     p = p or StandardParams()
     with audio.AudioFile(in_path, "r") as fin:
         sr, ch, total = fin.samplerate, fin.channels, fin.frames
@@ -170,8 +172,11 @@ def process(in_path, out_path, p: StandardParams | None = None,
                 os.remove(stage_path)
             ckpt.clear()
 
+    wall = time.perf_counter() - t_start
     stats.update(params=asdict(p), sr=sr, channels=ch, total=total,
-                 threshold_dbfs=p.threshold_dbfs(), out_path=actual_out)
+                 threshold_dbfs=p.threshold_dbfs(), out_path=actual_out,
+                 wall_seconds=wall,
+                 realtime_factor=(total / sr) / wall if wall > 0 else 0.0)
     return stats
 
 
