@@ -406,21 +406,10 @@ class StreamRunner:
                 frames_consumed=int(snap["frame0"]))
             ckpt.maybe_save(state, force=True)
 
-        # Software pipeline: dispatch chunk k+1 (async) before materializing
-        # chunk k, so device->host readback (the bottleneck over a tunneled
-        # TPU) overlaps the next chunk's compute. copy_to_host_async starts
-        # the transfer without blocking.
-        inflight = None
-        chunk_i = 0
-        snapshot = None
-        while frame0 < n_frames:
-            nf = min(F_c, n_frames - frame0)
-            take_snap = (ckpt is not None and chunk_i > 0
-                         and chunk_i % ckpt.every == 0)
-            if take_snap:
-                snapshot = capture_snapshot(frame0, ctl_carry, out_tail,
-                                            w_tail)
-            chunk_i += 1
+        def assemble(nf):
+            """Fill pend for an nf-frame chunk and return the fixed-shape
+            input slice (host side)."""
+            nonlocal pend, drained
             need = (nf - 1) * hop + n_fft
             while len(pend) < need and not drained:
                 blk = next(blocks, None)
@@ -436,9 +425,39 @@ class StreamRunner:
                 sig = np.concatenate(
                     [sig, np.zeros((eng.chunk_input_len - len(sig), C),
                                    np.float32)], 0)
+            return sig
+
+        # Software pipeline: dispatch chunk k+1 (async) before materializing
+        # chunk k, so device->host readback (the bottleneck over a tunneled
+        # TPU) overlaps the next chunk's compute, and the NEXT chunk's input
+        # is device_put right after dispatch so its host->device transfer
+        # hides under the current chunk's work.
+        inflight = None
+        chunk_i = 0
+        snapshot = None
+        staged = None
+        while frame0 < n_frames:
+            nf = min(F_c, n_frames - frame0)
+            take_snap = (ckpt is not None and chunk_i > 0
+                         and chunk_i % ckpt.every == 0)
+            if take_snap:
+                snapshot = capture_snapshot(frame0, ctl_carry, out_tail,
+                                            w_tail)
+            chunk_i += 1
+            if staged is None:
+                staged = jax.device_put(assemble(nf))
 
             res = self.chunk_fn(
-                jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail, w_tail)
+                staged, jnp.int32(nf), ctl_carry, out_tail, w_tail)
+            # pre-stage the next chunk's input (async h2d)
+            staged = None
+            next_frame0 = frame0 + nf
+            if next_frame0 < n_frames:
+                keep = max(0, len(pend) - (nf * hop))
+                pend = pend[len(pend) - keep:]
+                in_base += nf * hop
+                staged = jax.device_put(
+                    assemble(min(F_c, n_frames - next_frame0)))
             if pcm24:
                 packed, out_dev, ctl_carry, out_tail, w_tail = res
             else:
@@ -461,12 +480,7 @@ class StreamRunner:
                 save_checkpoint(snapshot)
                 snapshot = None
             inflight = (frame0, nf, packed, out_dev)
-
-            frame0 += nf
-            keep = max(0, len(pend) - (nf * hop))
-            advanced = len(pend) - keep
-            pend = pend[advanced:]
-            in_base += advanced
+            frame0 += nf  # pend already advanced during pre-staging
 
         if inflight is not None:
             consume(inflight)

@@ -19,7 +19,8 @@ _CACHE: dict = {}
 
 def _compile(src: str, out: str):
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-std=c++17", "-O2", "-shared", "-fPIC", src, "-o", out]
+    cmd = ["g++", "-std=c++17", "-O3", "-funroll-loops", "-shared", "-fPIC",
+           src, "-o", out]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         raise RuntimeError(

@@ -86,12 +86,20 @@ struct BitWriter {
     uint64_t acc = 0;
     int nacc = 0;
 
+    BitWriter() { buf.reserve(1 << 16); }
+
     void bits(uint32_t v, int n) {
         acc = (acc << n) | (uint64_t)(v & ((n == 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
         nacc += n;
-        while (nacc >= 8) {
-            buf.push_back((uint8_t)(acc >> (nacc - 8)));
-            nacc -= 8;
+        if (nacc >= 32) {  // flush four bytes at once
+            uint32_t w = (uint32_t)(acc >> (nacc - 32));
+            size_t s = buf.size();
+            buf.resize(s + 4);
+            buf[s] = (uint8_t)(w >> 24);
+            buf[s + 1] = (uint8_t)(w >> 16);
+            buf[s + 2] = (uint8_t)(w >> 8);
+            buf[s + 3] = (uint8_t)w;
+            nacc -= 32;
         }
     }
     void sbits(int32_t v, int n) { bits((uint32_t)v, n); }
@@ -99,7 +107,13 @@ struct BitWriter {
         while (q >= 32) { bits(0, 32); q -= 32; }
         bits(1, (int)q + 1);  // q zeros then a 1
     }
-    void align() { if (nacc) bits(0, 8 - nacc); }
+    void align() {
+        if (nacc & 7) bits(0, 8 - (nacc & 7));
+        while (nacc >= 8) {  // drain whole bytes left in the accumulator
+            buf.push_back((uint8_t)(acc >> (nacc - 8)));
+            nacc -= 8;
+        }
+    }
 };
 
 // ---------------------------------------------------------------- UTF-8 coded numbers
@@ -459,12 +473,28 @@ struct FlacEncoder {
     }
 
     void write(const int32_t* x, long n) {
-        pend.insert(pend.end(), x, x + (size_t)n * channels);
-        while (pend.size() >= (size_t)BLOCK * channels) {
-            encode_frame(pend.data(), BLOCK);
-            pend.erase(pend.begin(), pend.begin() + (size_t)BLOCK * channels);
+        size_t stride = (size_t)BLOCK * channels;
+        size_t navail = (size_t)n * channels;
+        size_t off = 0;
+        // top up a partial pending block first
+        if (!pend.empty()) {
+            size_t need = stride - pend.size();
+            size_t take = navail < need ? navail : need;
+            pend.insert(pend.end(), x, x + take);
+            off += take;
+            if (pend.size() == stride) {
+                encode_frame(pend.data(), BLOCK);
+                pend.clear();
+                total += BLOCK;
+            }
+        }
+        // encode full blocks straight from the caller's buffer
+        while (navail - off >= stride) {
+            encode_frame(x + off, BLOCK);
+            off += stride;
             total += BLOCK;
         }
+        pend.insert(pend.end(), x + off, x + navail);
     }
 
     void close() {
@@ -512,6 +542,7 @@ struct FlacEncoder {
         bw.align();
         uint16_t c16 = crc16(bw.buf.data(), bw.buf.size());
         bw.bits(c16, 16);
+        bw.align();  // drain the CRC bytes out of the accumulator
         fwrite(bw.buf.data(), 1, bw.buf.size(), f);
     }
 
