@@ -40,11 +40,13 @@ def synth(seconds: float, sr: int = 48000, seed: int = 0) -> np.ndarray:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seconds", type=float, default=600.0,
+    ap.add_argument("--seconds", type=float, default=240.0,
                     help="audio length to process per timed run")
     ap.add_argument("--sr", type=int, default=48000)
     ap.add_argument("--frames_per_chunk", type=int, default=1024)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="best-of-N (the tunneled TPU's transfer "
+                         "bandwidth varies heavily between runs)")
     args = ap.parse_args()
 
     import tempfile

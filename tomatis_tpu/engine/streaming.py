@@ -82,6 +82,11 @@ def flush_plan(total: int, n_fft: int, hop: int,
 # The jitted chunk executable.
 # ---------------------------------------------------------------------------
 
+# (engine shapes, transport, norm, controller static key) -> jitted chunk fn;
+# parameters are traced arguments, so reruns and new files never recompile.
+_CHUNK_FN_CACHE: dict = {}
+
+
 class ChunkedStftEngine:
     """Compiles and runs the per-chunk pipeline for one (n_fft, hop, C, F_c)."""
 
@@ -128,22 +133,31 @@ class ChunkedStftEngine:
     def make_chunk_fn(self, controller, transport: str = "f32",
                       output_gain_db: float = 0.0,
                       norm: str = "eps") -> Callable:
-        """Build the jitted chunk step for a gain controller.
+        """Build (or fetch from cache) the jitted chunk step.
 
         controller must provide:
-            init_carry() -> pytree
-            step(levels [F], valid [F] bool, carry) ->
+            LOG_KEYS, static_key(), params() -> pytree of traced arrays,
+            init_carry() -> pytree,
+            step(levels [F], valid [F] bool, carry, params) ->
                 (gains [F, bins] float32 linear, log dict of [F] arrays, carry')
 
+        All numeric parameters (gain curves, thresholds, output gain) are
+        TRACED ARGUMENTS of the compiled function, so one executable is
+        shared by every run with the same static configuration — no
+        per-invocation retrace/recompile (~2 s saved per call).
+
         transport="f32":
-            fn(sig [L, C], n_valid, ctl_carry, out_tail, w_tail) ->
+            fn(sig [L, C], n_valid, ctl_carry, out_tail, w_tail, params,
+               gain_lin) ->
                 (packed, carries) where packed is ONE flat float32 array:
                 normalized emit [(F_c*hop + tail) * C] followed by the aux
-                rows (unpack with engine.unpack_f32).
+                rows (unpack with engine.unpack_f32). gain_lin is ignored
+                (the f32 path applies output gain on host, like the
+                reference's write_clamped).
         transport="pcm24":
             ... -> (packed, out_f32_deviceref, carries) where packed is ONE
             flat uint8 array: little-endian 24-bit PCM of
-            clip(round((emit*gain) * 2^23)) followed by the aux rows'
+            clip(round((emit*gain_lin) * 2^23)) followed by the aux rows'
             float32 bytes (unpack with engine.unpack_pcm24). Quantizing
             on-device shrinks device->host traffic by 1/4 — the dominant
             cost on a tunneled TPU — and the bytes are exactly the PCM_24
@@ -154,6 +168,9 @@ class ChunkedStftEngine:
         per-hop-block max |emit*gain| peaks. Everything rides a single
         transfer because each device->host round trip costs ~0.2 s of
         latency over the tunnel.
+
+        output_gain_db is accepted for call-site convenience but the value
+        actually used at run time is the gain_lin argument.
         """
         if transport not in ("f32", "pcm24"):
             raise ValueError(transport)
@@ -163,22 +180,30 @@ class ChunkedStftEngine:
             # adaptive processor's (src/process_tomatis_adaptive.py:330) —
             # they differ visibly on window-edge samples at stream bounds.
             raise ValueError(norm)
+        log_keys = tuple(getattr(controller, "LOG_KEYS", ()))
+        self.log_keys = log_keys
+        self.transport = transport
+        key = (self.n_fft, self.hop, self.channels, self.frames_per_chunk,
+               hash(self.window.tobytes()), transport, norm,
+               type(controller).__name__, controller.static_key())
+        cached = _CHUNK_FN_CACHE.get(key)
+        if cached is not None:
+            return cached
+
         n_fft, hop, F = self.n_fft, self.hop, self.frames_per_chunk
         win = jnp.asarray(self.window)
         win2 = win * win
         tail = self.tail_len
-        gain_lin = jnp.float32(10.0 ** (output_gain_db / 20.0))
-        log_keys = tuple(getattr(controller, "LOG_KEYS", ()))
-        self.log_keys = log_keys
-        self.transport = transport
 
         @jax.jit
-        def chunk_fn(sig, n_valid, ctl_carry, out_tail, w_tail):
+        def chunk_fn(sig, n_valid, ctl_carry, out_tail, w_tail, params,
+                     gain_lin):
             frames = stft.frame_signal(sig, n_fft, hop, F)      # [F, C, n_fft]
             levels = frame_levels_dbfs(
                 jnp.transpose(frames, (0, 2, 1)))               # [F]
             valid = jnp.arange(F) < n_valid
-            gains, log, ctl_carry = controller.step(levels, valid, ctl_carry)
+            gains, log, ctl_carry = controller.step(levels, valid, ctl_carry,
+                                                    params)
             y = stft.apply_gain_bank(frames, win, gains)        # [F, C, n_fft]
             mask = valid.astype(jnp.float32)
             y = y * mask[:, None, None]
@@ -222,6 +247,7 @@ class ChunkedStftEngine:
             # full scale, so a needed clamp can't be recovered from bytes.
             return (packed, out) + carries
 
+        _CHUNK_FN_CACHE[key] = chunk_fn
         return chunk_fn
 
 
@@ -271,10 +297,10 @@ class StreamRunner:
             raise ValueError(peak_mode)
         self.peak_mode = peak_mode
         self.transport = transport
-        self.chunk_fn = engine.make_chunk_fn(
-            controller, transport=transport,
-            output_gain_db=output_gain_db if transport == "pcm24" else 0.0) \
+        self.chunk_fn = engine.make_chunk_fn(controller, transport=transport) \
             if build_chunk_fn else None
+        self.ctl_params = controller.params()
+        self.gain_f32 = jnp.float32(self.output_gain)
         self.stats = {}
         self.audio_samples_written = 0
 
@@ -429,9 +455,11 @@ class StreamRunner:
 
         # Software pipeline: dispatch chunk k+1 (async) before materializing
         # chunk k, so device->host readback (the bottleneck over a tunneled
-        # TPU) overlaps the next chunk's compute, and the NEXT chunk's input
-        # is device_put right after dispatch so its host->device transfer
-        # hides under the current chunk's work.
+        # TPU) overlaps the next chunk's compute. The next chunk's input is
+        # assembled on host right after dispatch (file read + decode hide
+        # under the device work); the actual transfer stays implicit in the
+        # jit call — explicit jax.device_put takes a much slower RPC path
+        # on tunneled TPUs.
         inflight = None
         chunk_i = 0
         snapshot = None
@@ -445,19 +473,19 @@ class StreamRunner:
                                             w_tail)
             chunk_i += 1
             if staged is None:
-                staged = jax.device_put(assemble(nf))
+                staged = assemble(nf)
 
             res = self.chunk_fn(
-                staged, jnp.int32(nf), ctl_carry, out_tail, w_tail)
-            # pre-stage the next chunk's input (async h2d)
+                jnp.asarray(staged), jnp.int32(nf), ctl_carry, out_tail,
+                w_tail, self.ctl_params, self.gain_f32)
+            # assemble the next chunk's input while the device works
             staged = None
             next_frame0 = frame0 + nf
             if next_frame0 < n_frames:
                 keep = max(0, len(pend) - (nf * hop))
                 pend = pend[len(pend) - keep:]
                 in_base += nf * hop
-                staged = jax.device_put(
-                    assemble(min(F_c, n_frames - next_frame0)))
+                staged = assemble(min(F_c, n_frames - next_frame0))
             if pcm24:
                 packed, out_dev, ctl_carry, out_tail, w_tail = res
             else:

@@ -185,6 +185,8 @@ def process_array(x: np.ndarray, sr: int, p: AdaptiveParams | None = None,
     controller = AlphaGainController(g1_db, g2_db, pad_alpha)
     engine = ChunkedStftEngine(n_fft, hop, ch, frames_per_chunk)
     chunk_fn = engine.make_chunk_fn(controller, norm="floor8")
+    ctl_params = controller.params()
+    gain_one = jnp.float32(1.0)
 
     xp = np.concatenate([np.zeros((pad, ch), np.float32), x_atten,
                          np.zeros((pad, ch), np.float32)])
@@ -203,7 +205,8 @@ def process_array(x: np.ndarray, sr: int, p: AdaptiveParams | None = None,
             sig = np.concatenate(
                 [sig, np.zeros((need - len(sig), ch), np.float32)])
         packed, ctl_carry, out_tail, w_tail = chunk_fn(
-            jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail, w_tail)
+            jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail, w_tail,
+            ctl_params, gain_one)
         try:
             packed.block_until_ready()
             packed.copy_to_host_async()

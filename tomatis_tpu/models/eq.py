@@ -163,6 +163,8 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
         raw = fout.supports_raw
         chunk_fn = engine.make_chunk_fn(
             controller, transport="pcm24" if raw else "f32")
+        ctl_params = controller.params()
+        gain_one = jnp.float32(1.0)
 
         ctl_carry = controller.init_carry()
         out_tail, w_tail = engine.zero_tails()
@@ -214,7 +216,7 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 sig = np.concatenate(
                     [sig, np.zeros((need - len(sig), ch), np.float32)], 0)
             res = chunk_fn(jnp.asarray(sig), jnp.int32(nf), ctl_carry,
-                           out_tail, w_tail)
+                           out_tail, w_tail, ctl_params, gain_one)
             if raw:
                 packed, _out_dev, ctl_carry, out_tail, w_tail = res
             else:

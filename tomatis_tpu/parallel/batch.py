@@ -184,9 +184,12 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
 
     engine = ChunkedStftEngine(p.n_fft, p.hop, ch, frames_per_chunk)
     controller = build_controller(p, sr)
-    chunk_fn = engine.make_chunk_fn(controller, transport="pcm24",
-                                    output_gain_db=p.output_gain_db)
-    vchunk = jax.jit(jax.vmap(chunk_fn))
+    chunk_fn = engine.make_chunk_fn(controller, transport="pcm24")
+    ctl_params = controller.params()
+    gain_f32 = jnp.float32(10.0 ** (p.output_gain_db / 20.0))
+    # lanes share parameters; only the data axes are batched
+    vchunk = jax.jit(jax.vmap(chunk_fn,
+                              in_axes=(0, 0, 0, 0, 0, None, None)))
 
     lanes = []
     for (in_path, out_path), m, csvp in zip(jobs, metas, csvs):
@@ -240,7 +243,7 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
         if not active:
             break
         res = vchunk(jnp.asarray(sigs), jnp.asarray(nfs), carry_b,
-                     out_tail_b, w_tail_b)
+                     out_tail_b, w_tail_b, ctl_params, gain_f32)
         packed, out_dev, carry_b, out_tail_b, w_tail_b = res
         try:
             packed.block_until_ready()
