@@ -91,12 +91,18 @@ def apply_gain_bank(frames, win, gains):
 def overlap_add(y, hop: int):
     """Overlap-add frames y [F, C, n_fft] at the given hop.
 
-    Returns out [(F-1)*hop + n_fft, C]. Fast path (hop | n_fft): reshape to
-    hop-blocks and do K shifted adds; general path: scatter-add.
+    Returns out [(F-1)*hop + n_fft, C]. On TPU with hop | n_fft the K-way
+    gather runs as a Pallas kernel (one VMEM pass per output tile,
+    ops/pallas_ola.py); elsewhere the XLA fast path does K shifted adds,
+    and the general case falls back to a scatter-add.
     """
     F, C, n_fft = y.shape
     L = (F - 1) * hop + n_fft
     if n_fft % hop == 0:
+        from tomatis_tpu.ops.pallas_ola import (overlap_add_pallas,
+                                                pallas_available)
+        if pallas_available():
+            return overlap_add_pallas(y, hop)[:L]
         k = n_fft // hop
         yb = y.reshape(F, C, k, hop)
         out = jnp.zeros((F + k - 1, C, hop), jnp.float32)
