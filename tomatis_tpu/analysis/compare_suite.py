@@ -16,9 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tomatis_tpu.analysis.align import (EPS, find_delay_by_corr, power_mono,
-                                        read_aligned_overlap,
-                                        rms_dbfs_mono)
-from tomatis_tpu.io import audio
+                                        read_aligned_overlap)
 from tomatis_tpu.ops import stft
 
 

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tomatis_tpu.analysis.align import EPS, power_mono
+from tomatis_tpu.analysis.align import EPS
 from tomatis_tpu.ops import stft
 
 

@@ -26,9 +26,8 @@ tomatis_tpu.models for the standard / crossfade / EQ controllers.
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Callable, Iterable, Iterator
+from typing import Callable, Iterator
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ design; downstream comparators re-align by cross-correlation).
 from __future__ import annotations
 
 import csv as _csv
-from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np
@@ -18,8 +17,6 @@ from tomatis_tpu.engine.streaming import (ChunkedStftEngine, _encode_pcm24,
                                           EPS)
 from tomatis_tpu.io import audio
 from tomatis_tpu.models.controllers import StaticGainController
-from tomatis_tpu.ops import stft
-from tomatis_tpu.ops.dsp import db_to_lin
 
 
 # ---------------------------------------------------------------------------

@@ -21,12 +21,10 @@ frame-parallel and runs unmodified per shard.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from tomatis_tpu.ops import gate as gate_ops, stft
