@@ -1,0 +1,58 @@
+"""Odds and ends: 44.1 kHz operation, dBFS track comparison, stage timings."""
+import numpy as np
+
+from tomatis_tpu.analysis.levels import compare_dbfs_tracks
+from tomatis_tpu.io import audio
+from tomatis_tpu.models.standard import StandardParams, process_array, process
+from tests.oracle import refdsp
+
+
+def test_standard_at_44100():
+    """BASELINE's headline config is 44.1 kHz stereo; the math is
+    rate-generic (freqs from rfftfreq(n_fft, 1/sr))."""
+    sr = 44100
+    n = 3 * sr
+    t = np.arange(n) / sr
+    env = 0.003 + 0.1 * (np.sin(2 * np.pi * 0.8 * t) > 0)
+    x = np.stack([env * np.sin(2 * np.pi * 441 * t)] * 2, 1).astype(np.float32)
+    p = StandardParams(require_48k_stereo=False)
+    y, stats = process_array(x, sr, p)
+    y_ref, states_ref, _ = refdsp.process_standard_loop(x, sr)
+    assert y.shape == x.shape
+    assert stats["c2_frames"] == int(np.sum(states_ref == 2))
+    assert np.max(np.abs(y - y_ref)) < 2e-4
+
+
+def test_compare_dbfs_tracks(tmp_path):
+    sr = 48000
+    n = 5 * sr
+    t = np.arange(n) / sr
+    x = (0.1 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    x2 = np.stack([x, x], 1)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, x2, sr, subtype="FLOAT")
+    # candidate: delayed + attenuated copy
+    cand = np.concatenate([np.zeros((sr // 4, 2), np.float32), 0.5 * x2])
+    cp = tmp_path / "cand.wav"
+    audio.write(cp, cand, sr, subtype="FLOAT")
+    res = compare_dbfs_tracks(ip, {"dev": cp},
+                              out_prefix=str(tmp_path / "trk"))
+    r = res["dev"]
+    assert abs(r["lag"] - sr // 4) < sr * 0.01
+    # RMS-normalized: tracks should nearly coincide
+    d = np.abs(r["in_dbfs"] - r["out_dbfs"])
+    assert np.median(d) < 0.5
+    assert (tmp_path / "trk_dev.csv").exists()
+
+
+def test_stage_timings_reported(tmp_path):
+    sr = 48000
+    x = (0.05 * np.random.default_rng(0).standard_normal((2 * sr, 2))
+         ).astype(np.float32)
+    ip, op = tmp_path / "i.wav", tmp_path / "o.wav"
+    audio.write(ip, x, sr, subtype="FLOAT")
+    stats = process(ip, op, StandardParams(require_48k_stereo=False))
+    t = stats["timings"]
+    assert set(t) == {"input_host_s", "dispatch_compute_s", "consume_s"}
+    assert all(v >= 0 for v in t.values())
+    assert stats["realtime_factor"] > 0

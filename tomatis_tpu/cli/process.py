@@ -87,6 +87,11 @@ def run(args) -> int:
     print(f"output: {stats['out_path']} ({stats['total']} samples)")
     print(f"wall: {stats['wall_seconds']:.2f}s "
           f"({stats['realtime_factor']:.1f}x realtime)")
+    t = stats.get("timings", {})
+    if t:
+        print(f"stages: input {t.get('input_host_s', 0):.2f}s  "
+              f"device {t.get('dispatch_compute_s', 0):.2f}s  "
+              f"readback+write {t.get('consume_s', 0):.2f}s")
     return 0
 
 

@@ -459,6 +459,9 @@ class StreamRunner:
         # under the device work); the actual transfer stays implicit in the
         # jit call — explicit jax.device_put takes a much slower RPC path
         # on tunneled TPUs.
+        import time as _time
+        timings = {"input_host_s": 0.0, "dispatch_compute_s": 0.0,
+                   "consume_s": 0.0}
         inflight = None
         chunk_i = 0
         snapshot = None
@@ -472,24 +475,31 @@ class StreamRunner:
                                             w_tail)
             chunk_i += 1
             if staged is None:
+                _t = _time.perf_counter()
                 staged = assemble(nf)
+                timings["input_host_s"] += _time.perf_counter() - _t
 
+            _t = _time.perf_counter()
             res = self.chunk_fn(
                 jnp.asarray(staged), jnp.int32(nf), ctl_carry, out_tail,
                 w_tail, self.ctl_params, self.gain_f32)
+            timings["dispatch_compute_s"] += _time.perf_counter() - _t
             # assemble the next chunk's input while the device works
             staged = None
             next_frame0 = frame0 + nf
             if next_frame0 < n_frames:
+                _t = _time.perf_counter()
                 keep = max(0, len(pend) - (nf * hop))
                 pend = pend[len(pend) - keep:]
                 in_base += nf * hop
                 staged = assemble(min(F_c, n_frames - next_frame0))
+                timings["input_host_s"] += _time.perf_counter() - _t
             if pcm24:
                 packed, out_dev, ctl_carry, out_tail, w_tail = res
             else:
                 packed, ctl_carry, out_tail, w_tail = res
                 out_dev = None
+            _t = _time.perf_counter()
             try:
                 # Wait for the (cheap) compute, then start the readback:
                 # issuing copy_to_host_async on a not-yet-computed array
@@ -498,9 +508,12 @@ class StreamRunner:
                 packed.copy_to_host_async()
             except AttributeError:
                 pass
+            timings["dispatch_compute_s"] += _time.perf_counter() - _t
 
             if inflight is not None:
+                _t = _time.perf_counter()
                 consume(inflight)
+                timings["consume_s"] += _time.perf_counter() - _t
             if snapshot is not None:
                 # everything before snapshot['frame0'] is now consumed and
                 # drained; the saved state resumes exactly there
@@ -535,6 +548,9 @@ class StreamRunner:
             c2_frames=int(states_count[2]),
             c1_ratio=states_count[1] / total_f if total_f else 0.0,
             c2_ratio=states_count[2] / total_f if total_f else 0.0,
+            # per-stage wall time: host input (read/decode/assemble),
+            # device dispatch+compute wait, readback+drain+write
+            timings={k: round(v, 4) for k, v in timings.items()},
         )
         return self.stats
 
