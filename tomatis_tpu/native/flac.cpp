@@ -14,6 +14,7 @@
 //
 // Build: g++ -O2 -shared -fPIC flac.cpp -o libtomatisflac.so
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -511,7 +512,52 @@ struct FlacEncoder {
         f = nullptr;
     }
 
+    // cheap proxy for a channel's coding cost: sum |second difference|
+    static unsigned long long diff2_cost(const std::vector<int64_t>& v) {
+        unsigned long long c = 0;
+        for (size_t i = 2; i < v.size(); i++) {
+            long long d = v[i] - 2 * v[i - 1] + v[i - 2];
+            c += (unsigned long long)(d < 0 ? -d : d);
+        }
+        return c;
+    }
+
     void encode_frame(const int32_t* x, uint32_t bsize) {
+        // stereo decorrelation search (ref decoder supports 8=L/S, 9=S/R,
+        // 10=M/S): pick the assignment with the cheapest residual proxy
+        uint32_t ch_asgn = channels - 1;  // independent
+        std::vector<std::vector<int64_t>> sub(channels);
+        std::vector<uint32_t> sub_bps(channels, bps);
+        if (channels == 2) {
+            std::vector<int64_t> l(bsize), r(bsize), m(bsize), s(bsize);
+            for (uint32_t i = 0; i < bsize; i++) {
+                int64_t lv = x[(size_t)i * 2], rv = x[(size_t)i * 2 + 1];
+                l[i] = lv; r[i] = rv;
+                s[i] = lv - rv;
+                m[i] = (lv + rv) >> 1;
+            }
+            unsigned long long cl = diff2_cost(l), cr = diff2_cost(r),
+                               cm = diff2_cost(m), cs = diff2_cost(s);
+            unsigned long long best = cl + cr;
+            ch_asgn = 1;
+            sub[0] = l; sub[1] = r;
+            if (cl + cs < best) { best = cl + cs; ch_asgn = 8;
+                sub[0] = l; sub[1] = s; }
+            if (cs + cr < best) { best = cs + cr; ch_asgn = 9;
+                sub[0] = s; sub[1] = r; }
+            if (cm + cs < best) { best = cm + cs; ch_asgn = 10;
+                sub[0] = std::move(m); sub[1] = std::move(s); }
+            if (ch_asgn == 8 || ch_asgn == 10) sub_bps[1] = bps + 1;
+            if (ch_asgn == 9) sub_bps[0] = bps + 1;
+            if (ch_asgn == 1) { sub[0] = std::move(l); sub[1] = std::move(r); }
+        } else {
+            for (uint32_t c = 0; c < channels; c++) {
+                sub[c].resize(bsize);
+                for (uint32_t i = 0; i < bsize; i++)
+                    sub[c][i] = x[(size_t)i * channels + c];
+            }
+        }
+
         BitWriter bw;
         bw.bits(0x3FFE, 14);
         bw.bits(0, 1);
@@ -522,7 +568,7 @@ struct FlacEncoder {
         else { bs_bits = 7; bs16 = true; }          // 16-bit at end
         bw.bits(bs_bits, 4);
         bw.bits(0, 4);  // sample rate: from STREAMINFO
-        bw.bits(channels - 1, 4);
+        bw.bits(ch_asgn, 4);
         uint32_t ss_bits = bps == 8 ? 1 : bps == 16 ? 4 : bps == 24 ? 6 : 7;
         bw.bits(ss_bits, 3);
         bw.bits(0, 1);
@@ -533,17 +579,90 @@ struct FlacEncoder {
         bw.align();
         bw.bits(crc8(bw.buf.data(), bw.buf.size()), 8);
 
-        // subframes: independent channels, best fixed order
-        for (uint32_t c = 0; c < channels; c++) {
-            std::vector<int64_t> ch(bsize);
-            for (uint32_t i = 0; i < bsize; i++) ch[i] = x[(size_t)i * channels + c];
-            encode_subframe(bw, ch, bps, bsize);
-        }
+        for (uint32_t c = 0; c < channels; c++)
+            encode_subframe(bw, sub[c], sub_bps[c], bsize);
         bw.align();
         uint16_t c16 = crc16(bw.buf.data(), bw.buf.size());
         bw.bits(c16, 16);
         bw.align();  // drain the CRC bytes out of the accumulator
         fwrite(bw.buf.data(), 1, bw.buf.size(), f);
+    }
+
+    // Levinson-Durbin LPC analysis (Welch-windowed autocorrelation).
+    // Returns quantized coefficients + shift; order 0 means "LPC not
+    // usable" for this block.
+    struct Lpc {
+        int order = 0;
+        int shift = 0;
+        int32_t q[32];
+        std::vector<int64_t> res;
+        unsigned long long cost = ~0ull;
+    };
+
+    static Lpc analyze_lpc(const std::vector<int64_t>& x, uint32_t bsize,
+                           int max_order) {
+        Lpc out;
+        if ((int)bsize <= max_order * 2) return out;
+        // windowed autocorrelation
+        std::vector<double> w(bsize);
+        for (uint32_t i = 0; i < bsize; i++) {
+            double t = ((double)i - (bsize - 1) / 2.0) / ((bsize + 1) / 2.0);
+            w[i] = (double)x[i] * (1.0 - t * t);   // Welch window
+        }
+        double r[33] = {0};
+        for (int lag = 0; lag <= max_order; lag++)
+            for (uint32_t i = lag; i < bsize; i++)
+                r[lag] += w[i] * w[i - lag];
+        if (r[0] <= 0) return out;
+        // Levinson-Durbin
+        double lpc[32] = {0}, tmp[32];
+        double err = r[0];
+        int order = 0;
+        for (int m = 0; m < max_order; m++) {
+            double acc = r[m + 1];
+            for (int j = 0; j < m; j++) acc -= lpc[j] * r[m - j];
+            double k = acc / err;
+            for (int j = 0; j < m; j++) tmp[j] = lpc[j] - k * lpc[m - 1 - j];
+            for (int j = 0; j < m; j++) lpc[j] = tmp[j];
+            lpc[m] = k;
+            err *= (1.0 - k * k);
+            order = m + 1;
+            if (err <= 0) break;
+        }
+        if (order == 0) return out;
+        // quantize to <=15-bit coefficients
+        double maxc = 0;
+        for (int j = 0; j < order; j++)
+            if (std::abs(lpc[j]) > maxc) maxc = std::abs(lpc[j]);
+        if (maxc <= 0) return out;
+        int shift = 14;
+        while (shift > 0 && maxc * (double)(1 << shift) > 16383.0) shift--;
+        if (shift <= 0) return out;
+        for (int j = 0; j < order; j++) {
+            long long q = llround(lpc[j] * (double)(1 << shift));
+            if (q > 16383) q = 16383;
+            if (q < -16384) q = -16384;
+            out.q[j] = (int32_t)q;
+        }
+        out.order = order;
+        out.shift = shift;
+        // residuals
+        out.res.assign(x.begin(), x.end());
+        unsigned long long cost = 0;
+        for (uint32_t i = order; i < bsize; i++) {
+            long long p = 0;
+            for (int j = 0; j < order; j++)
+                p += (long long)out.q[j] * x[i - 1 - j];
+            long long v = x[i] - (p >> shift);
+            if (v > INT32_MAX / 2 || v < INT32_MIN / 2) {
+                out.order = 0;  // residual overflow: reject
+                return out;
+            }
+            out.res[i] = v;
+            cost += (unsigned long long)(v < 0 ? -v : v);
+        }
+        out.cost = cost;
+        return out;
     }
 
     void encode_subframe(BitWriter& bw, const std::vector<int64_t>& ch,
@@ -579,6 +698,21 @@ struct FlacEncoder {
                 best_order = o;
                 best_res = res;
             }
+        }
+        // LPC beats the fixed predictors on most tonal material
+        Lpc lpc = analyze_lpc(ch, bsize, 8);
+        if (lpc.order > 0 && lpc.cost < best_cost) {
+            bw.bits(0, 1);
+            bw.bits(32 | (uint32_t)(lpc.order - 1), 6);  // LPC
+            bw.bits(0, 1);                                // no wasted bits
+            for (int i = 0; i < lpc.order; i++)
+                bw.sbits((int32_t)ch[i], (int)cbps);
+            bw.bits(15 - 1, 4);                           // precision = 15
+            bw.bits((uint32_t)lpc.shift, 5);
+            for (int j = 0; j < lpc.order; j++)
+                bw.sbits(lpc.q[j], 15);
+            encode_residual(bw, lpc.res, lpc.order, bsize);
+            return;
         }
         bw.bits(0, 1);
         bw.bits(8 + (uint32_t)best_order, 6);  // FIXED
