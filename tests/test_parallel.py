@@ -91,3 +91,44 @@ def test_gate_carry_crosses_shards():
     assert np.all(states[:delay] == 1)
     assert np.all(states[delay:] == 2)
     assert int(np.asarray(carry)[0]) == delay + 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_xfade_matches_oracle():
+    """Crossfade dp x sp: gate AND alpha ramp block-scans across shards."""
+    from tomatis_tpu.parallel.sharded import sharded_xfade_step
+    mesh = make_mesh(8, data=1)          # pure sequence-parallel
+    B, F = 2, 64
+    F_loc = F // 8
+    sigs = _batch(B, F, seed=3)
+    frames = frame_batch(sigs, N_FFT, HOP, F)
+    freqs = stft.rfft_freqs(N_FFT, SR)
+    g1_db = np.asarray(dsp.build_tilt_gain_db(freqs, 1000., 12., 9., -9.))
+    g2_db = np.asarray(dsp.build_tilt_gain_db(freqs, 1000., 12., -9., 9.))
+    xfade_frames = 5
+    step = sharded_xfade_step(mesh, N_FFT, HOP, F_loc, 2, TON, TOFF, DELAY,
+                              1.0 / xfade_frames, g1_db, g2_db)
+    emit, states, alpha, gc, ac = step(
+        frames, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
+        jnp.full((B,), F, jnp.int32))
+    emit, states, alpha = map(np.asarray, (emit, states, alpha))
+
+    win = stft.hann_symmetric(N_FFT)
+    for b in range(B):
+        frames_b = np.asarray(frames[b]).transpose(0, 2, 1)
+        levels = np.array([refdsp.rms_dbfs(
+            np.sqrt(np.mean(f.astype(np.float64) ** 2, axis=1)))
+            for f in frames_b])
+        states_ref = refdsp.gate_updelay_loop(levels, TON, TOFF,
+                                              DELAY * HOP, HOP)
+        np.testing.assert_array_equal(states[b], states_ref)
+        alpha_ref = refdsp.alpha_ramp_loop(
+            (states_ref == 2).astype(float), 1.0 / xfade_frames)
+        np.testing.assert_allclose(alpha[b], alpha_ref, atol=1e-5)
+        gains = 10.0 ** (((1 - alpha_ref)[:, None] * g1_db[None, :]
+                          + alpha_ref[:, None] * g2_db[None, :]) / 20.0)
+        ysum, wsum = refdsp.stft_ola_loop(sigs[b], gains, N_FFT, HOP, win)
+        y_ref = ysum / (wsum[:, None] + 1e-12)
+        np.testing.assert_allclose(emit[b], y_ref[:F * HOP],
+                                   atol=2e-4, rtol=1e-4)
+    assert float(np.asarray(ac)[0]) == alpha[0][-1]

@@ -78,6 +78,118 @@ def _sharded_gate_updelay(levels, ton, toff, delay_frames: int, s0, valid):
     return states, carry_out
 
 
+def _sharded_alpha_ramp(targets, step, alpha0, valid):
+    """Block-composed crossfade ramp inside shard_map (axis 'seq').
+
+    The per-frame update x -> min(hi, max(lo, x+a)) is a clip-affine map
+    (ops/gate.py); each shard composes its local maps, the shard totals are
+    all_gathered, and every shard applies its exclusive prefix — the same
+    scheme as the gate's transition tables, in the (a, lo, hi) algebra.
+    Returns (alpha_local [F_loc], global final alpha).
+    """
+    big = jnp.float32(1e9)
+    targets = targets.astype(jnp.float32)
+    a = jnp.where(targets > 0.5, step, -step)
+    lo = jnp.where(targets > 0.5, -big, 0.0)
+    hi = jnp.where(targets > 0.5, 1.0, big)
+    a = jnp.where(valid, a, 0.0)
+    lo = jnp.where(valid, lo, -big)
+    hi = jnp.where(valid, hi, big)
+
+    def compose(f, g):  # f applied first
+        a1, b1, c1 = f
+        a2, b2, c2 = g
+        return (a1 + a2,
+                jnp.maximum(b2, b1 + a2),
+                jnp.minimum(c2, jnp.maximum(b2, c1 + a2)))
+
+    prefix = jax.lax.associative_scan(compose, (a, lo, hi), axis=0)
+    total = (prefix[0][-1], prefix[1][-1], prefix[2][-1])
+    totals = jax.tree_util.tree_map(
+        lambda t: jax.lax.all_gather(t, "seq"), total)   # each [n_seq]
+    idx = jax.lax.axis_index("seq")
+    ident = (jnp.float32(0.0) + 0 * totals[0][0],
+             -big + 0 * totals[0][0], big + 0 * totals[0][0])
+
+    def body(i, acc):
+        excl_acc, all_acc = acc
+        t_i = (totals[0][i], totals[1][i], totals[2][i])
+        nxt = compose(excl_acc, t_i)
+        keep = i < idx
+        excl_new = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(keep, n, o), nxt, excl_acc)
+        return (excl_new, compose(all_acc, t_i))
+
+    (excl, full) = jax.lax.fori_loop(0, totals[0].shape[0], body,
+                                     (ident, ident))
+    a0 = jnp.float32(alpha0)
+    a0_loc = jnp.minimum(excl[2], jnp.maximum(excl[1], a0 + excl[0]))
+    alpha = jnp.minimum(prefix[2], jnp.maximum(prefix[1], a0_loc + prefix[0]))
+    final = jnp.minimum(full[2], jnp.maximum(full[1], a0 + full[0]))
+    return alpha, final
+
+
+def sharded_xfade_step(mesh: Mesh, n_fft: int, hop: int,
+                       frames_per_shard: int, channels: int,
+                       ton: float, toff: float, delay_frames: int,
+                       alpha_step: float, g1_db, g2_db, window=None):
+    """dp x sp step for the CROSSFADE processor: block-scanned gate +
+    block-scanned alpha ramp + per-frame dB-domain gain blend + OLA halo.
+
+    fn(frames [B, F, C, n_fft], s0 [B], alpha0 [B], n_valid [B]) ->
+        (emit [B, F*hop, C], states [B, F], alpha [B, F],
+         gate_carry [B], alpha_carry [B])
+    """
+    win = jnp.asarray(window if window is not None
+                      else stft.hann_symmetric(n_fft))
+    win2 = win * win
+    g1_db = jnp.asarray(g1_db, jnp.float32)
+    g2_db = jnp.asarray(g2_db, jnp.float32)
+    tail = n_fft - hop
+    n_seq = mesh.shape["seq"]
+    F_loc = frames_per_shard
+
+    def per_file(frames, s0, alpha0, n_valid):
+        seq_i = jax.lax.axis_index("seq")
+        f0 = seq_i * F_loc
+        valid = (f0 + jnp.arange(F_loc)) < n_valid
+        levels = frame_levels_dbfs(jnp.transpose(frames, (0, 2, 1)))
+        states, gate_carry = _sharded_gate_updelay(
+            levels, ton, toff, delay_frames, s0, valid)
+        targets = (states == 2).astype(jnp.float32)
+        alpha, alpha_carry = _sharded_alpha_ramp(
+            targets, jnp.float32(alpha_step), alpha0, valid)
+        mixed_db = ((1.0 - alpha)[:, None] * g1_db[None, :]
+                    + alpha[:, None] * g2_db[None, :])
+        gains = 10.0 ** (mixed_db / 20.0)
+        y = stft.apply_gain_bank(frames, win, gains.astype(jnp.float32))
+        mask = valid.astype(jnp.float32)
+        y = y * mask[:, None, None]
+        ola = stft.overlap_add(y, hop)
+        w = stft.overlap_add(win2[None, None, :] * mask[:, None, None],
+                             hop)[:, 0]
+        perm = [(i, i + 1) for i in range(n_seq - 1)]
+        recv_y = jax.lax.ppermute(ola[F_loc * hop:], "seq", perm)
+        recv_w = jax.lax.ppermute(w[F_loc * hop:], "seq", perm)
+        ola = ola.at[:tail].add(recv_y)
+        w = w.at[:tail].add(recv_w)
+        emit = ola[:F_loc * hop] / (w[:F_loc * hop, None] + EPS)
+        return emit, states, alpha, gate_carry, alpha_carry
+
+    def step(frames, s0, alpha0, n_valid):
+        return jax.vmap(per_file)(frames, s0, alpha0, n_valid)
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data", "seq", None, None), P("data"), P("data"),
+                  P("data")),
+        out_specs=(P("data", "seq", None), P("data", "seq"),
+                   P("data", "seq"), P("data"), P("data")),
+        check_vma=False)
+
+    return jax.jit(sharded)
+
+
 def sharded_process_step(mesh: Mesh, n_fft: int, hop: int,
                          frames_per_shard: int, channels: int,
                          ton: float, toff: float, delay_frames: int,
