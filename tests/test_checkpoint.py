@@ -92,3 +92,38 @@ def test_checkpoint_rejects_changed_config(tmp_path, monkeypatch):
     with pytest.raises(ValueError):
         process(ip, tmp_path / "o.flac", p2, frames_per_chunk=8,
                 checkpoint_path=ck, checkpoint_every=2)
+
+
+def test_xfade_resume(tmp_path, monkeypatch):
+    from tomatis_tpu.models.xfade import XfadeParams
+    from tomatis_tpu.models.xfade import process as xprocess
+    sr = 48000
+    x = _signal(7.0)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = XfadeParams(xfade_ms=120.0, require_48k_stereo=False)
+    ref = tmp_path / "ref.flac"
+    xprocess(ip, ref, p, frames_per_chunk=16)
+
+    out, ck = tmp_path / "o.flac", tmp_path / "ck.npz"
+    from tomatis_tpu.engine import streaming as S
+    orig = S.StreamRunner._write_cut_pcm24
+    calls = {"n": 0}
+
+    def bomb(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise _Bomb()
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_pcm24", bomb)
+    with pytest.raises(_Bomb):
+        xprocess(ip, out, p, frames_per_chunk=16, checkpoint_path=ck,
+                 checkpoint_every=4)
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_pcm24", orig)
+    xprocess(ip, out, p, frames_per_chunk=16, checkpoint_path=ck,
+             checkpoint_every=4)
+    import numpy as np
+    a, _ = audio.read(ref)
+    b, _ = audio.read(out)
+    np.testing.assert_array_equal(a, b)

@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_stft_flags(ap)
     ap.add_argument("--state_csv", default=None,
                     help="per-frame state CSV output path (with alpha)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file for crash recovery")
+    ap.add_argument("--checkpoint_every", type=int, default=8)
     add_engine_flags(ap)
     return ap
 
@@ -43,7 +46,9 @@ def run(args) -> int:
         require_48k_stereo=not args.allow_any_rate)
     stats = process(args.input, args.output, p,
                     state_csv_path=args.state_csv,
-                    frames_per_chunk=args.frames_per_chunk)
+                    frames_per_chunk=args.frames_per_chunk,
+                    checkpoint_path=args.checkpoint,
+                    checkpoint_every=args.checkpoint_every)
     n = max(1, stats["n_frames"])
     print(f"threshold: {stats['threshold_dbfs']:.1f} dBFS, "
           f"xfade: {stats['xfade_frames']} frames")

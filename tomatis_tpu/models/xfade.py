@@ -84,7 +84,11 @@ def process_array(x: np.ndarray, sr: int, p: XfadeParams | None = None,
 
 
 def process(in_path, out_path, p: XfadeParams | None = None,
-            state_csv_path=None, frames_per_chunk: int = 1024) -> dict:
+            state_csv_path=None, frames_per_chunk: int = 1024,
+            checkpoint_path=None, checkpoint_every: int = 8) -> dict:
+    """File-to-file crossfade processing; checkpoint_path enables the same
+    chunk-granular crash recovery as the standard processor."""
+    import os
     p = p or XfadeParams()
     with audio.AudioFile(in_path, "r") as fin:
         sr, ch, total = fin.samplerate, fin.channels, fin.frames
@@ -94,28 +98,62 @@ def process(in_path, out_path, p: XfadeParams | None = None,
             if ch != 2:
                 raise ValueError(f"expected stereo, got {ch} channels")
         out_path = str(out_path)
-        try:
-            fout = audio.AudioFile(out_path, "w", samplerate=sr, channels=ch,
-                                   subtype="PCM_24")
+        ckpt = resume_state = None
+        stage_path = None
+        if checkpoint_path:
+            from tomatis_tpu.engine.checkpoint import CheckpointManager
+            from tomatis_tpu.io.wav import WavWriter
+            from tomatis_tpu.models.standard import _RawWav
+            config = dict(asdict(p), sr=sr, ch=ch, total=total,
+                          frames_per_chunk=frames_per_chunk, model="xfade")
+            ckpt = CheckpointManager(checkpoint_path, config,
+                                     checkpoint_every)
+            resume_state = ckpt.load()
+            stage_path = (out_path if out_path.lower().endswith(".wav")
+                          else out_path + ".part.wav")
+            if resume_state is not None and os.path.exists(stage_path):
+                sc = resume_state["__meta__"]["scalars"]
+                fout = _RawWav(WavWriter.reopen(
+                    stage_path, sc["audio_samples_written"]), ch)
+            else:
+                resume_state = None
+                fout = _RawWav(WavWriter(stage_path, sr, ch, "PCM_24"), ch)
             actual_out = out_path
-        except Exception:
-            actual_out = out_path.rsplit(".", 1)[0] + ".wav"
-            fout = audio.AudioFile(actual_out, "w", samplerate=sr,
-                                   channels=ch, subtype="PCM_24")
+        else:
+            try:
+                fout = audio.AudioFile(out_path, "w", samplerate=sr,
+                                       channels=ch, subtype="PCM_24")
+                actual_out = out_path
+            except Exception:
+                actual_out = out_path.rsplit(".", 1)[0] + ".wav"
+                fout = audio.AudioFile(actual_out, "w", samplerate=sr,
+                                       channels=ch, subtype="PCM_24")
         raw = fout.supports_raw
         runner = make_runner(p, sr, ch, total, frames_per_chunk,
                              transport="pcm24" if raw else "f32")
+        resume_frame = None
+        if resume_state is not None:
+            resume_frame = resume_state["__meta__"]["scalars"][
+                "frames_consumed"]
         csvw = StateCsvWriter(state_csv_path, sr, total, with_alpha=True,
-                              level_fmt="%.2f", alpha_fmt="%.3f") \
+                              level_fmt="%.2f", alpha_fmt="%.3f",
+                              resume_at_frame=resume_frame) \
             if state_csv_path else None
         try:
             stats = runner.run(fin,
                                on_audio=fout.write_raw if raw else fout.write,
-                               on_frames=csvw.on_frames if csvw else None)
+                               on_frames=csvw.on_frames if csvw else None,
+                               ckpt=ckpt, resume_state=resume_state)
         finally:
             fout.close()
             if csvw:
                 csvw.close()
+        if ckpt is not None:
+            from tomatis_tpu.models.standard import _transcode_wav_to
+            if stage_path != out_path:
+                _transcode_wav_to(stage_path, out_path)
+                os.remove(stage_path)
+            ckpt.clear()
     stats.update(params=asdict(p), sr=sr, channels=ch, total=total,
                  threshold_dbfs=p.threshold_dbfs(),
                  xfade_frames=p.xfade_frames(sr), out_path=actual_out)
