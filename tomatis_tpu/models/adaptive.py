@@ -74,11 +74,6 @@ def compute_frame_levels(x: np.ndarray, p: AdaptiveParams,
                          np.zeros((pad, ch), np.float32)])
     base = k0 * hop
 
-    @jax.jit
-    def level_chunk(sig):
-        frames = stft.frame_signal(sig, n_fft, hop, frames_per_chunk)
-        return dsp.frame_levels_dbfs(jnp.transpose(frames, (0, 2, 1)))
-
     levels = np.empty(F, np.float32)
     need = (frames_per_chunk - 1) * hop + n_fft
     for f0 in range(0, F, frames_per_chunk):
@@ -88,7 +83,8 @@ def compute_frame_levels(x: np.ndarray, p: AdaptiveParams,
         if len(sig) < need:
             sig = np.concatenate(
                 [sig, np.zeros((need - len(sig), ch), np.float32)])
-        levels[f0:f0 + nf] = np.asarray(level_chunk(jnp.asarray(sig)))[:nf]
+        levels[f0:f0 + nf] = np.asarray(stft.frame_levels_chunk(
+            jnp.asarray(sig), n_fft, hop, frames_per_chunk))[:nf]
     valid = levels > p.silence_threshold
     return levels, valid, None
 
@@ -107,10 +103,10 @@ def find_optimal_threshold(levels: np.ndarray, valid: np.ndarray,
     best_diff = 1.0
     lv = jnp.asarray(levels)
 
-    @jax.jit
     def c2_ratio(ton, toff):
+        # gate_minhold is module-level jitted: one compile per (F, H)
         states, _ = gate_ops.gate_minhold(lv, ton, toff, min_hold_frames)
-        return jnp.mean((states == 2).astype(jnp.float32))
+        return np.mean(np.asarray(states) == 2)
 
     for _ in range(30):
         t_mid = (t_low + t_high) / 2.0

@@ -123,3 +123,12 @@ def window_ola(win2, n_frames: int, hop: int):
 
 def rfft_freqs(n_fft: int, sr: float) -> np.ndarray:
     return np.fft.rfftfreq(n_fft, d=1.0 / sr).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "n_frames"))
+def frame_levels_chunk(sig, n_fft: int, hop: int, n_frames: int):
+    """Per-frame RMS dBFS of a [S, C] signal slice — module-level jit so
+    repeated calls share one compiled executable."""
+    from tomatis_tpu.ops.dsp import frame_levels_dbfs
+    frames = frame_signal(sig, n_fft, hop, n_frames)
+    return frame_levels_dbfs(jnp.transpose(frames, (0, 2, 1)))

@@ -17,6 +17,7 @@ reduces on device so only [bins] cross the wire.
 from __future__ import annotations
 
 import csv
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -57,11 +58,6 @@ def _inrange_frame_levels(x: np.ndarray, n_fft: int, hop: int,
     if F == 0:
         return np.zeros(0, np.float32)
 
-    @jax.jit
-    def level_chunk(sig):
-        frames = stft.frame_signal(sig, n_fft, hop, chunk)
-        return dsp.frame_levels_dbfs(jnp.transpose(frames, (0, 2, 1)))
-
     need = (chunk - 1) * hop + n_fft
     out = np.empty(F, np.float32)
     for f0 in range(0, F, chunk):
@@ -71,7 +67,8 @@ def _inrange_frame_levels(x: np.ndarray, n_fft: int, hop: int,
         if len(sig) < need:
             sig = np.concatenate(
                 [sig, np.zeros((need - len(sig), ch), np.float32)])
-        out[f0:f0 + nf] = np.asarray(level_chunk(jnp.asarray(sig)))[:nf]
+        out[f0:f0 + nf] = np.asarray(stft.frame_levels_chunk(
+            jnp.asarray(sig), n_fft, hop, chunk))[:nf]
     return out
 
 
@@ -144,6 +141,20 @@ def find_stable_frames(states, margin: int = 2):
     return idx[c1_ok], idx[c2_ok]
 
 
+@functools.partial(jax.jit, static_argnames=("n_fft",))
+def _spec_ratios(fx, fy, n_fft: int):
+    """Per-frame channel-mean |Y|/|X| ratios + input levels.
+    fx/fy: [B, n_fft, C]. Module-level jit: compiled once per shape."""
+    win = jnp.asarray(stft.hann_symmetric(n_fft))
+    lv = dsp.frame_levels_dbfs(fx)
+    X = jnp.mean(jnp.abs(jnp.fft.rfft(
+        jnp.transpose(fx, (0, 2, 1)) * win)), axis=1)
+    Y = jnp.mean(jnp.abs(jnp.fft.rfft(
+        jnp.transpose(fy, (0, 2, 1)) * win)), axis=1)
+    X = jnp.maximum(X, 1e-10)
+    return Y / X, lv
+
+
 def conditional_spectrum(x, y, sr, states, n_fft, hop,
                          level_threshold: float = -60.0, margin: int = 2,
                          batch: int = 512):
@@ -163,19 +174,10 @@ def conditional_spectrum(x, y, sr, states, n_fft, hop,
                          np.zeros((pad, ch), np.float32)])
     c1_idx, c2_idx = find_stable_frames(states, margin)
     freqs = stft.rfft_freqs(n_fft, sr)
-    win = jnp.asarray(stft.hann_symmetric(n_fft))
     nbins = len(freqs)
 
-    @jax.jit
     def ratios(fx, fy):
-        # fx/fy: [B, n_fft, C]
-        lv = dsp.frame_levels_dbfs(fx)
-        X = jnp.mean(jnp.abs(jnp.fft.rfft(
-            jnp.transpose(fx, (0, 2, 1)) * win)), axis=1)
-        Y = jnp.mean(jnp.abs(jnp.fft.rfft(
-            jnp.transpose(fy, (0, 2, 1)) * win)), axis=1)
-        X = jnp.maximum(X, 1e-10)
-        return Y / X, lv
+        return _spec_ratios(fx, fy, n_fft)
 
     def collect(idx_list):
         keep = []
@@ -184,14 +186,18 @@ def conditional_spectrum(x, y, sr, states, n_fft, hop,
             ids = ids[(ids * hop >= 0) & (ids * hop + n_fft <= total)]
             if len(ids) == 0:
                 continue
-            fx = np.stack([xp[i * hop + pad:i * hop + pad + n_fft]
-                           for i in ids])
-            fy = np.stack([yp[i * hop + pad:i * hop + pad + n_fft]
-                           for i in ids])
+            n = len(ids)
+            # pad to the fixed batch size so every call shares one compile
+            fx = np.zeros((batch, n_fft, ch), np.float32)
+            fy = np.zeros((batch, n_fft, ch), np.float32)
+            for j, i in enumerate(ids):
+                fx[j] = xp[i * hop + pad:i * hop + pad + n_fft]
+                fy[j] = yp[i * hop + pad:i * hop + pad + n_fft]
             r, lv = ratios(jnp.asarray(fx), jnp.asarray(fy))
-            ok = np.asarray(lv) >= level_threshold
+            r = np.asarray(r)[:n]
+            ok = np.asarray(lv)[:n] >= level_threshold
             if ok.any():
-                keep.append(np.asarray(r)[ok])
+                keep.append(r[ok])
         if not keep:
             return np.zeros(nbins), 0
         allr = np.concatenate(keep, 0)

@@ -47,10 +47,10 @@ def find_optimal_threshold(levels, hyst_db, target_c2_ratio=0.5,
     best_diff = 1.0
     lv = jnp.asarray(levels.astype(np.float32))
 
-    @jax.jit
     def ratio_fn(ton, toff):
+        # gate_updelay is module-level jitted (one compile per (F, D))
         states, _ = gate_ops.gate_updelay(lv, ton, toff, up_delay_frames)
-        return jnp.mean((states == 2).astype(jnp.float32))
+        return np.mean(np.asarray(states) == 2)
 
     for _ in range(30):
         t_mid = (t_low + t_high) / 2
@@ -65,6 +65,21 @@ def find_optimal_threshold(levels, hyst_db, target_c2_ratio=0.5,
         else:
             t_low = t_mid
     return best_t, best_ratio
+
+
+@jax.jit
+def _anchored_ratios(fx, fy, win, anchor_mask):
+    """Per-frame channel-mean |Y|/|X| ratios normalized to the anchor
+    band's mean. Module-level jit: one compile per shape."""
+    X = jnp.mean(jnp.abs(jnp.fft.rfft(
+        jnp.transpose(fx, (0, 2, 1)) * win)), axis=1)
+    Y = jnp.mean(jnp.abs(jnp.fft.rfft(
+        jnp.transpose(fy, (0, 2, 1)) * win)), axis=1)
+    X = jnp.maximum(X, 1e-10)
+    r = Y / X
+    ag = jnp.mean(jnp.where(anchor_mask, r, 0.0), axis=-1) \
+        * (r.shape[-1] / jnp.sum(anchor_mask))
+    return jnp.where(ag[:, None] > 0, r / ag[:, None], r)
 
 
 def conditional_spectrum_v2(x, y, sr, states, levels, n_fft, hop,
@@ -86,21 +101,13 @@ def conditional_spectrum_v2(x, y, sr, states, levels, n_fft, hop,
     level_threshold = float(np.percentile(levels, level_percentile))
     c1_idx, c2_idx = find_stable_frames(states, margin=2)
     freqs = stft.rfft_freqs(n_fft, sr)
-    win = jnp.asarray(stft.hann_symmetric(n_fft))
-    anchor = jnp.asarray((freqs >= anchor_band[0]) & (freqs <= anchor_band[1]))
     nbins = len(freqs)
+    win = jnp.asarray(stft.hann_symmetric(n_fft))
+    anchor_mask = jnp.asarray((freqs >= anchor_band[0])
+                              & (freqs <= anchor_band[1]))
 
-    @jax.jit
     def ratios(fx, fy):
-        X = jnp.mean(jnp.abs(jnp.fft.rfft(
-            jnp.transpose(fx, (0, 2, 1)) * win)), axis=1)
-        Y = jnp.mean(jnp.abs(jnp.fft.rfft(
-            jnp.transpose(fy, (0, 2, 1)) * win)), axis=1)
-        X = jnp.maximum(X, 1e-10)
-        r = Y / X
-        ag = jnp.mean(jnp.where(anchor, r, 0.0), axis=-1) \
-            * (r.shape[-1] / jnp.sum(anchor))
-        return jnp.where(ag[:, None] > 0, r / ag[:, None], r)
+        return _anchored_ratios(fx, fy, win, anchor_mask)
 
     def collect(idx_list):
         keep = []
@@ -110,11 +117,15 @@ def conditional_spectrum_v2(x, y, sr, states, levels, n_fft, hop,
             ids = ids[np.asarray(levels)[ids] >= level_threshold]
             if len(ids) == 0:
                 continue
-            fx = np.stack([xp[i * hop + pad:i * hop + pad + n_fft]
-                           for i in ids])
-            fy = np.stack([yp[i * hop + pad:i * hop + pad + n_fft]
-                           for i in ids])
-            keep.append(np.asarray(ratios(jnp.asarray(fx), jnp.asarray(fy))))
+            n = len(ids)
+            ch = xp.shape[1]
+            fx = np.zeros((batch, n_fft, ch), np.float32)
+            fy = np.zeros((batch, n_fft, ch), np.float32)
+            for j, i in enumerate(ids):
+                fx[j] = xp[i * hop + pad:i * hop + pad + n_fft]
+                fy[j] = yp[i * hop + pad:i * hop + pad + n_fft]
+            keep.append(np.asarray(
+                ratios(jnp.asarray(fx), jnp.asarray(fy)))[:n])
         if not keep:
             return np.zeros(nbins), 0
         allr = np.concatenate(keep, 0)
