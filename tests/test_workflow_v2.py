@@ -1,0 +1,144 @@
+"""The reference's production workflow (docs/Workflow_v2.md) end to end:
+
+    device recording -> calibrate-v2 -> process --calibration
+    -> analyze-eq -> apply-eq -> compare -> apply-residual-eq --safe
+    -> validate
+
+on synthetic 'music' + a synthetic 'device' rendition with known gate
+parameters, gain and spectral coloration. Each stage's artifact feeds the
+next exactly as the reference chains its scripts.
+"""
+import json
+
+import numpy as np
+import pytest
+from scipy.signal import lfilter
+
+from tomatis_tpu.analysis.analyze_eq import analyze_eq
+from tomatis_tpu.analysis.calibrate import calibrate_v2
+from tomatis_tpu.analysis.compare import compare_audio
+from tomatis_tpu.io import audio
+from tomatis_tpu.models import eq as eqm
+from tomatis_tpu.models.standard import StandardParams, process, process_array
+from tomatis_tpu.verify import validate_layer1 as vl
+
+SR = 48000
+TRUE_T = -28.0
+TRUE_HYST = 2.0
+DEVICE_GAIN = -4.0
+DEVICE_COLOR = [(30, -4.0), (300, 3.0), (1000, 0.0), (5000, -6.0),
+                (16000, -9.0)]
+
+
+def _music(seconds=50.0, seed=33):
+    rng = np.random.default_rng(seed)
+    n = int(seconds * SR)
+    noise = lfilter([1.0], [1.0, -0.93], rng.standard_normal(n))
+    noise = noise / np.max(np.abs(noise))
+    amp = np.full(n, 0.004, np.float32)
+    pos = 0
+    while pos < n:
+        dur = int(SR * rng.uniform(0.2, 0.7))
+        peak = 0.05 * 10 ** (0.4 * rng.standard_normal())
+        seg = min(dur, n - pos)
+        amp[pos:pos + seg] += peak * np.exp(-np.arange(seg) / (0.3 * SR))
+        pos += dur
+    # broadband only: a dominant discrete tone would put rectification
+    # harmonics of the power-mono envelope into the analysis bands and
+    # break the envelope-spectrum method (real polyphonic music behaves
+    # like this noise mixture)
+    x = amp * noise
+    return np.clip(np.stack([x, 0.95 * x], 1), -1, 1).astype(np.float32)
+
+
+def _colorize(x, gains_db_at):
+    n = len(x)
+    freqs = np.fft.rfftfreq(n, 1 / SR)
+    fs, dbs = zip(*gains_db_at)
+    g = 10 ** (np.interp(np.log10(np.maximum(freqs, 1)),
+                         np.log10(fs), dbs) / 20.0)
+    y = np.empty_like(x)
+    for c in range(x.shape[1]):
+        y[:, c] = np.fft.irfft(np.fft.rfft(x[:, c]) * g, n)
+    return y.astype(np.float32)
+
+
+@pytest.mark.slow
+def test_workflow_v2_end_to_end(tmp_path):
+    # 0. the original and a fake device recording: gated tilt at known
+    #    params + overall gain + a speaker/mic coloration + 0.3 s latency.
+    #    Tilt is kept moderate (+-3 dB) so the layer-2 median spectra are
+    #    not dominated by the gate's bimodality — mirroring the reference's
+    #    real use where base and candidate switch states in near-lockstep
+    orig = _music()
+    p_dev = StandardParams(gate_ui=50.0, gate_mode="linear",
+                           gate_offset=TRUE_T - 50.0,
+                           hysteresis_db=TRUE_HYST, up_delay_ms=0.0,
+                           c1_low=3.0, c1_high=-3.0, c2_low=-3.0,
+                           c2_high=3.0, require_48k_stereo=False,
+                           output_gain_db=DEVICE_GAIN)
+    dev, _ = process_array(orig, SR, p_dev)
+    dev = _colorize(dev, DEVICE_COLOR)
+    off = int(0.3 * SR)
+    orig_p = tmp_path / "orig.flac"
+    base_p = tmp_path / "device.flac"
+    audio.write(orig_p, orig, SR, subtype="PCM_24")
+    audio.write(base_p, np.clip(dev[off:], -1, 1), SR, subtype="PCM_24")
+
+    # 1. calibrate-v2 -> calibration_v2.json
+    cal_json = tmp_path / "calibration_v2.json"
+    cal = calibrate_v2(orig_p, base_p, gate_ui=50.0,
+                       out_json=str(cal_json))
+    assert abs(cal["T_raw_dbfs"] - TRUE_T) < 2.0
+    assert cal["mismatch"] < 0.08
+
+    # 2. process the original with the calibration (like the CLI does)
+    saved = json.load(open(cal_json))
+    p_run = StandardParams(gate_ui=saved["gate_ui"], gate_mode="linear",
+                           gate_scale=saved["gate_scale"],
+                           gate_offset=saved["gate_offset"],
+                           hysteresis_db=saved["hyst_db"],
+                           up_delay_ms=saved["up_delay_ms"],
+                           c1_low=3.0, c1_high=-3.0, c2_low=-3.0,
+                           c2_high=3.0, require_48k_stereo=False)
+    l1_out = tmp_path / "layer1.flac"
+    st_csv = tmp_path / "state.csv"
+    process(orig_p, l1_out, p_run, state_csv_path=st_csv)
+
+    # validate layer 1 against its own state CSV
+    res = vl.validate(orig_p, l1_out, st_csv, gate_ui=saved["gate_ui"],
+                      gate_offset=saved["gate_offset"],
+                      hyst_db=saved["hyst_db"],
+                      up_delay_ms=saved["up_delay_ms"],
+                      c1_low=3.0, c1_high=-3.0, c2_low=-3.0, c2_high=3.0,
+                      out_csv=None, out_png=None)
+    assert res["checks"]["gate"]["pass"]
+
+    # 3. layer 2: static EQ derived from device vs layer1 output
+    eq_csv = tmp_path / "layer2_eq_curve.csv"
+    analyze_eq(base_p, l1_out, out_csv=str(eq_csv), out_png=None,
+               max_minutes=1.0)
+    l2_out = tmp_path / "layer2.flac"
+    eqm.apply_eq(l1_out, l2_out, eq_csv, pad=True)
+
+    # the EQ stage must shrink the spectral gap to the device recording
+    before = compare_audio(base_p, l1_out, out_csv=None)
+    after = compare_audio(base_p, l2_out, out_csv=None)
+
+    def music_err(r):
+        return np.mean([abs(r["bands"]["200-1000"]["mean"]),
+                        abs(r["bands"]["1000-3000"]["mean"]),
+                        abs(r["bands"]["3000-8000"]["mean"])])
+
+    assert music_err(after) < music_err(before)
+    assert music_err(after) < 1.0
+
+    # 4. layer 2b: residual EQ from a fresh diff spectrum closes the rest
+    diff_csv = tmp_path / "diff_spectrum.csv"
+    compare_audio(base_p, l2_out, out_csv=str(diff_csv))
+    l2b_out = tmp_path / "layer2b.flac"
+    eqm.apply_residual_eq(l2_out, l2b_out, diff_csv)
+    final = compare_audio(base_p, l2b_out, out_csv=None)
+    # the reference's published accuracy is ~0.07-1.15 dB per band on real
+    # device recordings (docs/TOMATIS_WORK_LOG.md:74-82)
+    assert music_err(final) < 0.4
