@@ -92,3 +92,25 @@ def test_short_file_smaller_than_fft():
     x = _signal(0.02)  # 960 samples < n_fft
     y, stats = process_array(x, 48000, PARAMS)
     assert y.shape == x.shape
+
+
+def test_output_parity_hop_quarter():
+    """n_fft/hop = 4: the OLA tail spans 3 hop blocks, exercising the
+    partial-final-chunk emit slicing and the pallas k=4 mapping."""
+    x = _signal(2.3)
+    p = StandardParams(require_48k_stereo=False, n_fft=4096, hop=1024)
+    y, stats = process_array(x, 48000, p, frames_per_chunk=29)
+    y_ref, states_ref, _ = refdsp.process_standard_loop(
+        x, 48000, n_fft=4096, hop=1024)
+    assert y.shape == y_ref.shape
+    assert stats["c2_frames"] == int(np.sum(states_ref == 2))
+    assert np.max(np.abs(y - y_ref)) < 2e-4
+
+
+def test_output_parity_small_fft():
+    """n_fft=1024/hop=512 (the reference's speed setting family)."""
+    x = _signal(1.7)
+    p = StandardParams(require_48k_stereo=False, n_fft=1024, hop=512)
+    y, stats = process_array(x, 48000, p, frames_per_chunk=64)
+    y_ref, _, _ = refdsp.process_standard_loop(x, 48000, n_fft=1024, hop=512)
+    assert np.max(np.abs(y - y_ref)) < 2e-4
