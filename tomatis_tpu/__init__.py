@@ -25,3 +25,23 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from tomatis_tpu.io import audio  # noqa: F401,E402
+
+
+def __getattr__(name):
+    """Lazy top-level API: keep `import tomatis_tpu` light (no jax work
+    until a processor is touched)."""
+    import importlib
+    lazy = {
+        "StandardParams": ("tomatis_tpu.models.standard", "StandardParams"),
+        "process": ("tomatis_tpu.models.standard", "process"),
+        "process_array": ("tomatis_tpu.models.standard", "process_array"),
+        "XfadeParams": ("tomatis_tpu.models.xfade", "XfadeParams"),
+        "AdaptiveParams": ("tomatis_tpu.models.adaptive", "AdaptiveParams"),
+        "process_batch": ("tomatis_tpu.parallel.batch", "process_batch"),
+    }
+    if name in lazy:
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
