@@ -82,6 +82,9 @@ COMMANDS = {
     "process-batch": ("tomatis_tpu.cli.process_batch",
                       "process many files per device dispatch "
                       "(per-file failure isolation)"),
+    "match": ("tomatis_tpu.cli.match",
+              "full device-matching workflow in one command "
+              "(calibrate + process + layer2 + residual)"),
 }
 
 

@@ -279,9 +279,13 @@ def apply_eq(in_path, out_path, eq_csv, n_fft=4096, hop=2048, pad=True,
 def apply_residual_eq(in_audio, out_audio, diff_csv, n_fft=4096, hop=2048,
                       smooth_win=41, clamp_hi=6.0, mid_start=3000.0,
                       mid_clamp_hi=2.0, hf_start=8000.0, hf_clamp_hi=0.0,
-                      safe: bool = False, frames_per_chunk: int = 1024) -> dict:
+                      safe: bool = False, frames_per_chunk: int = 1024,
+                      pre_gain_db: float = 0.0) -> dict:
     """Layer-2b residual EQ applier; safe=True selects the Safe-B clamps
-    (and the reference's different smoothing default belongs to the CLI)."""
+    (and the reference's different smoothing default belongs to the CLI).
+    pre_gain_db scales the input before EQ — 0.0 matches the reference
+    appliers (which write raw and can clip in PCM); the automated workflow
+    uses it for a two-pass peak protect."""
     res_freq, res_db = load_residual_csv(diff_csv)
     res_db_s = smooth_on_logfreq(res_freq, res_db, win=smooth_win)
     meta = audio.info(in_audio)
@@ -300,6 +304,7 @@ def apply_residual_eq(in_audio, out_audio, diff_csv, n_fft=4096, hop=2048,
     # no padding in the reference residual appliers
     out = apply_gain_stream(in_audio, out_audio, eq_lin, n_fft, hop,
                             pad_len=0, frames_per_chunk=frames_per_chunk,
+                            pre_gain=float(10.0 ** (pre_gain_db / 20.0)),
                             require_48k_stereo=False)
     out["eq_db"] = eq_db
     return out
