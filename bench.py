@@ -47,6 +47,10 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=2,
                     help="best-of-N (the tunneled TPU's transfer "
                          "bandwidth varies heavily between runs)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="N>0: BASELINE config-5 shape — N files processed "
+                         "as vmapped lanes in one device dispatch; reports "
+                         "aggregate audio-sec/sec")
     args = ap.parse_args()
 
     import tempfile
@@ -65,6 +69,41 @@ def main() -> int:
     in_path = os.path.join(tmp, "in.wav")
     out_path = os.path.join(tmp, "out.wav")
     audio.write(in_path, x, args.sr, subtype="PCM_24")
+
+    if args.batch > 0:
+        from tomatis_tpu.parallel.batch import process_batch
+        jobs = []
+        for i in range(args.batch):
+            jp = os.path.join(tmp, f"in_{i}.wav")
+            audio.write(jp, synth(args.seconds, args.sr, seed=i), args.sr,
+                        subtype="PCM_24")
+            jobs.append((jp, os.path.join(tmp, f"out_{i}.wav")))
+        # warm-up: compile the vmapped executable at the same lane count
+        wp = os.path.join(tmp, "bw.wav")
+        audio.write(wp, synth(30.0, args.sr, seed=99), args.sr,
+                    subtype="PCM_24")
+        process_batch([(wp, os.path.join(tmp, f"bwo_{i}.wav"))
+                       for i in range(args.batch)], p,
+                      frames_per_chunk=args.frames_per_chunk)
+        best = None
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            res = process_batch(jobs, p,
+                                frames_per_chunk=args.frames_per_chunk)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        ok = [r for r in res if isinstance(r, dict)]
+        agg_audio = audio_sec * args.batch
+        rtf = agg_audio / best
+        print(json.dumps({
+            "metric": "batch_realtime_factor", "value": round(rtf, 1),
+            "unit": "x_realtime_aggregate",
+            "vs_baseline": round(rtf / 18.0, 2),
+            "batch": args.batch, "files_ok": len(ok),
+            "audio_seconds": agg_audio, "wall_seconds": round(best, 3),
+            "device": str(dev),
+        }))
+        return 0
 
     # Warm-up: compile the chunk executable on a short file with the same
     # chunk shape, then time the full file->file pipeline (decode, stream,
