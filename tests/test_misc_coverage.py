@@ -45,6 +45,28 @@ def test_compare_dbfs_tracks(tmp_path):
     assert (tmp_path / "trk_dev.csv").exists()
 
 
+def test_compare_dbfs_cli_chains_into_gate_threshold(tmp_path, monkeypatch):
+    """compare-dbfs CLI -> CSV -> analyze-gate-threshold: the fallback
+    output-column matcher must accept <candidate>_dbfs names."""
+    sr = 48000
+    t = np.arange(10 * sr) / sr
+    env = np.where((t % 4) < 2, 0.006, 0.2)
+    x = (env * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    ip = tmp_path / "src.wav"
+    audio.write(ip, np.stack([x, x], 1), sr, subtype="PCM_24")
+    y = np.where(env > 0.1, 2.0, 1.0).astype(np.float32) * x  # gate-ish jump
+    cp = tmp_path / "dev.wav"
+    audio.write(cp, np.stack([y, y], 1), sr, subtype="PCM_24")
+
+    monkeypatch.chdir(tmp_path)
+    from tomatis_tpu.cli.analyzers import compare_dbfs_main
+    assert compare_dbfs_main(["-i", str(ip), "-c", f"dev={cp}",
+                              "--out_prefix", "trk"]) == 0
+    from tomatis_tpu.analysis.levels import gate_threshold_from_csv
+    res = gate_threshold_from_csv(tmp_path / "trk_dev.csv", 3.0)
+    assert res is not None and res["n_switches"] >= 2
+
+
 def test_stage_timings_reported(tmp_path):
     sr = 48000
     x = (0.05 * np.random.default_rng(0).standard_normal((2 * sr, 2))

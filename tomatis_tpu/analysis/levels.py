@@ -136,8 +136,15 @@ def gate_threshold_from_csv(csv_path, diff_threshold: float = 3.0):
     """CSV variant: tolerant output-column matching (ref :20-27)."""
     import pandas as pd
     df = pd.read_csv(csv_path)
-    out_col = [c for c in df.columns
-               if "out" in c or "matlab" in c or "tomatis" in c][0]
+    named = [c for c in df.columns
+             if "out" in c or "matlab" in c or "tomatis" in c]
+    # fall back to any *_dbfs track that isn't the input (the CSVs that
+    # compare_dbfs_tracks emits are named <candidate>_dbfs)
+    other = [c for c in df.columns if c.endswith("_dbfs") and c != "in_dbfs"]
+    if not named and not other:
+        raise ValueError(f"no output level column found in {csv_path}; "
+                         f"columns: {list(df.columns)}")
+    out_col = (named or other)[0]
     return gate_threshold_from_tracks(df["t"], df["in_dbfs"], df[out_col],
                                       diff_threshold)
 

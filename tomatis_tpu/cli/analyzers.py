@@ -239,6 +239,44 @@ def find_end_main(argv=None) -> int:
     return 0
 
 
+@_wrap
+def compare_dbfs_main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="tomatis compare-dbfs",
+        description="Align N recordings to an input and emit frame-dBFS "
+                    "track CSVs (feed into analyze-gate-threshold)")
+    ap.add_argument("-i", "--input", required=True,
+                    help="the source recording")
+    ap.add_argument("-c", "--candidate", action="append", required=True,
+                    metavar="NAME=PATH",
+                    help="a candidate recording (repeatable)")
+    ap.add_argument("--sr", type=int, default=None,
+                    help="resample target (default: input rate)")
+    ap.add_argument("--frame_ms", type=float, default=20.0)
+    ap.add_argument("--hop_ms", type=float, default=10.0)
+    ap.add_argument("--max_lag_s", type=float, default=2.0)
+    ap.add_argument("--out_prefix", default="dbfs",
+                    help="CSV prefix: <prefix>_<name>.csv")
+    args = ap.parse_args(argv)
+    cands = {}
+    for spec in args.candidate:
+        if "=" in spec:
+            name, path = spec.split("=", 1)
+        else:
+            import os
+            name, path = os.path.splitext(os.path.basename(spec))[0], spec
+        cands[name] = path
+    from tomatis_tpu.analysis.levels import compare_dbfs_tracks
+    res = compare_dbfs_tracks(args.input, cands, sr_target=args.sr,
+                              frame_ms=args.frame_ms, hop_ms=args.hop_ms,
+                              max_lag_s=args.max_lag_s,
+                              out_prefix=args.out_prefix)
+    for name, r in res.items():
+        print(f"{name}: lag {r['lag']} samples, {len(r['t'])} frames -> "
+              f"{args.out_prefix}_{name}.csv")
+    return 0
+
+
 main = dbfs_main
 
 if __name__ == "__main__":

@@ -51,6 +51,9 @@ COMMANDS = {
     "analyze-stereo": ("tomatis_tpu.cli.analyzers",
                        "per-channel threshold + min-hold gate CSV",
                        "stereo_main"),
+    "compare-dbfs": ("tomatis_tpu.cli.analyzers",
+                     "align recordings and emit frame-dBFS track CSVs",
+                     "compare_dbfs_main"),
     "merge-state-volume": ("tomatis_tpu.cli.analyzers",
                            "join state CSV with per-channel dBFS",
                            "merge_main"),
