@@ -38,6 +38,33 @@ def test_flac_compresses(tmp_path):
     assert os.path.getsize(p) < 0.9 * raw
 
 
+def test_flac_lpc_compression_and_noise_bound(tmp_path):
+    """Order-12 LPC must push pure-tonal stereo well under 40% of raw, and
+    full-scale noise must stay under raw+header (regression for a uint32
+    overflow in rice parameter selection that pinned k at 30 and inflated
+    noisy blocks to ~130%)."""
+    import os
+    sr = 48000
+    t = np.arange(10 * sr) / sr
+    env = (0.05 + 0.04 * np.sin(2 * np.pi * 0.25 * t)).astype(np.float32)
+    tonal = np.stack([env * np.sin(2 * np.pi * 440 * t),
+                      env * np.sin(2 * np.pi * 441 * t)], 1).astype(np.float32)
+    noise = (0.05 * np.random.default_rng(0)
+             .standard_normal((5 * sr, 2))).astype(np.float32)
+
+    pt = tmp_path / "tonal.flac"
+    audio.write(pt, tonal, sr, subtype="PCM_24")
+    assert os.path.getsize(pt) < 0.40 * tonal.shape[0] * 2 * 3
+    yt, _ = audio.read(pt)
+    assert np.max(np.abs(yt - tonal)) < 2 / 8388608.0
+
+    pn = tmp_path / "noise.flac"
+    audio.write(pn, noise, sr, subtype="PCM_24")
+    assert os.path.getsize(pn) < 1.02 * noise.shape[0] * 2 * 3
+    yn, _ = audio.read(pn)
+    assert np.max(np.abs(yn - noise)) < 2 / 8388608.0
+
+
 def test_flac_streaming_and_seek(tmp_path):
     x = _sig(n=30011)  # non-multiple of block size -> partial last frame
     p = tmp_path / "s.flac"

@@ -8,12 +8,15 @@
 // VERBATIM, FIXED(0-4), LPC(1-32) subframes; partitioned Rice residuals
 // (methods 0/4-bit and 1/5-bit incl. escapes); wasted bits; stereo
 // decorrelation L/S, R/S, M/S; 8/16/24/32-bit samples.
-// Encoder: FIXED predictors (best of orders 0-4 per frame), partitioned
-// Rice residuals (partition order chosen 0..6), independent channels,
-// block size 4096, correct CRC-8/CRC-16, MD5 left zero (= unknown, legal).
+// Encoder: FIXED predictors (orders 0-4) and LPC (Levinson-Durbin, orders
+// 1-12 selected by prediction-error bits estimate) per subframe, VERBATIM
+// fallback for incompressible blocks, mid/side channel assignment search,
+// partitioned Rice residuals (order 0..6 scored bottom-up), block size
+// 4096, correct CRC-8/CRC-16, MD5 left zero (= unknown, legal).
 //
 // Build: g++ -O2 -shared -fPIC flac.cpp -o libtomatisflac.so
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -596,11 +599,56 @@ struct FlacEncoder {
         int shift = 0;
         int32_t q[32];
         std::vector<int64_t> res;
-        unsigned long long cost = ~0ull;
+        unsigned long long bits = ~0ull;  // estimated encoded subframe bits
     };
 
+    // Estimated rice bits for n residuals with |.|-sum s (one partition,
+    // same estimator encode_residual uses for partition-order scoring).
+    static unsigned long long rice_bits_est(unsigned long long s, uint32_t n) {
+        if (n == 0) return 0;
+        int k = 0;
+        while (k < 30 && ((unsigned long long)n << k) < 2 * s) k++;
+        return (unsigned long long)n * (k + 1) + ((2 * s) >> k);
+    }
+
+    // Quantize a double coefficient set and compute the exact residual.
+    // Returns false on quantization failure or residual overflow.
+    static bool realize_lpc(const std::vector<int64_t>& x, uint32_t bsize,
+                            const double* lpc, int order, uint32_t cbps,
+                            Lpc& out) {
+        double maxc = 0;
+        for (int j = 0; j < order; j++)
+            if (std::abs(lpc[j]) > maxc) maxc = std::abs(lpc[j]);
+        if (maxc <= 0) return false;
+        int shift = 14;
+        while (shift > 0 && maxc * (double)(1 << shift) > 16383.0) shift--;
+        if (shift <= 0) return false;
+        for (int j = 0; j < order; j++) {
+            long long q = llround(lpc[j] * (double)(1 << shift));
+            if (q > 16383) q = 16383;
+            if (q < -16384) q = -16384;
+            out.q[j] = (int32_t)q;
+        }
+        out.order = order;
+        out.shift = shift;
+        out.res.assign(x.begin(), x.end());
+        unsigned long long cost = 0;
+        for (uint32_t i = order; i < bsize; i++) {
+            long long p = 0;
+            for (int j = 0; j < order; j++)
+                p += (long long)out.q[j] * x[i - 1 - j];
+            long long v = x[i] - (p >> shift);
+            if (v > INT32_MAX / 2 || v < INT32_MIN / 2) return false;
+            out.res[i] = v;
+            cost += (unsigned long long)(v < 0 ? -v : v);
+        }
+        out.bits = rice_bits_est(cost, bsize - order)
+                   + (unsigned long long)order * (cbps + 15) + 17;
+        return true;
+    }
+
     static Lpc analyze_lpc(const std::vector<int64_t>& x, uint32_t bsize,
-                           int max_order) {
+                           int max_order, uint32_t cbps) {
         Lpc out;
         if ((int)bsize <= max_order * 2) return out;
         // windowed autocorrelation
@@ -614,8 +662,11 @@ struct FlacEncoder {
             for (uint32_t i = lag; i < bsize; i++)
                 r[lag] += w[i] * w[i - lag];
         if (r[0] <= 0) return out;
-        // Levinson-Durbin
+        // Levinson-Durbin with per-order snapshots + prediction error so a
+        // bits estimate can pick the order (libFLAC-style order selection)
         double lpc[32] = {0}, tmp[32];
+        double snap[32][32];
+        double errs[33];
         double err = r[0];
         int order = 0;
         for (int m = 0; m < max_order; m++) {
@@ -627,41 +678,31 @@ struct FlacEncoder {
             lpc[m] = k;
             err *= (1.0 - k * k);
             order = m + 1;
+            for (int j = 0; j < order; j++) snap[m][j] = lpc[j];
+            errs[m] = err > 0 ? err : 1e-9;
             if (err <= 0) break;
         }
         if (order == 0) return out;
-        // quantize to <=15-bit coefficients
-        double maxc = 0;
-        for (int j = 0; j < order; j++)
-            if (std::abs(lpc[j]) > maxc) maxc = std::abs(lpc[j]);
-        if (maxc <= 0) return out;
-        int shift = 14;
-        while (shift > 0 && maxc * (double)(1 << shift) > 16383.0) shift--;
-        if (shift <= 0) return out;
-        for (int j = 0; j < order; j++) {
-            long long q = llround(lpc[j] * (double)(1 << shift));
-            if (q > 16383) q = 16383;
-            if (q < -16384) q = -16384;
-            out.q[j] = (int32_t)q;
+        // estimated bits at order m: residual entropy (~1/2 log2 of the
+        // prediction-error power per sample) + header (warmup + coeffs)
+        int best_m = 0;
+        double best_est = 1e300;
+        for (int m = 0; m < order; m++) {
+            double var = errs[m] / (double)bsize;
+            double bps_est = var > 1e-9 ? 0.5 * std::log2(var) : 0.0;
+            double est = (double)(bsize - (m + 1)) * (bps_est + 2.0)
+                         + (double)(m + 1) * (double)(cbps + 15);
+            if (est < best_est) { best_est = est; best_m = m; }
         }
-        out.order = order;
-        out.shift = shift;
-        // residuals
-        out.res.assign(x.begin(), x.end());
-        unsigned long long cost = 0;
-        for (uint32_t i = order; i < bsize; i++) {
-            long long p = 0;
-            for (int j = 0; j < order; j++)
-                p += (long long)out.q[j] * x[i - 1 - j];
-            long long v = x[i] - (p >> shift);
-            if (v > INT32_MAX / 2 || v < INT32_MIN / 2) {
-                out.order = 0;  // residual overflow: reject
-                return out;
-            }
-            out.res[i] = v;
-            cost += (unsigned long long)(v < 0 ? -v : v);
+        // realize the estimated best order only (realization is the O(n)
+        // cost; the error-based estimate picks within ~1 order of optimal);
+        // fall back one order if quantization/overflow rejects it
+        for (int m = best_m; m >= 0 && m > best_m - 2; m--) {
+            Lpc trial;
+            if (!realize_lpc(x, bsize, snap[m], m + 1, cbps, trial)) continue;
+            out = std::move(trial);
+            break;
         }
-        out.cost = cost;
         return out;
     }
 
@@ -675,11 +716,11 @@ struct FlacEncoder {
             bw.sbits((int32_t)ch[0], (int)cbps);
             return;
         }
-        // pick fixed order 0..4 minimizing sum |residual|
+        // pick fixed order 0..4 minimizing estimated rice bits
         int max_order = bsize > 4 ? 4 : (int)bsize - 1;
         std::vector<int64_t> best_res;
         int best_order = 0;
-        unsigned long long best_cost = ~0ull;
+        unsigned long long best_bits = ~0ull;
         std::vector<int64_t> res = ch;
         for (int o = 0; o <= max_order; o++) {
             if (o > 0)
@@ -692,16 +733,29 @@ struct FlacEncoder {
                 if (v > INT32_MAX / 2 || v < INT32_MIN / 2) { overflow = true; break; }
                 cost += (unsigned long long)(v < 0 ? -v : v);
             }
+            unsigned long long bits = rice_bits_est(cost, bsize - o)
+                                      + (unsigned long long)o * cbps;
             // order 0 is always a valid baseline (plain int32 samples)
-            if ((o == 0 || !overflow) && cost < best_cost) {
-                best_cost = cost;
+            if ((o == 0 || !overflow) && bits < best_bits) {
+                best_bits = bits;
                 best_order = o;
                 best_res = res;
             }
         }
-        // LPC beats the fixed predictors on most tonal material
-        Lpc lpc = analyze_lpc(ch, bsize, 8);
-        if (lpc.order > 0 && lpc.cost < best_cost) {
+        // LPC beats the fixed predictors on most tonal material — but not
+        // on near-silence the fixed predictors already push under ~2
+        // bits/sample, so skip the O(order*n) analysis there
+        Lpc lpc;
+        if (best_bits > (unsigned long long)bsize * 2)
+            lpc = analyze_lpc(ch, bsize, 12, cbps);
+        unsigned long long verbatim_bits = (unsigned long long)bsize * cbps;
+        if (std::min(best_bits, lpc.bits) >= verbatim_bits) {
+            bw.bits(0, 1); bw.bits(1, 6); bw.bits(0, 1);  // VERBATIM
+            for (uint32_t i = 0; i < bsize; i++)
+                bw.sbits((int32_t)ch[i], (int)cbps);
+            return;
+        }
+        if (lpc.order > 0 && lpc.bits < best_bits) {
             bw.bits(0, 1);
             bw.bits(32 | (uint32_t)(lpc.order - 1), 6);  // LPC
             bw.bits(0, 1);                                // no wasted bits
@@ -724,36 +778,49 @@ struct FlacEncoder {
     static int rice_k(unsigned long long sum, uint32_t n) {
         if (n == 0) return 0;
         int k = 0;
-        while (k < 30 && (n << k) < sum) k++;
+        // the count must widen before shifting: n<<k wraps uint32 for
+        // high-entropy partitions (k ~ 20), pinning k at 30 and inflating
+        // every noisy block by ~50%
+        while (k < 30 && ((unsigned long long)n << k) < sum) k++;
         return k;
     }
 
     void encode_residual(BitWriter& bw, const std::vector<int64_t>& res,
                          int order, uint32_t bsize) {
-        // choose partition order: largest po <= 6 with bsize % 2^po == 0
-        // and bsize/2^po > order, scoring total estimated bits
-        int best_po = 0;
-        unsigned long long best_bits = ~0ull;
-        for (int po = 0; po <= 6; po++) {
-            uint32_t parts = 1u << po;
-            if (bsize % parts) continue;
-            if (bsize / parts <= (uint32_t)order) break;
-            unsigned long long tb = 0;
-            uint32_t idx = order;
-            bool ok = true;
-            for (uint32_t p = 0; p < parts; p++) {
-                uint32_t cnt = (bsize >> po) - (p == 0 ? order : 0);
+        // choose the partition order scoring estimated bits, with the
+        // per-partition |residual| sums built bottom-up: one pass over the
+        // residual at the finest level, then pairwise merges per level
+        int pmax = 0;
+        while (pmax < 6 && !(bsize & ((2u << pmax) - 1))
+               && (bsize >> (pmax + 1)) > (uint32_t)order)
+            pmax++;
+        std::vector<unsigned long long> sums(1u << pmax, 0);
+        {
+            uint32_t plen = bsize >> pmax;
+            for (uint32_t p = 0; p < (1u << pmax); p++) {
+                uint32_t lo = p == 0 ? (uint32_t)order : p * plen;
+                uint32_t hi = (p + 1) * plen;
                 unsigned long long s = 0;
-                for (uint32_t i = 0; i < cnt; i++) {
-                    long long v = res[idx + i];
+                for (uint32_t i = lo; i < hi; i++) {
+                    long long v = res[i];
                     s += (unsigned long long)(v < 0 ? -v : v);
                 }
-                int k = rice_k(2 * s, cnt);
-                if (k > 30) { ok = false; break; }
-                tb += 5ull + (unsigned long long)cnt * (k + 1) + (s >> (k ? k - 1 : 0));
-                idx += cnt;
+                sums[p] = s;
             }
-            if (ok && tb < best_bits) { best_bits = tb; best_po = po; }
+        }
+        int best_po = pmax;
+        unsigned long long best_bits = ~0ull;
+        for (int po = pmax; po >= 0; po--) {
+            uint32_t parts = 1u << po;
+            unsigned long long tb = 0;
+            for (uint32_t p = 0; p < parts; p++) {
+                uint32_t cnt = (bsize >> po) - (p == 0 ? order : 0);
+                tb += 5ull + rice_bits_est(sums[p], cnt);
+            }
+            if (tb < best_bits) { best_bits = tb; best_po = po; }
+            if (po > 0)   // merge pairs for the next (coarser) level
+                for (uint32_t p = 0; p < parts / 2; p++)
+                    sums[p] = sums[2 * p] + sums[2 * p + 1];
         }
         uint32_t po = (uint32_t)best_po;
         bw.bits(1, 2);   // method 1: 5-bit rice params (covers k up to 30)
