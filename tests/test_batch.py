@@ -41,6 +41,27 @@ def test_batch_matches_single(tmp_path):
         assert open(csvs[i]).read() == open(ref_c).read()
 
 
+def test_batch_sharded_over_device_mesh(tmp_path):
+    """devices=N shards the lane axis over a 1-D mesh (BASELINE config 5:
+    files across chips); outputs must stay byte-identical to the
+    single-device path, including with lane-count padding (3 files on 4
+    devices -> one idle lane)."""
+    p = StandardParams(require_48k_stereo=False)
+    jobs = []
+    for i, sec in enumerate([2.0, 1.4, 2.6]):
+        ip = tmp_path / f"in{i}.flac"
+        audio.write(ip, _sig(sec, 10 + i), SR, subtype="PCM_24")
+        jobs.append((ip, tmp_path / f"out{i}.flac"))
+    stats = process_batch(jobs, p, frames_per_chunk=16, devices=4)
+    assert all(s["failed"] is None for s in stats)
+    for i, (ip, op) in enumerate(jobs):
+        ref_o = tmp_path / f"ref{i}.flac"
+        process(ip, ref_o, p, frames_per_chunk=16)
+        y_ref, _ = audio.read(ref_o)
+        y_bat, _ = audio.read(op)
+        np.testing.assert_array_equal(y_bat, y_ref)
+
+
 def test_batch_isolates_failures(tmp_path):
     p = StandardParams(require_48k_stereo=False)
     good = tmp_path / "good.flac"

@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--output_gain_db", type=float, default=0.0)
     ap.add_argument("--frames_per_chunk", type=int, default=1024)
     ap.add_argument("--allow_any_rate", action="store_true")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="shard the lane axis over the first N devices "
+                         "(0 = single device)")
     return ap
 
 
@@ -59,7 +62,8 @@ def run(args) -> int:
         os.makedirs(args.state_csv_dir, exist_ok=True)
     t0 = time.perf_counter()
     stats = process_batch(jobs, p, frames_per_chunk=args.frames_per_chunk,
-                          state_csv_paths=csvs)
+                          state_csv_paths=csvs,
+                          devices=args.devices or None)
     dt = time.perf_counter() - t0
     ok = [s for s in stats if s["failed"] is None]
     failed = [s for s in stats if s["failed"] is not None]

@@ -163,12 +163,24 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
 
     jobs: list of (in_path, out_path). All inputs must share sr/channels
     (a mismatched file fails in isolation). Returns per-file stats dicts.
+
+    devices: None = single device. An int N or an explicit device list
+    shards the lane axis over a 1-D ('data') mesh so each chip streams its
+    share of the files (BASELINE config 5); the lane count is padded to a
+    multiple of the device count with idle lanes.
     """
     from tomatis_tpu.models.standard import StandardParams, build_controller
     p = params or StandardParams()
     jobs = list(jobs)
     B = len(jobs)
     csvs = state_csv_paths or [None] * B
+
+    mesh_devs = None
+    if devices is not None:
+        mesh_devs = (list(devices) if not isinstance(devices, int)
+                     else jax.devices()[:devices])
+        if len(mesh_devs) < 1:
+            raise ValueError("empty device list")
 
     # probe the batch's sr/ch from the first openable file
     sr = ch = None
@@ -188,8 +200,25 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     ctl_params = controller.params()
     gain_f32 = jnp.float32(10.0 ** (p.output_gain_db / 20.0))
     # lanes share parameters; only the data axes are batched
-    vchunk = jax.jit(jax.vmap(chunk_fn,
-                              in_axes=(0, 0, 0, 0, 0, None, None)))
+    vmapped = jax.vmap(chunk_fn, in_axes=(0, 0, 0, 0, 0, None, None))
+    Bp = B  # padded lane count (idle rows make the axis shardable)
+    if mesh_devs is not None:
+        # shard_map (not bare GSPMD sharding): every device runs the plain
+        # single-chip program on its block of lanes — no partitioned FFT
+        # (which XLA:CPU also can't lay out), no cross-device collectives
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec
+        D = len(mesh_devs)
+        Bp = -(-B // D) * D
+        mesh = Mesh(np.array(mesh_devs), ("data",))
+        dp = PartitionSpec("data")
+        rp = PartitionSpec()
+        vchunk = jax.jit(shard_map(
+            vmapped, mesh=mesh,
+            in_specs=(dp, dp, dp, dp, dp, rp, rp),
+            out_specs=dp, check_vma=False))
+    else:
+        vchunk = jax.jit(vmapped)
 
     lanes = []
     for (in_path, out_path), m, csvp in zip(jobs, metas, csvs):
@@ -214,8 +243,8 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 lane.fail(e)
         lanes.append(lane)
 
-    carries = [controller.init_carry() for _ in lanes]
-    tails = [engine.zero_tails() for _ in lanes]
+    carries = [controller.init_carry() for _ in range(Bp)]
+    tails = [engine.zero_tails() for _ in range(Bp)]
 
     def stack_carry(cs):
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cs)
@@ -226,8 +255,8 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
 
     inflight = None
     while True:
-        sigs = np.zeros((B, engine.chunk_input_len, ch), np.float32)
-        nfs = np.zeros(B, np.int32)
+        sigs = np.zeros((Bp, engine.chunk_input_len, ch), np.float32)
+        nfs = np.zeros(Bp, np.int32)
         active = False
         for i, lane in enumerate(lanes):
             if lane.done or lane.failed:
