@@ -132,3 +132,49 @@ def test_sharded_xfade_matches_oracle():
         np.testing.assert_allclose(emit[b], y_ref[:F * HOP],
                                    atol=2e-4, rtol=1e-4)
     assert float(np.asarray(ac)[0]) == alpha[0][-1]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_adaptive_matches_oracle():
+    """Adaptive dp x sp: min-hold gate block scan + snap-first alpha ramp
+    (alpha0 = -1 sentinel) + max(w, 1e-8) normalizer."""
+    from tomatis_tpu.parallel.sharded import sharded_adaptive_step
+    mesh = make_mesh(8, data=1)          # pure sequence-parallel
+    B, F = 2, 64
+    F_loc = F // 8
+    sigs = _batch(B, F, seed=5)
+    frames = frame_batch(sigs, N_FFT, HOP, F)
+    freqs = stft.rfft_freqs(N_FFT, SR)
+    g1_db = np.asarray(dsp.build_tilt_gain_db(freqs, 1000., 12., 9., -9.))
+    g2_db = np.asarray(dsp.build_tilt_gain_db(freqs, 1000., 12., -9., 9.))
+    thr, hyst, hold, xfade_frames = -40.0, 3.0, 6, 5
+    step = sharded_adaptive_step(mesh, N_FFT, HOP, F_loc, 2,
+                                 thr + hyst / 2, thr - hyst / 2, hold,
+                                 1.0 / xfade_frames, g1_db, g2_db)
+    emit, states, alpha, gc, ac = step(
+        frames, jnp.full((B,), hold, jnp.int32),   # carry: h = H (may switch)
+        jnp.full((B,), -1.0, jnp.float32),         # snap-first sentinel
+        jnp.full((B,), F, jnp.int32))
+    emit, states, alpha = map(np.asarray, (emit, states, alpha))
+
+    win = stft.hann_symmetric(N_FFT)
+    for b in range(B):
+        frames_b = np.asarray(frames[b]).transpose(0, 2, 1)
+        levels = np.array([refdsp.rms_dbfs(
+            np.sqrt(np.mean(f.astype(np.float64) ** 2, axis=1)))
+            for f in frames_b])
+        states_ref = refdsp.gate_minhold_loop(levels, thr, hyst, hold)
+        np.testing.assert_array_equal(states[b], states_ref)
+        targets_ref = (states_ref == 2).astype(float)
+        alpha_ref = refdsp.alpha_ramp_loop(targets_ref, 1.0 / xfade_frames,
+                                           alpha0=targets_ref[0])
+        np.testing.assert_allclose(alpha[b], alpha_ref, atol=1e-5)
+        gains = 10.0 ** (((1 - alpha_ref)[:, None] * g1_db[None, :]
+                          + alpha_ref[:, None] * g2_db[None, :]) / 20.0)
+        ysum, wsum = refdsp.stft_ola_loop(sigs[b], gains, N_FFT, HOP, win)
+        y_ref = ysum / np.maximum(wsum[:, None], 1e-8)
+        # stream-head samples (w ~ 1e-6) amplify f32-vs-f64 noise; they are
+        # trimmed by the pad in real use — loose there, tight elsewhere
+        np.testing.assert_allclose(emit[b][:16], y_ref[:16], atol=2e-3)
+        np.testing.assert_allclose(emit[b][16:], y_ref[16:F * HOP],
+                                   atol=2e-4, rtol=1e-4)

@@ -125,17 +125,10 @@ def gate_updelay_scan(levels, ton, toff, delay_frames: int, init_state=None):
     return states, seq
 
 
-@functools.partial(jax.jit, static_argnames=("min_hold_frames",))
-def gate_minhold(levels, ton, toff, min_hold_frames: int, init_state=None,
-                 valid=None):
-    """Variant B gate (min-hold) over per-frame levels; returns states [F].
-
-    Exact parallel form of ref src/process_tomatis_adaptive.py:87-121:
-        frames_since += 1
-        if frames_since >= H: allow switch (and reset counter on switch)
-    Carry index s = state_idx*(H+1) + h with h = min(frames_since, H),
-    initial h = H so the first frame may switch immediately.
-    """
+def minhold_tables(levels, ton, toff, min_hold_frames: int, valid=None):
+    """Per-frame transition tables of the variant-B (min-hold) gate over
+    the carry space s = state_idx*(H+1) + min(frames_since, H). Invalid
+    frames get the identity table (shared with the sharded block scan)."""
     H = int(min_hold_frames)
     S = 2 * (H + 1)
     a = levels >= ton
@@ -152,10 +145,32 @@ def gate_minhold(levels, ton, toff, min_hold_frames: int, init_state=None,
 
     cond_c1 = a[:, None] & can[None, :] & (state_idx[None, :] == 0)
     cond_c2 = b[:, None] & can[None, :] & (state_idx[None, :] == 1)
-    tables = jnp.where(cond_c1 | cond_c2, flip[None, :], stay[None, :]).astype(jnp.int32)
+    tables = jnp.where(cond_c1 | cond_c2, flip[None, :],
+                       stay[None, :]).astype(jnp.int32)
     if valid is not None:
         tables = jnp.where(valid[:, None], tables, s[None, :])
+    return tables
 
+
+def minhold_states_from_index(final, min_hold_frames: int):
+    """Map final carry indices to C1/C2 states."""
+    return jnp.where(final >= int(min_hold_frames) + 1, C2, C1).astype(
+        jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("min_hold_frames",))
+def gate_minhold(levels, ton, toff, min_hold_frames: int, init_state=None,
+                 valid=None):
+    """Variant B gate (min-hold) over per-frame levels; returns states [F].
+
+    Exact parallel form of ref src/process_tomatis_adaptive.py:87-121:
+        frames_since += 1
+        if frames_since >= H: allow switch (and reset counter on switch)
+    Carry index s = state_idx*(H+1) + h with h = min(frames_since, H),
+    initial h = H so the first frame may switch immediately.
+    """
+    H = int(min_hold_frames)
+    tables = minhold_tables(levels, ton, toff, H, valid=valid)
     prefix = jax.lax.associative_scan(_compose_tables, tables, axis=0)
     s0 = jnp.int32(H) if init_state is None else init_state.astype(jnp.int32)
     final = jnp.take_along_axis(

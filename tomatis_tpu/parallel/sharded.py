@@ -78,6 +78,37 @@ def _sharded_gate_updelay(levels, ton, toff, delay_frames: int, s0, valid):
     return states, carry_out
 
 
+def _sharded_gate_minhold(levels, ton, toff, min_hold_frames: int, s0,
+                          valid):
+    """Block-composed variant-B (min-hold) gate inside shard_map (axis
+    'seq'): same scheme as _sharded_gate_updelay over the 2*(H+1)-state
+    carry space of ops/gate.py::minhold_tables."""
+    H = int(min_hold_frames)
+    tables = gate_ops.minhold_tables(levels, ton, toff, H, valid=valid)
+    prefix = jax.lax.associative_scan(gate_ops.compose_tables, tables,
+                                      axis=0)
+    total = prefix[-1]
+    totals = jax.lax.all_gather(total, "seq")
+    idx = jax.lax.axis_index("seq")
+    S = 2 * (H + 1)
+    ident = jnp.arange(S, dtype=jnp.int32)
+
+    def body(i, acc):
+        excl_acc, all_acc = acc
+        nxt = gate_ops.compose_tables(excl_acc, totals[i])
+        return (jnp.where(i < idx, nxt, excl_acc),
+                gate_ops.compose_tables(all_acc, totals[i]))
+
+    ident0 = ident + 0 * totals[0]
+    excl, full = jax.lax.fori_loop(0, totals.shape[0], body,
+                                   (ident0, ident0))
+    s0_loc = excl[s0]
+    final = jnp.take_along_axis(
+        prefix, jnp.broadcast_to(s0_loc, (prefix.shape[0], 1)), axis=1)[:, 0]
+    states = gate_ops.minhold_states_from_index(final, H)
+    return states, full[s0]
+
+
 def _sharded_alpha_ramp(targets, step, alpha0, valid):
     """Block-composed crossfade ramp inside shard_map (axis 'seq').
 
@@ -174,6 +205,75 @@ def sharded_xfade_step(mesh: Mesh, n_fft: int, hop: int,
         ola = ola.at[:tail].add(recv_y)
         w = w.at[:tail].add(recv_w)
         emit = ola[:F_loc * hop] / (w[:F_loc * hop, None] + EPS)
+        return emit, states, alpha, gate_carry, alpha_carry
+
+    def step(frames, s0, alpha0, n_valid):
+        return jax.vmap(per_file)(frames, s0, alpha0, n_valid)
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data", "seq", None, None), P("data"), P("data"),
+                  P("data")),
+        out_specs=(P("data", "seq", None), P("data", "seq"),
+                   P("data", "seq"), P("data"), P("data")),
+        check_vma=False)
+
+    return jax.jit(sharded)
+
+
+def sharded_adaptive_step(mesh: Mesh, n_fft: int, hop: int,
+                          frames_per_shard: int, channels: int,
+                          ton: float, toff: float, min_hold_frames: int,
+                          alpha_step: float, g1_db, g2_db, window=None):
+    """dp x sp step for the ADAPTIVE processor's streaming pass: min-hold
+    gate (block scan) + crossfade alpha ramp (clip-affine block scan) +
+    per-frame dB-domain gain blend + OLA halo. Threshold search and
+    headroom handling stay host-side exactly as in models/adaptive.py;
+    this shards the heavy STFT pass.
+
+    fn(frames [B, F, C, n_fft], s0 [B], alpha0 [B], n_valid [B]) ->
+        (emit [B, F*hop, C], states [B, F], alpha [B, F],
+         gate_carry [B], alpha_carry [B])
+    """
+    win = jnp.asarray(window if window is not None
+                      else stft.hann_symmetric(n_fft))
+    win2 = win * win
+    g1_db = jnp.asarray(g1_db, jnp.float32)
+    g2_db = jnp.asarray(g2_db, jnp.float32)
+    tail = n_fft - hop
+    n_seq = mesh.shape["seq"]
+    F_loc = frames_per_shard
+
+    def per_file(frames, s0, alpha0, n_valid):
+        seq_i = jax.lax.axis_index("seq")
+        f0 = seq_i * F_loc
+        valid = (f0 + jnp.arange(F_loc)) < n_valid
+        levels = frame_levels_dbfs(jnp.transpose(frames, (0, 2, 1)))
+        states, gate_carry = _sharded_gate_minhold(
+            levels, ton, toff, min_hold_frames, s0, valid)
+        targets = (states == 2).astype(jnp.float32)
+        # snap-first (ref adaptive: alpha[0] = target[0]): alpha0 < 0 is
+        # the "stream start" sentinel -> snap to the global first target
+        t0 = jax.lax.all_gather(targets[0], "seq")[0]
+        a0 = jnp.where(alpha0 < 0, t0, alpha0)
+        alpha, alpha_carry = _sharded_alpha_ramp(
+            targets, jnp.float32(alpha_step), a0, valid)
+        mixed_db = ((1.0 - alpha)[:, None] * g1_db[None, :]
+                    + alpha[:, None] * g2_db[None, :])
+        gains = 10.0 ** (mixed_db / 20.0)
+        y = stft.apply_gain_bank(frames, win, gains.astype(jnp.float32))
+        mask = valid.astype(jnp.float32)
+        y = y * mask[:, None, None]
+        ola = stft.overlap_add(y, hop)
+        w = stft.overlap_add(win2[None, None, :] * mask[:, None, None],
+                             hop)[:, 0]
+        perm = [(i, i + 1) for i in range(n_seq - 1)]
+        recv_y = jax.lax.ppermute(ola[F_loc * hop:], "seq", perm)
+        recv_w = jax.lax.ppermute(w[F_loc * hop:], "seq", perm)
+        ola = ola.at[:tail].add(recv_y)
+        w = w.at[:tail].add(recv_w)
+        # adaptive normalizer floor is max(w, 1e-8) (models/adaptive.py)
+        emit = ola[:F_loc * hop] / jnp.maximum(w[:F_loc * hop, None], 1e-8)
         return emit, states, alpha, gate_carry, alpha_carry
 
     def step(frames, s0, alpha0, n_valid):
