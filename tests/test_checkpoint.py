@@ -67,6 +67,48 @@ def test_resume_after_interrupt(tmp_path, monkeypatch):
     assert out_csv == ref_csv
 
 
+def test_eq_applier_resume_after_interrupt(tmp_path, monkeypatch):
+    """apply_eq with checkpoint_path: kill it mid-stream, rerun, and the
+    output must equal an uninterrupted run (FLAC output -> staged WAV)."""
+    sr = 48000
+    x = _signal(8.0)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    eq_csv = tmp_path / "eq.csv"
+    eq_csv.write_text("freq_hz,delta_db_raw,delta_db_smooth\n"
+                      "100,0,2.0\n1000,0,0.0\n8000,0,-3.0\n16000,0,-3.0\n")
+
+    from tomatis_tpu.models import eq as eqm
+    ref = tmp_path / "ref.flac"
+    eqm.apply_eq(ip, ref, eq_csv, frames_per_chunk=16)
+
+    out = tmp_path / "out.flac"
+    ck = tmp_path / "ck.npz"
+    orig_write = eqm._RawWavOut.write_raw
+    calls = {"n": 0}
+
+    def bomb(self, raw):
+        calls["n"] += 1
+        if calls["n"] > 6:
+            raise _Bomb()
+        return orig_write(self, raw)
+
+    monkeypatch.setattr(eqm._RawWavOut, "write_raw", bomb)
+    with pytest.raises(_Bomb):
+        eqm.apply_eq(ip, out, eq_csv, frames_per_chunk=16,
+                     checkpoint_path=ck, checkpoint_every=2)
+    monkeypatch.setattr(eqm._RawWavOut, "write_raw", orig_write)
+    assert ck.exists()
+
+    res = eqm.apply_eq(ip, out, eq_csv, frames_per_chunk=16,
+                       checkpoint_path=ck, checkpoint_every=2)
+    assert not ck.exists()
+    y_ref, _ = audio.read(ref)
+    y_out, _ = audio.read(out)
+    np.testing.assert_array_equal(y_out, y_ref)
+    assert res["peak_seen"] > 0
+
+
 def test_checkpoint_rejects_changed_config(tmp_path, monkeypatch):
     sr = 48000
     x = _signal(4.0)

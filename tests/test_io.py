@@ -64,3 +64,33 @@ def test_wav_mono_always2d(tmp_path):
 def test_unsupported_extension(tmp_path):
     with pytest.raises(ValueError):
         audio.info(tmp_path / "x.mp3")
+
+
+def test_wav_reopen_survives_stale_header(tmp_path):
+    """A writer killed by SIGKILL never fixes the RIFF header (data_size
+    stays 0); reopen must trust the bytes on disk, not the header, or
+    resume truncates the whole staged file."""
+    import struct
+
+    from tomatis_tpu.io.wav import WavReader, WavWriter
+
+    p = str(tmp_path / "staged.wav")
+    x = _sig(n=5000, ch=2)
+    w = WavWriter(p, 48000, 2, "PCM_24")
+    w.write(x)
+    w.close()
+    # simulate the crash: zero out RIFF size + data chunk size
+    with open(p, "r+b") as f:
+        f.seek(4)
+        f.write(struct.pack("<I", 36))      # RIFF size as if empty
+        f.seek(40)
+        f.write(struct.pack("<I", 0))       # data size 0
+    w2 = WavWriter.reopen(p, 3000)          # keep the first 3000 frames
+    w2.write(x[:100])
+    w2.close()
+    r = WavReader(p)
+    assert r.frames == 3100
+    y = r.read(-1)
+    r.close()
+    np.testing.assert_allclose(y[:3000], x[:3000], atol=2 / 8388608.0)
+    np.testing.assert_allclose(y[3000:], x[:100], atol=2 / 8388608.0)

@@ -23,6 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="extra global gain (dB)")
     ap.add_argument("--no_gain_protect", action="store_true")
     ap.add_argument("--frames_per_chunk", type=int, default=1024)
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file for crash recovery / resume")
     return ap
 
 
@@ -32,7 +34,8 @@ def run(args) -> int:
                    n_fft=args.n_fft, hop=args.hop, pad=not args.no_pad,
                    global_gain_db=args.gain_db,
                    auto_gain_protect=not args.no_gain_protect,
-                   frames_per_chunk=args.frames_per_chunk)
+                   frames_per_chunk=args.frames_per_chunk,
+                   checkpoint_path=args.checkpoint)
     print(f"frames: {res['n_frames']}  peak: {res['peak_seen']:.4f}")
     print(f"output: {res['out_path']}")
     if res.get("gain_protected_path"):

@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="HF band start (default 8000; 3000 with --safe)")
     ap.add_argument("--hf_clamp_hi", type=float, default=0.0)
     ap.add_argument("--frames_per_chunk", type=int, default=1024)
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file for crash recovery / resume")
     return ap
 
 
@@ -50,7 +52,8 @@ def run(args) -> int:
         clamp_hi=clamp_hi, mid_start=args.mid_start,
         mid_clamp_hi=args.mid_clamp_hi, hf_start=hf_start,
         hf_clamp_hi=args.hf_clamp_hi, safe=args.safe,
-        frames_per_chunk=args.frames_per_chunk)
+        frames_per_chunk=args.frames_per_chunk,
+        checkpoint_path=args.checkpoint)
     tag = "SafeB " if args.safe else ""
     print(f"[DONE] Applied {tag}residual EQ to {res['out_path']} "
           f"({res['n_frames']} frames)")

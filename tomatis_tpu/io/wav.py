@@ -46,7 +46,10 @@ def _parse_header(f) -> WavInfo:
             fmt = f.read(csize)
             if csize % 2:
                 f.read(1)
-        elif cid == b"data":
+        elif cid == b"data" and data_offset is None:
+            # first data chunk wins: a writer killed before header fixup
+            # leaves csize=0, and the walker would then misread the audio
+            # bytes as chunk headers — none of that may override this one
             data_offset = f.tell()
             data_size = csize
             f.seek(csize + (csize % 2), 1)
@@ -171,14 +174,20 @@ class WavWriter:
     @classmethod
     def reopen(cls, path, frames: int) -> "WavWriter":
         """Reopen an existing WAV for appending after truncating to
-        `frames` sample frames (checkpoint/resume support)."""
+        `frames` sample frames (checkpoint/resume support).
+
+        Trusts the bytes on disk, not the header's data size: a writer
+        killed by SIGKILL never ran the close-time header fixup, so the
+        header still says 0 frames while the audio bytes are all there."""
         with open(path, "rb") as f:
             info = _parse_header(f)
+            end = f.seek(0, 2)
+        on_disk = max(0, end - info.data_offset) // info.bytes_per_frame
         w = cls.__new__(cls)
         w.samplerate = info.samplerate
         w.channels = info.channels
         w.subtype = info.subtype
-        keep = min(frames, info.frames) * info.bytes_per_frame
+        keep = min(frames, on_disk) * info.bytes_per_frame
         w._f = open(path, "r+b")
         w._f.truncate(info.data_offset + keep)
         w._f.seek(info.data_offset + keep)

@@ -130,10 +130,16 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                       n_fft: int = 4096, hop: int = 2048,
                       pad_len: int = 0, pre_gain: float = 1.0,
                       frames_per_chunk: int = 1024,
-                      require_48k_stereo: bool = True) -> dict:
+                      require_48k_stereo: bool = True,
+                      checkpoint_path=None, checkpoint_every: int = 8) -> dict:
     """Stream in -> per-bin gain -> OLA -> out, uncropped (the output length
     is the last frame's end; includes the pre-pad — reference behavior).
     Returns dict(peak_seen, out_path, n_frames, sr).
+
+    checkpoint_path enables chunk-granular crash recovery (same scheme as
+    the standard processor): the tiny stream state (OLA tails, peak, next
+    chunk index) persists every checkpoint_every chunks; re-running the
+    same call resumes. Non-WAV outputs stage through a .part WAV.
     """
     with audio.AudioFile(in_path, "r") as fin:
         sr, ch, total = fin.samplerate, fin.channels, fin.frames
@@ -146,14 +152,42 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
         F = max(0, (padded - n_fft) // hop + 1)
 
         out_path = str(out_path)
-        try:
-            fout = audio.AudioFile(out_path, "w", samplerate=sr, channels=ch,
-                                   subtype="PCM_24")
+        ckpt = resume = None
+        stage_path = None
+        f0_start = 0
+        if checkpoint_path:
+            import hashlib
+            from tomatis_tpu.engine.checkpoint import CheckpointManager
+            from tomatis_tpu.io.wav import WavWriter
+            gb = np.asarray(gain_bins, np.float32)
+            config = dict(model="eq_gain_stream", in_path=str(in_path),
+                          sr=sr, ch=ch, total=total, n_fft=n_fft, hop=hop,
+                          pad_len=pad_len, pre_gain=float(pre_gain),
+                          frames_per_chunk=frames_per_chunk,
+                          gain_sha=hashlib.sha256(gb.tobytes()).hexdigest())
+            ckpt = CheckpointManager(checkpoint_path, config,
+                                     checkpoint_every)
+            resume = ckpt.load()
+            stage_path = (out_path if out_path.lower().endswith(".wav")
+                          else out_path + ".part.wav")
+            import os
+            if resume is not None and os.path.exists(stage_path):
+                sc = resume["__meta__"]["scalars"]
+                fout = _RawWavOut(WavWriter.reopen(
+                    stage_path, sc["audio_samples_written"]))
+            else:
+                resume = None
+                fout = _RawWavOut(WavWriter(stage_path, sr, ch, "PCM_24"))
             actual_out = out_path
-        except Exception:
-            actual_out = out_path.rsplit(".", 1)[0] + ".wav"
-            fout = audio.AudioFile(actual_out, "w", samplerate=sr,
-                                   channels=ch, subtype="PCM_24")
+        else:
+            try:
+                fout = audio.AudioFile(out_path, "w", samplerate=sr,
+                                       channels=ch, subtype="PCM_24")
+                actual_out = out_path
+            except Exception:
+                actual_out = out_path.rsplit(".", 1)[0] + ".wav"
+                fout = audio.AudioFile(actual_out, "w", samplerate=sr,
+                                       channels=ch, subtype="PCM_24")
 
         engine = ChunkedStftEngine(n_fft, hop, ch, frames_per_chunk)
         controller = StaticGainController(gain_bins)
@@ -170,6 +204,18 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
         drained = False
         peak_seen = 0.0
         inflight = None
+        if resume is not None:
+            sc = resume["__meta__"]["scalars"]
+            f0_start = int(sc["next_f0"])
+            peak_seen = float(sc["peak_seen"])
+            out_tail = jnp.asarray(resume["out_tail"])
+            w_tail = jnp.asarray(resume["w_tail"])
+            # reposition the padded input stream at sample f0_start*hop
+            pos = f0_start * hop
+            lead = max(0, pad_len - pos)
+            pend = np.zeros((lead, ch), np.float32)
+            if pos > pad_len:
+                fin.seek(pos - pad_len)
 
         def write_piece(piece, pk):
             nonlocal peak_seen
@@ -194,48 +240,99 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 pk = float(np.max(np.abs(piece))) if emit_n else 0.0
             write_piece(piece, pk)
 
-        for f0 in range(0, F, frames_per_chunk):
-            nf = min(frames_per_chunk, F - f0)
-            want = (nf - 1) * hop + n_fft
-            while len(pend) < want and not drained:
-                blk = fin.read(engine.emit_len)
-                if len(blk) == 0:
-                    drained = True
-                    break
-                if pre_gain != 1.0:
-                    blk = blk * np.float32(pre_gain)
-                pend = np.concatenate([pend, np.asarray(blk, np.float32)], 0)
-            if len(pend) < want:
-                pend = np.concatenate(
-                    [pend, np.zeros((want - len(pend), ch), np.float32)], 0)
-            sig = pend[:need]
-            if len(sig) < need:
-                sig = np.concatenate(
-                    [sig, np.zeros((need - len(sig), ch), np.float32)], 0)
-            res = chunk_fn(jnp.asarray(sig), jnp.int32(nf), ctl_carry,
-                           out_tail, w_tail, ctl_params, gain_one)
-            if raw:
-                packed, _out_dev, ctl_carry, out_tail, w_tail = res
-            else:
-                packed, ctl_carry, out_tail, w_tail = res
-            try:
-                packed.block_until_ready()
-                packed.copy_to_host_async()
-            except AttributeError:
-                pass
+        def _stream():
+            nonlocal pend, drained, inflight, ctl_carry, out_tail, w_tail
+            for f0 in range(f0_start, F, frames_per_chunk):
+                nf = min(frames_per_chunk, F - f0)
+                want = (nf - 1) * hop + n_fft
+                while len(pend) < want and not drained:
+                    blk = fin.read(engine.emit_len)
+                    if len(blk) == 0:
+                        drained = True
+                        break
+                    if pre_gain != 1.0:
+                        blk = blk * np.float32(pre_gain)
+                    pend = np.concatenate(
+                        [pend, np.asarray(blk, np.float32)], 0)
+                if len(pend) < want:
+                    pend = np.concatenate(
+                        [pend,
+                         np.zeros((want - len(pend), ch), np.float32)], 0)
+                sig = pend[:need]
+                if len(sig) < need:
+                    sig = np.concatenate(
+                        [sig, np.zeros((need - len(sig), ch), np.float32)],
+                        0)
+                if ckpt is not None:
+                    # pre-dispatch state: resuming at f0 needs the tails as
+                    # they are NOW (persisted after chunk f0-1 is written)
+                    snap = dict(out_tail=np.asarray(out_tail),
+                                w_tail=np.asarray(w_tail), f0=f0)
+                res = chunk_fn(jnp.asarray(sig), jnp.int32(nf), ctl_carry,
+                               out_tail, w_tail, ctl_params, gain_one)
+                if raw:
+                    packed, _out_dev, ctl_carry, out_tail, w_tail = res
+                else:
+                    packed, ctl_carry, out_tail, w_tail = res
+                try:
+                    packed.block_until_ready()
+                    packed.copy_to_host_async()
+                except AttributeError:
+                    pass
+                if inflight is not None:
+                    consume(inflight)
+                    if ckpt is not None:
+                        ckpt.maybe_save(dict(
+                            out_tail=snap["out_tail"],
+                            w_tail=snap["w_tail"],
+                            __scalars__=dict(
+                                next_f0=snap["f0"], peak_seen=peak_seen,
+                                audio_samples_written=snap["f0"] * hop)))
+                inflight = (nf, packed)
+                pend = pend[nf * hop:]
+
             if inflight is not None:
                 consume(inflight)
-            inflight = (nf, packed)
-            pend = pend[nf * hop:]
+            if F > 0 and F % frames_per_chunk == 0:
+                tail = (np.asarray(out_tail)
+                        / (np.asarray(w_tail)[:, None] + EPS))
+                pk = float(np.max(np.abs(tail))) if tail.size else 0.0
+                write_piece(_encode_pcm24(tail) if raw else tail, pk)
 
-        if inflight is not None:
-            consume(inflight)
-        if F > 0 and F % frames_per_chunk == 0:
-            tail = np.asarray(out_tail) / (np.asarray(w_tail)[:, None] + EPS)
-            pk = float(np.max(np.abs(tail))) if tail.size else 0.0
-            write_piece(_encode_pcm24(tail) if raw else tail, pk)
-        fout.close()
+        # fout must close (fixing the WAV header) even if the run dies
+        # mid-stream — resume parses the frame count from that header
+        try:
+            _stream()
+        finally:
+            fout.close()
+        if ckpt is not None:
+            import os
+            if stage_path != out_path:
+                from tomatis_tpu.models.standard import _transcode_wav_to
+                _transcode_wav_to(stage_path, out_path)
+                os.remove(stage_path)
+            ckpt.clear()
     return dict(peak_seen=peak_seen, out_path=actual_out, n_frames=F, sr=sr)
+
+
+class _RawWavOut:
+    """AudioFile-like adapter over a bare WavWriter (checkpoint staging)."""
+
+    def __init__(self, writer):
+        self._w = writer
+
+    @property
+    def supports_raw(self):
+        return self._w.subtype == "PCM_24"
+
+    def write(self, data):
+        self._w.write(data)
+
+    def write_raw(self, raw):
+        self._w.write_raw(raw)
+
+    def close(self):
+        self._w.close()
 
 
 # ---------------------------------------------------------------------------
@@ -244,7 +341,8 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
 
 def apply_eq(in_path, out_path, eq_csv, n_fft=4096, hop=2048, pad=True,
              global_gain_db=0.0, auto_gain_protect=True, peak_target=0.99,
-             frames_per_chunk: int = 1024) -> dict:
+             frames_per_chunk: int = 1024,
+             checkpoint_path=None, checkpoint_every: int = 8) -> dict:
     """Layer-2 static EQ (ref src/layer2_apply_eq.py:66-233): log-f interp,
     optional input gain, two-pass gain protect writing an extra *_gp file
     when the streamed peak exceeds peak_target."""
@@ -255,7 +353,8 @@ def apply_eq(in_path, out_path, eq_csv, n_fft=4096, hop=2048, pad=True,
         in_path, out_path, gain_bins, n_fft, hop,
         pad_len=n_fft // 2 if pad else 0,
         pre_gain=float(10.0 ** (global_gain_db / 20.0)),
-        frames_per_chunk=frames_per_chunk)
+        frames_per_chunk=frames_per_chunk,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every)
     res["gain_protected_path"] = None
     if auto_gain_protect and res["peak_seen"] > peak_target:
         scale = peak_target / max(res["peak_seen"], 1e-12)
@@ -280,7 +379,8 @@ def apply_residual_eq(in_audio, out_audio, diff_csv, n_fft=4096, hop=2048,
                       smooth_win=41, clamp_hi=6.0, mid_start=3000.0,
                       mid_clamp_hi=2.0, hf_start=8000.0, hf_clamp_hi=0.0,
                       safe: bool = False, frames_per_chunk: int = 1024,
-                      pre_gain_db: float = 0.0) -> dict:
+                      pre_gain_db: float = 0.0,
+                      checkpoint_path=None, checkpoint_every: int = 8) -> dict:
     """Layer-2b residual EQ applier; safe=True selects the Safe-B clamps
     (and the reference's different smoothing default belongs to the CLI).
     pre_gain_db scales the input before EQ — 0.0 matches the reference
@@ -305,6 +405,8 @@ def apply_residual_eq(in_audio, out_audio, diff_csv, n_fft=4096, hop=2048,
     out = apply_gain_stream(in_audio, out_audio, eq_lin, n_fft, hop,
                             pad_len=0, frames_per_chunk=frames_per_chunk,
                             pre_gain=float(10.0 ** (pre_gain_db / 20.0)),
-                            require_48k_stereo=False)
+                            require_48k_stereo=False,
+                            checkpoint_path=checkpoint_path,
+                            checkpoint_every=checkpoint_every)
     out["eq_db"] = eq_db
     return out
