@@ -38,6 +38,33 @@ def test_flac_compresses(tmp_path):
     assert os.path.getsize(p) < 0.9 * raw
 
 
+def test_flac_seektable_random_seeks(tmp_path):
+    """The encoder writes a SEEKTABLE (one point / 10 s); seeks anywhere in
+    a long file must land exactly and not decode the whole prefix."""
+    import time
+    sr = 48000
+    rng = np.random.default_rng(4)
+    n = 60 * sr
+    x = (0.1 * np.sin(2 * np.pi * 440 * np.arange(n) / sr)
+         + 0.01 * rng.standard_normal(n)).astype(np.float32)
+    xs = np.stack([x, x], 1)
+    p = tmp_path / "long.flac"
+    audio.write(p, xs, sr, subtype="PCM_24")
+    with audio.AudioFile(p, "r") as f:
+        for pos in [0, 9999, 15 * sr + 7, 35 * sr, 59 * sr, n - 5]:
+            f.seek(pos)
+            y = f.read(128)
+            ref = xs[pos:pos + 128]
+            assert y.shape == ref.shape
+            np.testing.assert_allclose(y, ref, atol=2 / 8388608.0)
+        t0 = time.perf_counter()
+        f.seek(59 * sr)
+        f.read(1)
+        # nearest seek point is <= 10 s behind: far cheaper than decoding
+        # the whole 59 s prefix
+        assert time.perf_counter() - t0 < 1.0
+
+
 def test_flac_lpc_compression_and_noise_bound(tmp_path):
     """Order-12 LPC must push pure-tonal stereo well under 40% of raw, and
     full-scale noise must stay under raw+header (regression for a uint32

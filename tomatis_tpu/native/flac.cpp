@@ -169,6 +169,8 @@ struct FlacDecoder {
     uint32_t bps = 0;
     uint64_t total_samples = 0;
     uint32_t max_block = 0;
+    struct SeekEntry { uint64_t sample, offset; };
+    std::vector<SeekEntry> seektable;
 
     // decode cursor
     size_t byte_pos = 0;           // into stream
@@ -209,6 +211,17 @@ struct FlacDecoder {
                                 ((uint64_t)p[14] << 24) | ((uint64_t)p[15] << 16) |
                                 ((uint64_t)p[16] << 8) | p[17];
                 have_si = true;
+            } else if (type == 3 && off + len <= stream.size()) {
+                // SEEKTABLE: keep non-placeholder points (placeholder
+                // sample number = all ones)
+                for (uint32_t i = 0; i + 18 <= len; i += 18) {
+                    const uint8_t* p = stream.data() + off + i;
+                    uint64_t smp = 0, fo = 0;
+                    for (int k = 0; k < 8; k++) smp = (smp << 8) | p[k];
+                    for (int k = 0; k < 8; k++) fo = (fo << 8) | p[8 + k];
+                    if (smp == ~0ull) continue;
+                    seektable.push_back({smp, fo});
+                }
             }
             off += len;
         }
@@ -412,12 +425,21 @@ struct FlacDecoder {
     }
 
     bool seek(uint64_t sample) {
-        // no SEEKTABLE use: rewind and skip-decode (frame headers only
-        // carry their start, so walk frames until covering `sample`)
+        // jump via SEEKTABLE when present (largest point <= target),
+        // then walk the remaining frames; without a table, walk from the
+        // first frame (headers only carry their own start sample)
         byte_pos = frames_off;
         pend.clear();
         pend_off = 0;
         next_sample = 0;
+        for (size_t i = seektable.size(); i-- > 0;) {
+            if (seektable[i].sample <= sample
+                && frames_off + seektable[i].offset < stream.size()) {
+                byte_pos = frames_off + (size_t)seektable[i].offset;
+                next_sample = seektable[i].sample;
+                break;
+            }
+        }
         while (true) {
             std::vector<int32_t> frame;
             uint64_t start;
@@ -443,20 +465,53 @@ struct FlacEncoder {
     uint64_t total = 0;
     uint32_t frame_no = 0;
     static const uint32_t BLOCK = 4096;
+    static const uint32_t SEEK_POINTS = 512;   // placeholders reserved
     std::vector<int32_t> pend;  // interleaved
+    struct SeekPt { uint64_t sample, offset; uint16_t nsamples; };
+    std::vector<SeekPt> seekpts;
+    uint64_t next_seek_sample = 0;
+    uint64_t seek_spacing = 0;                 // samples between points
+    long frames_start = 0;
 
     bool open(const char* path, uint32_t sr, uint32_t ch, uint32_t b) {
         sample_rate = sr; channels = ch; bps = b;
         f = fopen(path, "wb");
         if (!f) return false;
         write_header(0);
+        write_seektable();                     // placeholder table
+        frames_start = ftell(f);
+        seek_spacing = (uint64_t)sr * 10;      // one point per 10 s
+        next_seek_sample = 0;
         return true;
+    }
+
+    // SEEKTABLE metadata block: SEEK_POINTS 18-byte points, placeholders
+    // (sample = 0xFF..FF) until close() patches the recorded ones in
+    void write_seektable() {
+        uint32_t len = SEEK_POINTS * 18;
+        uint8_t hdr[4] = {0x80 | 3, (uint8_t)(len >> 16),
+                          (uint8_t)(len >> 8), (uint8_t)len};  // last block
+        fwrite(hdr, 1, 4, f);
+        std::vector<uint8_t> body(len, 0xFF);
+        for (uint32_t i = 0; i < SEEK_POINTS; i++)  // placeholder: rest 0
+            memset(body.data() + i * 18 + 8, 0, 10);
+        size_t fill = seekpts.size() < SEEK_POINTS ? seekpts.size()
+                                                   : SEEK_POINTS;
+        for (size_t i = 0; i < fill; i++) {
+            uint8_t* p = body.data() + i * 18;
+            const SeekPt& s = seekpts[i];
+            for (int k = 0; k < 8; k++) p[k] = (uint8_t)(s.sample >> (56 - 8 * k));
+            for (int k = 0; k < 8; k++) p[8 + k] = (uint8_t)(s.offset >> (56 - 8 * k));
+            p[16] = (uint8_t)(s.nsamples >> 8);
+            p[17] = (uint8_t)s.nsamples;
+        }
+        fwrite(body.data(), 1, len, f);
     }
 
     void write_header(uint64_t total_samples) {
         uint8_t h[4 + 4 + 34];
         memcpy(h, "fLaC", 4);
-        h[4] = 0x80;  // last block, STREAMINFO
+        h[4] = 0x00;  // STREAMINFO, not last (SEEKTABLE follows)
         h[5] = 0; h[6] = 0; h[7] = 34;
         uint8_t* p = h + 8;
         memset(p, 0, 34);
@@ -511,6 +566,7 @@ struct FlacEncoder {
         }
         fseek(f, 0, SEEK_SET);
         write_header(total);
+        write_seektable();  // same size: patches the recorded points in
         fclose(f);
         f = nullptr;
     }
@@ -526,6 +582,13 @@ struct FlacEncoder {
     }
 
     void encode_frame(const int32_t* x, uint32_t bsize) {
+        // `total` is still this frame's first sample (caller adds after)
+        if (total >= next_seek_sample && seekpts.size() < SEEK_POINTS) {
+            seekpts.push_back({total,
+                               (uint64_t)(ftell(f) - frames_start),
+                               (uint16_t)bsize});
+            while (next_seek_sample <= total) next_seek_sample += seek_spacing;
+        }
         // stereo decorrelation search (ref decoder supports 8=L/S, 9=S/R,
         // 10=M/S): pick the assignment with the cheapest residual proxy
         uint32_t ch_asgn = channels - 1;  // independent
