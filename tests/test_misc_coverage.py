@@ -67,6 +67,19 @@ def test_compare_dbfs_cli_chains_into_gate_threshold(tmp_path, monkeypatch):
     assert res is not None and res["n_switches"] >= 2
 
 
+def test_edge_lengths_and_empty_input():
+    """Inputs shorter than a frame, straddling chunk boundaries, and empty
+    must all round-trip with the input shape."""
+    p = StandardParams(require_48k_stereo=False, n_fft=1024, hop=512)
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 511, 512, 1023, 1024, 1025):
+        x = (0.05 * rng.standard_normal((n, 2))).astype(np.float32)
+        y, stats = process_array(x, 48000, p, frames_per_chunk=8)
+        assert y.shape == x.shape, n
+        if n == 0:
+            assert stats["n_frames"] == 0
+
+
 def test_stage_timings_reported(tmp_path):
     sr = 48000
     x = (0.05 * np.random.default_rng(0).standard_normal((2 * sr, 2))

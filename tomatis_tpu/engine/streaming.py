@@ -316,6 +316,12 @@ class StreamRunner:
         C = eng.channels
         pad, pad_end, n_frames = plan.pad, plan.pad_end, plan.n_frames
 
+        if self.total <= 0 or n_frames <= 0:
+            # degenerate empty stream: nothing to emit, empty stats
+            self.stats = dict(n_frames=0, c1_frames=0, c2_frames=0,
+                              c1_ratio=0.0, c2_ratio=0.0, timings={})
+            return self.stats
+
         ctl_carry = self.controller.init_carry()
         out_tail, w_tail = eng.zero_tails()
         pcm24 = self.transport == "pcm24"
