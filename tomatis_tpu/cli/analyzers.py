@@ -54,6 +54,9 @@ def gate_threshold_main(argv=None) -> int:
         description="Estimate the device gate threshold from dBFS CSVs")
     ap.add_argument("csv", help="CSV with t,in_dbfs,<out>_dbfs columns")
     ap.add_argument("--diff_threshold", type=float, default=3.0)
+    ap.add_argument("--out_png", default=None,
+                    help="annotated level-track plot (switch points + "
+                         "estimated threshold)")
     args = ap.parse_args(argv)
     from tomatis_tpu.analysis.levels import gate_threshold_from_csv
     res = gate_threshold_from_csv(args.csv, args.diff_threshold)
@@ -64,6 +67,31 @@ def gate_threshold_main(argv=None) -> int:
     print(f"input level at switches: mean {res['mean']:.2f} dB, "
           f"median {res['median']:.2f} dB, std {res['std']:.2f} dB")
     print(f"range: [{res['min']:.2f}, {res['max']:.2f}] dB")
+    if args.out_png:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import pandas as pd
+            df = pd.read_csv(args.csv)
+            fig, ax = plt.subplots(figsize=(12, 5))
+            ax.plot(df["t"], df["in_dbfs"], lw=0.7, label="input dBFS")
+            out_col = [c for c in df.columns if c not in ("t", "in_dbfs")][0]
+            ax.plot(df["t"], df[out_col], lw=0.7, alpha=0.7, label=out_col)
+            ax.scatter(res["times"], res["levels"], s=18, c="red", zorder=3,
+                       label="switch points")
+            ax.axhline(res["median"], ls="--", c="red", lw=1,
+                       label=f"threshold ~ {res['median']:.1f} dBFS")
+            ax.set_xlabel("time (s)")
+            ax.set_ylabel("dBFS")
+            ax.legend(loc="lower right", fontsize=8)
+            ax.grid(alpha=0.3)
+            fig.tight_layout()
+            fig.savefig(args.out_png, dpi=110)
+            plt.close(fig)
+            print(f"plot: {args.out_png}")
+        except Exception as e:
+            print(f"[WARN] plot failed: {e}")
     return 0
 
 
