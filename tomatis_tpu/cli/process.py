@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--profile_dir", default=None,
                     help="write a jax.profiler trace of the run here "
                          "(view with TensorBoard)")
+    ap.add_argument("--progress", action="store_true",
+                    help="print per-chunk progress (ref prints every "
+                         "1000 frames)")
     add_engine_flags(ap)
     return ap
 
@@ -65,21 +68,22 @@ def run(args) -> int:
     print(f"threshold: {p.threshold_dbfs():.1f} dBFS "
           f"(Ton {p.threshold_dbfs() + p.hysteresis_db / 2:.1f}, "
           f"Toff {p.threshold_dbfs() - p.hysteresis_db / 2:.1f})")
+    prog = None
+    if args.progress:
+        def prog(done, total_frames):
+            print(f"  processed {done}/{total_frames} frames "
+                  f"({100 * done / max(1, total_frames):.0f}%)", flush=True)
+    kw = dict(state_csv_path=args.state_csv,
+              frames_per_chunk=args.frames_per_chunk,
+              checkpoint_path=args.checkpoint,
+              checkpoint_every=args.checkpoint_every, progress=prog)
     if args.profile_dir:
         import jax
         with jax.profiler.trace(args.profile_dir):
-            stats = process(args.input, args.output, p,
-                            state_csv_path=args.state_csv,
-                            frames_per_chunk=args.frames_per_chunk,
-                            checkpoint_path=args.checkpoint,
-                            checkpoint_every=args.checkpoint_every)
+            stats = process(args.input, args.output, p, **kw)
         print(f"profiler trace written to {args.profile_dir}")
     else:
-        stats = process(args.input, args.output, p,
-                        state_csv_path=args.state_csv,
-                        frames_per_chunk=args.frames_per_chunk,
-                        checkpoint_path=args.checkpoint,
-                        checkpoint_every=args.checkpoint_every)
+        stats = process(args.input, args.output, p, **kw)
     n = max(1, stats["n_frames"])
     print(f"frames: {stats['n_frames']}  "
           f"C1: {stats['c1_frames']} ({100 * stats['c1_frames'] / n:.1f}%)  "

@@ -305,7 +305,8 @@ class StreamRunner:
 
     def run(self, source, on_audio: Callable | None = None,
             on_frames: Callable | None = None, ckpt=None,
-            resume_state: dict | None = None) -> dict:
+            resume_state: dict | None = None,
+            on_progress: Callable | None = None) -> dict:
         """ckpt: optional engine.checkpoint.CheckpointManager — persists the
         stream state every N chunks. resume_state: a state dict previously
         returned by ckpt.load(); the caller must position its sinks at
@@ -520,6 +521,9 @@ class StreamRunner:
                 _t = _time.perf_counter()
                 consume(inflight)
                 timings["consume_s"] += _time.perf_counter() - _t
+                if on_progress is not None:
+                    # frames fully processed and written so far
+                    on_progress(inflight[0] + inflight[1], n_frames)
             if snapshot is not None:
                 # everything before snapshot['frame0'] is now consumed and
                 # drained; the saved state resumes exactly there

@@ -161,7 +161,8 @@ def process(in_path, out_path, p: StandardParams | None = None,
             stats = runner.run(fin,
                                on_audio=fout.write_raw if raw else fout.write,
                                on_frames=csvw.on_frames if csvw else None,
-                               ckpt=ckpt, resume_state=resume_state)
+                               ckpt=ckpt, resume_state=resume_state,
+                               on_progress=progress)
         finally:
             fout.close()
             if csvw:
