@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint file for crash recovery")
     ap.add_argument("--checkpoint_every", type=int, default=8)
+    ap.add_argument("--progress", action="store_true",
+                    help="print per-chunk progress")
     add_engine_flags(ap)
     return ap
 
@@ -44,11 +46,17 @@ def run(args) -> int:
         c2_low=args.c2_low, c2_high=args.c2_high,
         n_fft=args.n_fft, hop=args.hop,
         require_48k_stereo=not args.allow_any_rate)
+    prog = None
+    if args.progress:
+        def prog(done, total_frames):
+            print(f"  processed {done}/{total_frames} frames "
+                  f"({100 * done / max(1, total_frames):.0f}%)", flush=True)
     stats = process(args.input, args.output, p,
                     state_csv_path=args.state_csv,
                     frames_per_chunk=args.frames_per_chunk,
                     checkpoint_path=args.checkpoint,
-                    checkpoint_every=args.checkpoint_every)
+                    checkpoint_every=args.checkpoint_every,
+                    progress=prog)
     n = max(1, stats["n_frames"])
     print(f"threshold: {stats['threshold_dbfs']:.1f} dBFS, "
           f"xfade: {stats['xfade_frames']} frames")

@@ -85,7 +85,8 @@ def process_array(x: np.ndarray, sr: int, p: XfadeParams | None = None,
 
 def process(in_path, out_path, p: XfadeParams | None = None,
             state_csv_path=None, frames_per_chunk: int = 1024,
-            checkpoint_path=None, checkpoint_every: int = 8) -> dict:
+            checkpoint_path=None, checkpoint_every: int = 8,
+            progress=None) -> dict:
     """File-to-file crossfade processing; checkpoint_path enables the same
     chunk-granular crash recovery as the standard processor."""
     import os
@@ -143,7 +144,8 @@ def process(in_path, out_path, p: XfadeParams | None = None,
             stats = runner.run(fin,
                                on_audio=fout.write_raw if raw else fout.write,
                                on_frames=csvw.on_frames if csvw else None,
-                               ckpt=ckpt, resume_state=resume_state)
+                               ckpt=ckpt, resume_state=resume_state,
+                               on_progress=progress)
         finally:
             fout.close()
             if csvw:
