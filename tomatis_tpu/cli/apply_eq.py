@@ -25,17 +25,24 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--frames_per_chunk", type=int, default=1024)
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint file for crash recovery / resume")
+    ap.add_argument("--progress", action="store_true",
+                    help="print per-chunk progress")
     return ap
 
 
 def run(args) -> int:
     from tomatis_tpu.models.eq import apply_eq
+    prog = None
+    if args.progress:
+        def prog(done, total_frames):
+            print(f"  processed {done}/{total_frames} frames "
+                  f"({100 * done / max(1, total_frames):.0f}%)", flush=True)
     res = apply_eq(args.input, args.output, args.eq_csv,
                    n_fft=args.n_fft, hop=args.hop, pad=not args.no_pad,
                    global_gain_db=args.gain_db,
                    auto_gain_protect=not args.no_gain_protect,
                    frames_per_chunk=args.frames_per_chunk,
-                   checkpoint_path=args.checkpoint)
+                   checkpoint_path=args.checkpoint, progress=prog)
     print(f"frames: {res['n_frames']}  peak: {res['peak_seen']:.4f}")
     print(f"output: {res['out_path']}")
     if res.get("gain_protected_path"):

@@ -131,7 +131,8 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                       pad_len: int = 0, pre_gain: float = 1.0,
                       frames_per_chunk: int = 1024,
                       require_48k_stereo: bool = True,
-                      checkpoint_path=None, checkpoint_every: int = 8) -> dict:
+                      checkpoint_path=None, checkpoint_every: int = 8,
+                      progress=None) -> dict:
     """Stream in -> per-bin gain -> OLA -> out, uncropped (the output length
     is the last frame's end; includes the pre-pad — reference behavior).
     Returns dict(peak_seen, out_path, n_frames, sr).
@@ -281,6 +282,8 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                     pass
                 if inflight is not None:
                     consume(inflight)
+                    if progress is not None:
+                        progress(f0, F)
                     if ckpt is not None:
                         ckpt.maybe_save(dict(
                             out_tail=snap["out_tail"],
@@ -342,7 +345,8 @@ class _RawWavOut:
 def apply_eq(in_path, out_path, eq_csv, n_fft=4096, hop=2048, pad=True,
              global_gain_db=0.0, auto_gain_protect=True, peak_target=0.99,
              frames_per_chunk: int = 1024,
-             checkpoint_path=None, checkpoint_every: int = 8) -> dict:
+             checkpoint_path=None, checkpoint_every: int = 8,
+             progress=None) -> dict:
     """Layer-2 static EQ (ref src/layer2_apply_eq.py:66-233): log-f interp,
     optional input gain, two-pass gain protect writing an extra *_gp file
     when the streamed peak exceeds peak_target."""
@@ -354,7 +358,8 @@ def apply_eq(in_path, out_path, eq_csv, n_fft=4096, hop=2048, pad=True,
         pad_len=n_fft // 2 if pad else 0,
         pre_gain=float(10.0 ** (global_gain_db / 20.0)),
         frames_per_chunk=frames_per_chunk,
-        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every)
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        progress=progress)
     res["gain_protected_path"] = None
     if auto_gain_protect and res["peak_seen"] > peak_target:
         scale = peak_target / max(res["peak_seen"], 1e-12)
