@@ -326,6 +326,7 @@ struct FlacDecoder {
         uint32_t type = br.bits(6);
         uint32_t wasted = 0;
         if (br.bits(1)) wasted = br.unary() + 1;
+        if (wasted >= cbps || wasted >= 32) return false;  // ebps underflow / UB shift
         uint32_t ebps = cbps - wasted;
 
         if (type == 0) {                     // CONSTANT
@@ -335,11 +336,13 @@ struct FlacDecoder {
             for (uint32_t i = 0; i < bsize; i++) out[i] = br.sbits((int)ebps);
         } else if (type >= 8 && type <= 12) {  // FIXED
             uint32_t order = type - 8;
+            if (order > bsize) return false;  // warmup would overflow out[bsize]
             for (uint32_t i = 0; i < order; i++) out[i] = br.sbits((int)ebps);
             if (!decode_residual(br, bsize, order, out)) return false;
             restore_fixed(order, bsize, out);
         } else if (type >= 32) {             // LPC
             uint32_t order = (type & 0x1F) + 1;
+            if (order > bsize) return false;  // warmup would overflow out[bsize]
             for (uint32_t i = 0; i < order; i++) out[i] = br.sbits((int)ebps);
             uint32_t prec = br.bits(4) + 1;
             if (prec == 16) return false;  // 1111 invalid
