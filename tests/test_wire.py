@@ -1,0 +1,117 @@
+"""Wire codec: three-way parity (numpy oracle / XLA device / native C++).
+
+The host<->device link format must be bit-identical across all three
+implementations — the engine mixes them freely (C++ encodes input, XLA
+decodes on device; XLA encodes output, C++ decodes on host)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tomatis_tpu.io import wirecodec
+from tomatis_tpu.ops import wire
+
+
+def _signals():
+    rng = np.random.default_rng(42)
+    n = 5000
+    t = np.arange(n)
+    x = (3e5 * np.sin(2 * np.pi * 440 * t / 48000)
+         + 2e4 * rng.standard_normal(n)).astype(np.int64)
+    L = np.clip(x, -8388608, 8388607).astype(np.int32)
+    R = np.clip(0.9 * x, -8388608, 8388607).astype(np.int32)
+    yield "tonal_stereo", np.stack([L, R], 1)
+    yield "white_fullscale", rng.integers(
+        -8388608, 8388608, (3000, 2)).astype(np.int32)
+    yield "silence", np.zeros((1000, 2), np.int32)
+    yield "mono", np.clip(1e4 * rng.standard_normal(700),
+                          -8e6, 8e6).astype(np.int32)[:, None]
+    yield "tiny", rng.integers(-100, 100, (5, 2)).astype(np.int32)
+    yield "extremes", np.array([[8388607, -8388608]] * 300, np.int32)
+    yield "minus_one", np.full((600, 2), -1, np.int32)
+    ramp = (np.arange(2000) * 1000 % 16777216 - 8388608).astype(np.int32)
+    yield "ramp", np.stack([ramp, -ramp], 1)
+    quiet = (50 * np.sin(2 * np.pi * 300 * np.arange(4000) / 48000)) \
+        .astype(np.int32)
+    yield "quiet_identical_lr", np.stack([quiet, quiet], 1)
+    for k in range(8):
+        nn = int(rng.integers(1, 3000))
+        cc = int(rng.integers(1, 3))
+        amp = 10 ** rng.uniform(0, 7)
+        yield f"fuzz{k}", np.clip(amp * rng.standard_normal((nn, cc)),
+                                  -8388608, 8388607).astype(np.int32)
+
+
+@pytest.mark.parametrize("name,v", list(_signals()))
+def test_three_way_parity(name, v):
+    n, ch = v.shape
+    buf = wire.encode_np(v)                      # numpy oracle encode
+    assert np.array_equal(wire.decode_np(buf), v)
+
+    # XLA encode must produce byte-identical output (same tie-breaks)
+    words, used = jax.jit(wire.pack_device, static_argnums=(1, 2))(
+        jnp.asarray(v), n, ch)
+    words, used = np.asarray(words), int(used)
+    assert used * 4 == len(buf)
+    assert np.array_equal(words[:used].view(np.uint8)[:len(buf)], buf)
+    assert not words[used:].any(), "padding beyond used_words must be zero"
+
+    # XLA decode of the numpy-encoded buffer
+    pad = (-len(buf)) % 4
+    b = np.concatenate([buf, np.zeros(pad, np.uint8)])
+    f = jax.jit(wire.unpack_device, static_argnums=(1, 2))(
+        jnp.asarray(b), n, ch)
+    assert np.array_equal(np.asarray(f), v.astype(np.float32) / 8388608.0)
+
+    # native C++ (skipped transparently if the toolchain is missing)
+    if wirecodec.available():
+        cbuf = wirecodec.encode_i32(v)
+        assert np.array_equal(cbuf, buf), "C++ encode must match numpy"
+        assert np.array_equal(wirecodec.decode_i32(buf, n, ch), v)
+        pcm = wirecodec.decode_pcm24(buf, n, ch)
+        flat = v.reshape(-1)
+        exp = np.empty((flat.size, 3), np.uint8)
+        exp[:, 0] = flat & 0xFF
+        exp[:, 1] = (flat >> 8) & 0xFF
+        exp[:, 2] = (flat >> 16) & 0xFF
+        assert np.array_equal(pcm, exp.reshape(-1))
+
+
+def test_native_lib_builds():
+    assert wirecodec.available(), \
+        "native wire codec must build in this image (g++ present)"
+
+
+def test_encode_f32_exactness_gate():
+    rng = np.random.default_rng(1)
+    v = rng.integers(-8388608, 8388608, (2048, 2)).astype(np.int32)
+    x = v.astype(np.float32) / 8388608.0
+    buf = wirecodec.encode_f32(x)
+    assert buf is not None
+    assert np.array_equal(wirecodec.decode_i32(buf, 2048, 2), v)
+    # non-PCM_24 floats must be rejected, not silently quantized
+    assert wirecodec.encode_f32(x + np.float32(1e-8)) is None
+    assert wirecodec.encode_f32(np.full((16, 2), 1.0, np.float32)) is None
+
+
+def test_compression_on_program_material():
+    rng = np.random.default_rng(7)
+    sr = 48000
+    t = np.arange(4 * sr) / sr
+    x = 0.05 * (np.sin(2 * np.pi * 440 * t)
+                + 0.4 * np.sin(2 * np.pi * 3100 * t)
+                + 0.05 * rng.standard_normal(t.size))
+    v = np.rint(np.stack([x, 0.9 * x], 1) * 8388608).astype(np.int32)
+    buf = wire.encode_np(v)
+    ratio = len(buf) / (v.size * 3)
+    assert ratio < 0.85, f"expected compression on tonal material: {ratio}"
+    assert np.array_equal(wire.decode_np(buf), v)
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        wire.decode_np(np.zeros(64, np.uint8))
+    if wirecodec.available():
+        with pytest.raises(RuntimeError):
+            wirecodec.decode_i32(np.zeros(64, np.uint8), 16, 2)

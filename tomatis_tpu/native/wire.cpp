@@ -1,0 +1,307 @@
+// Wire codec - C++ host side of the host<->device lossless PCM link format.
+//
+// Format spec and rationale: tomatis_tpu/ops/wire.py (the numpy oracle and
+// the XLA device implementation live there). This file is the production
+// host-side encoder (input path: host packs, device unpacks) and decoder
+// (output path: device packs, host unpacks). All three implementations are
+// bit-exact for encode (same variant tie-break) and互-decodable.
+//
+// Exported C ABI (ctypes-bound by tomatis_tpu/io/wirecodec.py):
+//   twire_encode_f32(x, n, ch, out, cap) -> used bytes; -1 if the floats
+//       are not exactly PCM_24 (caller falls back to raw f32 transport);
+//       -2 if cap is too small.
+//   twire_encode_i32(v, n, ch, out, cap) -> used bytes; -2 if cap small.
+//   twire_decode(in, nbytes, out_i32, n, ch) -> 0 ok / negative error.
+//   twire_decode_pcm24(in, nbytes, out_u8, n, ch) -> 0 ok / negative error.
+//   twire_max_bytes(n, ch) -> worst-case packed size.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t MAGIC = 0x54574331u;
+constexpr int B = 256;
+
+inline long n_blocks(long n) { return (n + B - 1) / B; }
+inline long header_words(long n, int ch) {
+    return 5 + (ch * n_blocks(n) + 3) / 4;
+}
+inline long raw_words(long n, int ch) { return 5 + (n * ch * 3 + 3) / 4; }
+
+inline int width_of(uint32_t umax, bool anynz) {
+    if (!anynz) return 0;
+    if (umax == 0) return 4;
+    int bits = 32 - __builtin_clz(umax);
+    return bits + 1 < 4 ? 4 : bits + 1;
+}
+
+// widths for residual channel r[n]; returns total stream words (8*sum w)
+long block_widths(const int32_t* r, long n, uint8_t* w_out) {
+    long K = n_blocks(n);
+    long total = 0;
+    for (long b = 0; b < K; b++) {
+        long lo = b * B, hi = lo + B < n ? lo + B : n;
+        uint32_t umax = 0;
+        bool anynz = false;
+        for (long i = lo; i < hi; i++) {
+            int32_t v = r[i];
+            anynz |= (v != 0);
+            uint32_t u = (uint32_t)(v ^ (v >> 31));
+            if (u > umax) umax = u;
+        }
+        int w = width_of(umax, anynz);
+        w_out[b] = (uint8_t)w;
+        total += 8L * w;
+    }
+    return total;
+}
+
+void diff_inplace(int32_t* r, long n) {
+    int32_t prev = 0;
+    for (long i = 0; i < n; i++) {
+        int32_t cur = r[i];
+        r[i] = cur - prev;
+        prev = cur;
+    }
+}
+
+struct Writer {
+    uint32_t* words;
+    long word;       // current word index
+    int bit;         // bits already used in current word
+    void put(uint32_t z, int w) {
+        words[word] |= z << bit;
+        if (bit + w > 32) words[word + 1] |= z >> (32 - bit);
+        bit += w;
+        word += bit >> 5;
+        bit &= 31;
+    }
+};
+
+long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
+    long K = n_blocks(n);
+    long H = header_words(n, ch);
+    long RW = raw_words(n, ch);
+
+    // channel-major copies for both channel mappings
+    std::vector<int32_t> lr((size_t)ch * n), msv;
+    for (int c = 0; c < ch; c++)
+        for (long i = 0; i < n; i++) lr[(size_t)c * n + i] = v[i * ch + c];
+    int n_var = 1;
+    if (ch == 2) {
+        msv.resize((size_t)2 * n);
+        for (long i = 0; i < n; i++) {
+            int32_t L = v[i * 2], R = v[i * 2 + 1];
+            msv[i] = (L + R) >> 1;
+            msv[n + i] = L - R;
+        }
+        n_var = 2;
+    }
+
+    long best_total = -1;
+    int best_o = 0, best_ms = 0;
+    std::vector<uint8_t> w((size_t)ch * K), bw((size_t)ch * K);
+    std::vector<int32_t> r((size_t)ch * n);
+    for (int ms = 0; ms < n_var; ms++) {
+        const int32_t* x0 = ms ? msv.data() : lr.data();
+        std::memcpy(r.data(), x0, (size_t)ch * n * 4);
+        for (int o = 0; o < 5; o++) {
+            long total = H;
+            for (int c = 0; c < ch; c++)
+                total += block_widths(r.data() + (size_t)c * n, n,
+                                      w.data() + (size_t)c * K);
+            if (best_total < 0 || total < best_total) {
+                best_total = total;
+                best_o = o;
+                best_ms = ms;
+                bw = w;
+            }
+            for (int c = 0; c < ch; c++)
+                diff_inplace(r.data() + (size_t)c * n, n);
+        }
+    }
+
+    if (best_total >= RW) {   // raw escape
+        if (cap < RW * 4) return -2;
+        std::memset(out, 0, (size_t)RW * 4);
+        uint32_t hdr[5] = {MAGIC, (uint32_t)n, (uint32_t)K,
+                           (uint32_t)ch | (1u << 17), (uint32_t)RW};
+        std::memcpy(out, hdr, 20);
+        uint8_t* p = out + 20;
+        for (long i = 0; i < n * ch; i++) {
+            uint32_t u = (uint32_t)v[i];
+            p[0] = u & 0xFF; p[1] = (u >> 8) & 0xFF; p[2] = (u >> 16) & 0xFF;
+            p += 3;
+        }
+        return RW * 4;
+    }
+
+    if (cap < (best_total + 1) * 4) return -2;  // +1: Writer hi-word spill
+    std::memset(out, 0, (size_t)(best_total + 1) * 4);
+    uint32_t hdr[5] = {MAGIC, (uint32_t)n, (uint32_t)K,
+                       (uint32_t)ch | ((uint32_t)best_o << 8)
+                           | ((uint32_t)best_ms << 16),
+                       (uint32_t)best_total};
+    std::memcpy(out, hdr, 20);
+    std::memcpy(out + 20, bw.data(), (size_t)ch * K);
+
+    // rebuild the winning residual
+    const int32_t* x0 = best_ms ? msv.data() : lr.data();
+    std::memcpy(r.data(), x0, (size_t)ch * n * 4);
+    for (int o = 0; o < best_o; o++)
+        for (int c = 0; c < ch; c++)
+            diff_inplace(r.data() + (size_t)c * n, n);
+
+    Writer wr{reinterpret_cast<uint32_t*>(out), H, 0};
+    for (int c = 0; c < ch; c++) {
+        const int32_t* rc = r.data() + (size_t)c * n;
+        for (long b = 0; b < K; b++) {
+            int w_ = bw[(size_t)c * K + b];
+            if (!w_) continue;
+            uint32_t mask = (w_ >= 32) ? 0xFFFFFFFFu : ((1u << w_) - 1);
+            long lo = b * B, hi = lo + B < n ? lo + B : n;
+            for (long i = lo; i < hi; i++)
+                wr.put((uint32_t)rc[i] & mask, w_);
+            for (long i = hi; i < lo + B; i++) wr.put(0, w_);  // block pad
+        }
+    }
+    return best_total * 4;
+}
+
+struct Reader {
+    const uint32_t* words;
+    long word;
+    int bit;
+    long limit;
+    int32_t get(int w) {
+        uint64_t lo = word < limit ? words[word] : 0;
+        uint64_t hi = word + 1 < limit ? words[word + 1] : 0;
+        uint32_t v = (uint32_t)(((lo >> bit) | (hi << (32 - bit)))
+                                & ((1ull << w) - 1));
+        bit += w;
+        word += bit >> 5;
+        bit &= 31;
+        return (int32_t)(v << (32 - w)) >> (32 - w);
+    }
+};
+
+int decode_core(const uint8_t* in, long nbytes, long n, int ch,
+                std::vector<int32_t>& out) {
+    if (nbytes < 20) return -1;
+    uint32_t hdr[5];
+    std::memcpy(hdr, in, 20);
+    if (hdr[0] != MAGIC) return -1;
+    if ((long)hdr[1] != n || (int)(hdr[3] & 0xFF) != ch) return -3;
+    long K = (long)hdr[2];
+    if (K != n_blocks(n)) return -3;
+    int order = (hdr[3] >> 8) & 0xFF;
+    int ms = (hdr[3] >> 16) & 1;
+    int raw = (hdr[3] >> 17) & 1;
+    long used = (long)hdr[4];
+    if (order > 4 || used * 4 > nbytes + 3) return -4;
+
+    out.resize((size_t)n * ch);
+    if (raw) {
+        if (nbytes < 20 + n * ch * 3) return -4;
+        const uint8_t* p = in + 20;
+        for (long i = 0; i < n * ch; i++) {
+            int32_t v = p[0] | (p[1] << 8) | (p[2] << 16);
+            out[i] = (v << 8) >> 8;
+            p += 3;
+        }
+        return 0;
+    }
+
+    long H = header_words(n, ch);
+    if (nbytes < H * 4) return -4;
+    const uint8_t* wtab = in + 20;
+    std::vector<uint32_t> words((size_t)used);
+    std::memcpy(words.data(), in, (size_t)
+                (used * 4 <= nbytes ? used * 4 : nbytes));
+    std::vector<int32_t> r(n);
+    for (int c = 0; c < ch; c++) {
+        Reader rd{words.data(), H, 0, used};
+        // skip previous channels' streams
+        long skip = 0;
+        for (long t = 0; t < (long)c * K; t++) skip += 8L * wtab[t];
+        rd.word = H + skip;
+        for (long b = 0; b < K; b++) {
+            int w_ = wtab[(size_t)c * K + b];
+            long lo = b * B, hi = lo + B < n ? lo + B : n;
+            if (!w_) {
+                for (long i = lo; i < hi; i++) r[i] = 0;
+                continue;
+            }
+            for (long i = lo; i < hi; i++) r[i] = rd.get(w_);
+            for (long i = hi; i < lo + B; i++) rd.get(w_);
+        }
+        for (int o = 0; o < order; o++) {
+            int32_t acc = 0;
+            for (long i = 0; i < n; i++) { acc += r[i]; r[i] = acc; }
+        }
+        for (long i = 0; i < n; i++) out[i * ch + c] = r[i];
+    }
+    if (ms && ch == 2) {
+        for (long i = 0; i < n; i++) {
+            int32_t m = out[i * 2], s = out[i * 2 + 1];
+            int32_t L = m + ((s + (s & 1)) >> 1);
+            out[i * 2] = L;
+            out[i * 2 + 1] = L - s;
+        }
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+long twire_max_bytes(long n, int ch) {
+    // packed worst case; raw escape keeps used below raw_words + 1 spill
+    return (header_words(n, ch) + 8L * 30 * ch * n_blocks(n) + 1) * 4;
+}
+
+long twire_encode_i32(const int32_t* v, long n, int ch, uint8_t* out,
+                      long cap) {
+    return encode_core(v, n, ch, out, cap);
+}
+
+long twire_encode_f32(const float* x, long n, int ch, uint8_t* out,
+                      long cap) {
+    std::vector<int32_t> v((size_t)n * ch);
+    for (long i = 0; i < n * ch; i++) {
+        float f = x[i] * 8388608.0f;
+        int32_t q = (int32_t)(f >= 0 ? f + 0.5f : f - 0.5f);
+        if (q < -8388608 || q > 8388607
+            || (float)q / 8388608.0f != x[i]) return -1;  // not PCM_24-exact
+        v[i] = q;
+    }
+    return encode_core(v.data(), n, ch, out, cap);
+}
+
+int twire_decode(const uint8_t* in, long nbytes, int32_t* out, long n,
+                 int ch) {
+    std::vector<int32_t> buf;
+    int rc = decode_core(in, nbytes, n, ch, buf);
+    if (rc) return rc;
+    std::memcpy(out, buf.data(), (size_t)n * ch * 4);
+    return 0;
+}
+
+int twire_decode_pcm24(const uint8_t* in, long nbytes, uint8_t* out, long n,
+                       int ch) {
+    std::vector<int32_t> buf;
+    int rc = decode_core(in, nbytes, n, ch, buf);
+    if (rc) return rc;
+    uint8_t* p = out;
+    for (long i = 0; i < n * ch; i++) {
+        uint32_t u = (uint32_t)buf[i];
+        p[0] = u & 0xFF; p[1] = (u >> 8) & 0xFF; p[2] = (u >> 16) & 0xFF;
+        p += 3;
+    }
+    return 0;
+}
+
+}  // extern "C"

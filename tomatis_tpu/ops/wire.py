@@ -1,0 +1,434 @@
+"""Wire codec: lossless PCM_24 compression for the host<->device link.
+
+Round 1 measured the tunneled-TPU pipeline 100% link-bound: raw float32
+input (4 B/sample) + raw PCM_24 output (3 B/sample) over a ~30-40 MB/s
+shared link caps the standard processor near 45-50x realtime. This codec
+cuts the bytes on BOTH directions with a lossless scheme chosen so that
+*both* endpoints can run their half efficiently:
+
+- residuals from the best FIXED predictor of order 0..4 (k-fold first
+  difference). Restore is k cumulative sums - embarrassingly parallel,
+  so the device can decode the host-encoded input with two jnp.cumsum
+  calls instead of a sequential IIR (a general LPC would serialize).
+- optional mid/side decorrelation (FLAC-style, integer-exact).
+- per-256-sample-block fixed bit-width storage (signed, two's
+  complement). 256*w bits is always a whole number of 32-bit words, so
+  blocks are word-aligned and the device can bit-pack/unpack with pure
+  gather arithmetic - no scatter, no sequential bit cursor.
+- a raw PCM_24 escape when packing would exceed raw size.
+
+The same format runs in three implementations that must agree bit-for-bit:
+numpy (oracle + fallback), C++ (tomatis_tpu/native/wire.cpp - the
+production host side), and XLA (this file - the production device side).
+
+Typical program material packs to ~1.5-2.2 B/sample vs 3 B raw PCM_24 and
+4 B float32, which is what moves the link-bound realtime factor.
+
+Layout (little-endian u32 words):
+    word 0   magic 0x54574331 ('TWC1')
+    word 1   n samples per channel
+    word 2   K = ceil(n / 256) blocks per channel
+    word 3   flags = channels | order << 8 | midside << 16 | raw << 17
+    word 4   used_words (total length of the stream, in u32 words)
+    packed:  ceil(ch*K / 4) width words (u8 per block, channel-major),
+             then per-channel bitstreams, channel-major; block b holds
+             256 samples at w[b] bits = 8*w[b] words (w=0: block omitted,
+             all-zero residuals).
+    raw:     ceil(n*ch*3 / 4) words of interleaved sample-major
+             little-endian 24-bit PCM (no width region).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+MAGIC = 0x54574331
+B = 256               # samples per width block
+_NC = 10              # max samples overlapping one packed word (w >= 4)
+_WMAX = 30            # side channel at order 4 needs up to 25+4+1 bits
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers (numpy)
+# ---------------------------------------------------------------------------
+
+def n_blocks(n: int) -> int:
+    return -(-n // B)
+
+
+def header_words(n: int, ch: int) -> int:
+    """Words before the bitstreams in the packed layout."""
+    return 5 + (ch * n_blocks(n) + 3) // 4
+
+
+def raw_words(n: int, ch: int) -> int:
+    return 5 + (n * ch * 3 + 3) // 4
+
+
+def max_words(n: int, ch: int) -> int:
+    """Static worst-case buffer size (packed layout cap; the raw escape
+    guarantees used_words <= raw_words, but the packed layout is what the
+    fixed-size device buffer must be able to hold)."""
+    return header_words(n, ch) + 8 * _WMAX * ch * n_blocks(n)
+
+
+def _midside_fwd_np(v: np.ndarray) -> np.ndarray:
+    L = v[:, 0]
+    R = v[:, 1]
+    return np.stack([(L + R) >> 1, L - R], 1)
+
+
+def _midside_inv_np(v: np.ndarray) -> np.ndarray:
+    m = v[:, 0]
+    s = v[:, 1]
+    L = m + ((s + (s & 1)) >> 1)
+    return np.stack([L, L - s], 1)
+
+
+def _diff_np(x: np.ndarray) -> np.ndarray:
+    """First difference along axis 1 with implicit leading zero."""
+    r = x.copy()
+    r[:, 1:] -= x[:, :-1]
+    return r
+
+
+def _widths_np(r: np.ndarray) -> np.ndarray:
+    """Per-block bit widths for residuals r [ch, n] -> [ch, K] (u8)."""
+    ch, n = r.shape
+    K = n_blocks(n)
+    pad = K * B - n
+    rp = np.pad(r, ((0, 0), (0, pad))).reshape(ch, K, B)
+    u = (rp ^ (rp >> 31)).astype(np.uint32)   # NB: maps -1 -> 0 (1 bit)
+    umax = u.max(axis=2)
+    bits = np.frexp(umax.astype(np.float64))[1]  # exact for ints < 2^53
+    w = np.maximum(4, bits + 1)
+    anynz = (rp != 0).any(axis=2)
+    return np.where(anynz, w, 0).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# numpy encoder / decoder (oracle + host fallback)
+# ---------------------------------------------------------------------------
+
+def encode_np(v: np.ndarray) -> np.ndarray:
+    """int32 PCM_24 samples [n, ch] -> packed uint8 array (exact size)."""
+    v = np.ascontiguousarray(v, np.int32)
+    if v.ndim == 1:
+        v = v[:, None]
+    n, ch = v.shape
+    K = n_blocks(n)
+    H = header_words(n, ch)
+
+    variants = [v.T]                       # [ch, n] channel-major
+    if ch == 2:
+        variants.append(_midside_fwd_np(v).T)
+    best = None
+    for ms, x0 in enumerate(variants):
+        r = x0
+        for o in range(5):
+            w = _widths_np(r)
+            total = H + 8 * int(w.sum(dtype=np.int64))
+            if best is None or total < best[0]:
+                best = (total, o, ms, w, r.copy())
+            r = _diff_np(r)
+    total, order, ms, w, r = best
+
+    RW = raw_words(n, ch)
+    if total >= RW:
+        out = np.zeros(RW * 4, np.uint8)
+        _put_header(out, n, K, ch, 0, 1, RW)
+        flat = v.reshape(-1)
+        pcm = np.empty((flat.size, 3), np.uint8)
+        pcm[:, 0] = flat & 0xFF
+        pcm[:, 1] = (flat >> 8) & 0xFF
+        pcm[:, 2] = (flat >> 16) & 0xFF
+        out[20:20 + flat.size * 3] = pcm.reshape(-1)
+        return out
+
+    out = np.zeros(total * 4, np.uint8)
+    _put_header(out, n, K, ch, (order << 8) | (ms << 16), 0, total)
+    wflat = w.reshape(-1)
+    out[20:20 + wflat.size] = wflat
+
+    words = np.zeros(total + 1, np.uint32)   # +1: hi spill of the last word
+    base = H + 8 * np.concatenate(
+        [[0], np.cumsum(wflat.astype(np.int64))[:-1]])
+    pad = K * B - n
+    rp = np.pad(r, ((0, 0), (0, pad))).reshape(ch * K, B)
+    wb = wflat.astype(np.uint64)[:, None]                      # [ch*K, 1]
+    z = rp.astype(np.uint32).astype(np.uint64) & ((1 << wb) - 1)
+    i = np.arange(B, dtype=np.uint64)[None, :]
+    bitpos = i * wb
+    widx = (base.astype(np.uint64)[:, None] + (bitpos >> 5)).reshape(-1)
+    sh = (bitpos & 31)
+    lo = ((z << sh) & 0xFFFFFFFF).astype(np.uint32).reshape(-1)
+    hi = (z >> (32 - sh)).astype(np.uint32).reshape(-1)        # sh=0 -> >>32 = 0 (u64)
+    live = np.broadcast_to(wb > 0, z.shape).reshape(-1)
+    np.bitwise_or.at(words, widx[live].astype(np.int64), lo[live])
+    np.bitwise_or.at(words, widx[live].astype(np.int64) + 1, hi[live])
+    out[H * 4:] = words[H:total].view(np.uint8)
+    return out
+
+
+def _put_header(out: np.ndarray, n, K, ch, flaghi, raw, used):
+    hdr = np.array([MAGIC, n, K, ch | flaghi | (raw << 17), used], np.uint32)
+    out[:20] = hdr.view(np.uint8)
+
+
+def decode_np(buf: np.ndarray) -> np.ndarray:
+    """packed uint8 array -> int32 PCM samples [n, ch]."""
+    buf = np.ascontiguousarray(buf, np.uint8)
+    hdr = buf[:20].view(np.uint32)
+    if hdr[0] != MAGIC:
+        raise ValueError(f"bad wire magic {hdr[0]:#x}")
+    n = int(hdr[1])
+    K = int(hdr[2])
+    flags = int(hdr[3])
+    ch = flags & 0xFF
+    order = (flags >> 8) & 0xFF
+    ms = (flags >> 16) & 1
+    raw = (flags >> 17) & 1
+    used = int(hdr[4])
+    if raw:
+        pcm = buf[20:20 + n * ch * 3].reshape(-1, 3)
+        v = (pcm[:, 0].astype(np.int32)
+             | (pcm[:, 1].astype(np.int32) << 8)
+             | (pcm[:, 2].astype(np.int32) << 16))
+        v = (v << 8) >> 8
+        return v.reshape(n, ch)
+
+    H = header_words(n, ch)
+    wflat = buf[20:20 + ch * K].astype(np.int64)
+    words = np.zeros(used, np.uint32)
+    words[:] = buf[:used * 4].view(np.uint32)
+    base = H + 8 * np.concatenate([[0], np.cumsum(wflat)[:-1]])
+
+    idx = np.arange(K * B)
+    blk = idx // B
+    ii = (idx % B).astype(np.int64)
+    r = np.empty((ch, K * B), np.int32)
+    for c in range(ch):
+        wb = wflat[c * K:(c + 1) * K][blk]
+        bitoff = ii * wb
+        q = base[c * K:(c + 1) * K][blk] + (bitoff >> 5)
+        q = np.minimum(q, used - 1)   # w=0 tail blocks can point past used
+        sh = (bitoff & 31).astype(np.uint64)
+        lo = words[q].astype(np.uint64) >> sh
+        hi = words[np.minimum(q + 1, used - 1)].astype(np.uint64) << (32 - sh)
+        val = (lo | hi) & ((1 << wb.astype(np.uint64)) - 1)
+        sb = np.where(wb > 0, 1 << np.maximum(wb - 1, 0), 0).astype(np.uint64)
+        sv = (val ^ sb).astype(np.int64) - sb.astype(np.int64)
+        r[c] = np.where(wb == 0, 0, sv).astype(np.int32)
+    r = r[:, :n]
+    for _ in range(order):
+        r = np.cumsum(r, axis=1, dtype=np.int32)
+    v = r.T
+    if ms:
+        v = _midside_inv_np(v)
+    return np.ascontiguousarray(v)
+
+
+# ---------------------------------------------------------------------------
+# XLA device implementations
+# ---------------------------------------------------------------------------
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+def pack_device(v, n: int, ch: int):
+    """Device-side encoder (traceable): v int32 [n, ch] -> (words u32
+    [max_words(n, ch)], used_words i32). Zero beyond used_words.
+
+    Mirrors encode_np exactly, including the variant tie-break (first
+    minimum over [lr o0..o4, ms o0..o4]) and the raw escape.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    K = n_blocks(n)
+    H = header_words(n, ch)
+    RW = raw_words(n, ch)
+    M = max_words(n, ch)
+    pad = K * B - n
+
+    xT = jnp.transpose(v)                                  # [ch, n]
+    variants = [xT]
+    if ch == 2:
+        L, R = v[:, 0], v[:, 1]
+        variants.append(jnp.stack([(L + R) >> 1, L - R]))
+
+    def diff(x):
+        return x - jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+
+    all_r, all_w, all_tot = [], [], []
+    for x0 in variants:
+        r = x0
+        for o in range(5):
+            rp = jnp.pad(r, ((0, 0), (0, pad))).reshape(ch, K, B)
+            u = (rp ^ (rp >> 31)).astype(jnp.uint32)
+            umax = jnp.max(u, axis=2)                      # [ch, K]
+            thresh = jnp.asarray(
+                (1 << np.arange(3, _WMAX - 1, dtype=np.int64))
+                .astype(np.uint32))
+            w = 4 + jnp.sum(umax[:, :, None] >= thresh[None, None, :],
+                            axis=2)
+            w = jnp.where(jnp.any(rp != 0, axis=2), w, 0).astype(jnp.int32)
+            all_r.append(r)
+            all_w.append(w)
+            all_tot.append(H + 8 * jnp.sum(w, dtype=jnp.int32))
+            r = diff(r)
+    totals = jnp.stack(all_tot)
+    bi = jnp.argmin(totals)                                # first minimum
+    order = (bi % 5).astype(jnp.uint32)
+    ms = (bi // 5).astype(jnp.uint32)
+    r = jnp.stack(all_r)[bi]                               # [ch, n]
+    w = jnp.stack(all_w)[bi]                               # [ch, K]
+    total = totals[bi].astype(jnp.int32)
+
+    # ---- packed layout ----
+    wflat = w.reshape(ch * K)
+    base = H + 8 * (jnp.cumsum(wflat) - wflat)             # [ch*K]
+    rp = jnp.pad(r, ((0, 0), (0, pad))).reshape(ch * K, B)
+    z = rp.astype(jnp.uint32) & jnp.where(
+        wflat > 0, (jnp.uint32(1) << wflat.astype(jnp.uint32)) - 1,
+        0)[:, None]
+
+    # stage 1: per-block slots [ch*K, 8*_WMAX] via candidate gathers
+    j = jnp.arange(8 * _WMAX, dtype=jnp.int32)[None, :]    # word in block
+    wb = wflat[:, None]
+    i0 = jnp.maximum(0, (32 * j) // jnp.maximum(wb, 1) - 1)
+    cand = i0[:, :, None] + jnp.arange(_NC, dtype=jnp.int32)  # [ch*K, 8W, NC]
+    cidx = jnp.clip(cand, 0, B - 1)
+    zc = jnp.take_along_axis(
+        z, cidx.reshape(ch * K, -1), axis=1).reshape(cand.shape)
+    bitpos = cand * wb[:, :, None] - 32 * j[:, :, None]    # (-w, 32)
+    shl = jnp.clip(bitpos, 0, 31).astype(jnp.uint32)
+    shr = jnp.clip(-bitpos, 0, 31).astype(jnp.uint32)
+    part = jnp.where((bitpos >= 0) & (bitpos < 32), zc << shl, 0) \
+        | jnp.where((bitpos < 0) & (bitpos > -32), zc >> shr, 0)
+    ok = (cand < B) & (cand == cidx) & (wb[:, :, None] > 0) \
+        & (j[:, :, None] < 8 * wb[:, :, None])
+    slots = functools.reduce(
+        jnp.bitwise_or,
+        [jnp.where(ok[:, :, k], part[:, :, k], 0) for k in range(_NC)])
+
+    # header + widths (static-length prefix)
+    w8 = jnp.pad(wflat.astype(jnp.uint32), (0, (H - 5) * 4 - ch * K))
+    w4 = w8.reshape(-1, 4)
+    wwords = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
+              | (w4[:, 3] << 24))
+
+    # stage 2: gather-compact stream words (no scatter)
+    m = jnp.arange(M - H, dtype=jnp.int32)
+    blk = jnp.searchsorted(base, m + H, side="right").astype(jnp.int32) - 1
+    blk = jnp.clip(blk, 0, ch * K - 1)
+    off = (m + H) - base[blk]
+    sflat = slots.reshape(-1)
+    sval = sflat[jnp.clip(blk * (8 * _WMAX) + off, 0, sflat.size - 1)]
+    live = (off >= 0) & (off < 8 * jnp.maximum(wflat[blk], 0)) \
+        & (m + H < total)
+    stream = jnp.where(live, sval, 0)
+
+    # ---- raw escape layout ----
+    flat = v.reshape(-1)
+    pcm = jnp.stack([flat & 255, (flat >> 8) & 255, (flat >> 16) & 255],
+                    axis=-1).astype(jnp.uint32).reshape(-1)
+    pcm = jnp.pad(pcm, (0, (RW - 5) * 4 - pcm.size)).reshape(-1, 4)
+    rawwords = (pcm[:, 0] | (pcm[:, 1] << 8) | (pcm[:, 2] << 16)
+                | (pcm[:, 3] << 24))
+
+    use_raw = (total >= RW).astype(jnp.uint32)
+    used = jnp.where(use_raw == 1, RW, total).astype(jnp.uint32)
+    flags = (jnp.uint32(ch) | (order << 8) | (ms << 16)
+             | (use_raw << 17)) * jnp.uint32(1)
+    flags = jnp.where(use_raw == 1, jnp.uint32(ch) | (use_raw << 17), flags)
+    hdr = jnp.stack([jnp.uint32(MAGIC), jnp.uint32(n), jnp.uint32(K),
+                     flags, used])
+
+    body_p = jnp.concatenate([wwords.astype(jnp.uint32), stream])
+    body_r = jnp.pad(rawwords.astype(jnp.uint32), (0, M - 5 - (RW - 5)))
+    mr = jnp.arange(M - 5, dtype=jnp.int32)
+    body = jnp.where(use_raw == 1,
+                     jnp.where(mr < RW - 5, body_r, 0),
+                     body_p)
+    out = jnp.concatenate([hdr, body])
+    return out, used.astype(jnp.int32)
+
+
+def unpack_device(buf, n: int, ch: int):
+    """Device-side decoder (traceable): buf uint8 [>= used bytes, mult of
+    4] -> float32 [n, ch] (PCM_24 scale v / 2^23). Order/midside/raw flags
+    are data-dependent; all handled with lax.switch / where."""
+    import jax
+    import jax.numpy as jnp
+
+    K = n_blocks(n)
+    H = header_words(n, ch)
+    words = jax.lax.bitcast_convert_type(
+        buf.reshape(-1, 4), jnp.uint32).reshape(-1)
+    W = words.size
+    flags = words[3]
+    order = ((flags >> 8) & 0xFF).astype(jnp.int32)
+    ms = (flags >> 16) & 1
+    raw = (flags >> 17) & 1
+
+    # packed branch
+    t = jnp.arange(ch * K)
+    wflat = ((words[5 + t // 4] >> (8 * (t % 4).astype(jnp.uint32))) & 255) \
+        .astype(jnp.int32)
+    base = H + 8 * (jnp.cumsum(wflat) - wflat)
+    idx = jnp.arange(K * B, dtype=jnp.int32)
+    blk0 = idx // B
+    ii = idx % B
+    outs = []
+    for c in range(ch):
+        wb = wflat[c * K + blk0]
+        bitoff = ii * wb
+        q = base[c * K + blk0] + (bitoff >> 5)
+        sh = (bitoff & 31).astype(jnp.uint32)
+        lo = words[jnp.clip(q, 0, W - 1)] >> sh
+        hi = jnp.where(sh == 0, 0,
+                       words[jnp.clip(q + 1, 0, W - 1)]
+                       << (jnp.uint32(32) - sh))
+        mask = jnp.where(wb > 0,
+                         (jnp.uint32(1) << wb.astype(jnp.uint32)) - 1, 0)
+        val = (lo | hi) & mask
+        sb = jnp.where(wb > 0,
+                       jnp.uint32(1) << jnp.maximum(wb - 1, 0)
+                       .astype(jnp.uint32), 0)
+        sv = (val ^ sb).astype(jnp.int32) - sb.astype(jnp.int32)
+        outs.append(jnp.where(wb == 0, 0, sv)[:n])
+    r = jnp.stack(outs)                                    # [ch, n]
+
+    def mk(o):
+        def f(x):
+            for _ in range(o):
+                x = jnp.cumsum(x, axis=1, dtype=jnp.int32)
+            return x
+        return f
+    x = jax.lax.switch(jnp.clip(order, 0, 4), [mk(o) for o in range(5)], r)
+    vT = jnp.transpose(x)                                  # [n, ch]
+    if ch == 2:
+        m, s = vT[:, 0], vT[:, 1]
+        L = m + ((s + (s & 1)) >> 1)
+        vms = jnp.stack([L, L - s], 1)
+        vT = jnp.where(ms == 1, vms, vT)
+
+    # raw branch
+    bidx = jnp.arange(n * ch, dtype=jnp.int32) * 3
+
+    def byte_at(k):
+        pos = ((bidx + k) & 3).astype(jnp.uint32)
+        return (words[jnp.clip(5 + ((bidx + k) >> 2), 0, W - 1)]
+                >> (8 * pos)) & 255
+
+    b0, b1, b2 = byte_at(0), byte_at(1), byte_at(2)
+    vraw = (b0 | (b1 << 8) | (b2 << 16)).astype(jnp.int32)
+    vraw = (vraw << 8) >> 8
+    vraw = vraw.reshape(n, ch)
+
+    vfin = jnp.where(raw == 1, vraw, vT)
+    return vfin.astype(jnp.float32) / 8388608.0
