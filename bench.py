@@ -1,24 +1,36 @@
-"""Benchmark: realtime factor of the standard processor compute path.
+"""Benchmark: realtime factor of the standard processor, file -> file.
 
 Prints ONE JSON line:
     {"metric": "realtime_factor", "value": N, "unit": "x_realtime",
-     "vs_baseline": N / 18.0, ...}
+     "vs_baseline": N / 18.0, "parity_ok": true, ...}
 
 Baseline: the reference NumPy processor runs at ~6-18x realtime on one CPU
 core (docs/Tomatis技术说明.md:239-242; BASELINE.md) — vs_baseline divides by
 the reference's BEST published figure (18x).
 
-Measures the full streaming pipeline on synthetic stereo audio held in host
-RAM: host->device chunk transfer, levels, associative-scan gate, batched
-rFFT gain bank, OLA, normalization, device->host readback, flush clamping.
-Audio codec I/O is excluded (benchmarked separately by tests), matching the
-reference numbers which exclude FLAC decode too.
+Methodology: the timed loop is the COMPLETE product path — file decode,
+host->device wire-compressed transfer, levels, associative-scan gate,
+batched rFFT gain bank, OLA, normalization, on-device lossless packing,
+paged device->host readback, native decode, PCM_24 file write. (The
+reference numbers exclude FLAC codec time; including ours is the harsher
+comparison.) Per-stage timings and link byte counts ride along in the JSON
+so a slow number is diagnosable from the artifact alone: on a tunneled TPU
+the pipeline is link-bound and the tunnel's bandwidth varies hour to hour.
+
+Parity: after the timed runs, a short deterministic file is processed by
+the SAME device executable and compared sample-by-sample against the NumPy
+float64 reference oracle (tests/oracle/refdsp.py) — the only check that
+runs on the real device rather than the CPU test backend, so a
+device-only numeric bug cannot ship invisibly. parity_ok / parity_max_err
+are recorded in the JSON line.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -38,23 +50,44 @@ def synth(seconds: float, sr: int = 48000, seed: int = 0) -> np.ndarray:
     return np.stack([x, 0.9 * x], 1).astype(np.float32)
 
 
+def parity_check(p, tmp, sr, frames_per_chunk):
+    """Process a short deterministic file through the device pipeline and
+    compare against the NumPy float64 oracle. Uses the same
+    frames_per_chunk, so it reuses the already-compiled executable."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.oracle import refdsp
+    from tomatis_tpu.io import audio
+    from tomatis_tpu.models.standard import process
+
+    x = synth(8.0, sr, seed=1234)
+    ip = os.path.join(tmp, "parity_in.wav")
+    op = os.path.join(tmp, "parity_out.wav")
+    audio.write(ip, x, sr, subtype="PCM_24")
+    x_disk, _ = audio.read(ip)   # what the pipeline actually reads
+    process(ip, op, p, frames_per_chunk=frames_per_chunk)
+    y, _ = audio.read(op)
+    y_ref, _, _ = refdsp.process_standard_loop(x_disk, sr)
+    err = float(np.max(np.abs(y - y_ref.astype(np.float32))))
+    # test-suite tolerance (2e-4) + one PCM_24 LSB for the file round trip
+    return err < 2e-4 + 1.5 / 8388608.0, err
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=240.0,
                     help="audio length to process per timed run")
     ap.add_argument("--sr", type=int, default=48000)
     ap.add_argument("--frames_per_chunk", type=int, default=1024)
-    ap.add_argument("--repeats", type=int, default=2,
+    ap.add_argument("--repeats", type=int, default=3,
                     help="best-of-N (the tunneled TPU's transfer "
                          "bandwidth varies heavily between runs)")
     ap.add_argument("--batch", type=int, default=0,
                     help="N>0: BASELINE config-5 shape — N files processed "
                          "as vmapped lanes in one device dispatch; reports "
                          "aggregate audio-sec/sec")
+    ap.add_argument("--no_parity", action="store_true")
     args = ap.parse_args()
 
-    import tempfile
-    import os
     import jax
     from tomatis_tpu.io import audio
     from tomatis_tpu.models.standard import StandardParams, process
@@ -106,32 +139,54 @@ def main() -> int:
         return 0
 
     # Warm-up: compile the chunk executable on a short file with the same
-    # chunk shape, then time the full file->file pipeline (decode, stream,
-    # device round trip, PCM_24 write) — the product path.
+    # chunk shape (a cold XLA compile over the tunnel takes minutes; the
+    # persistent compile cache makes reruns start in seconds).
     warm_path = os.path.join(tmp, "warm.wav")
     audio.write(warm_path, synth(30.0, args.sr, seed=1), args.sr,
                 subtype="PCM_24")
+    t0 = time.perf_counter()
     process(warm_path, os.path.join(tmp, "warm_out.wav"), p,
             frames_per_chunk=args.frames_per_chunk)
+    warmup_s = time.perf_counter() - t0
 
     best = None
+    best_stats = None
+    runs = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
         stats = process(in_path, out_path, p,
                         frames_per_chunk=args.frames_per_chunk)
         dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+        runs.append(round(audio_sec / dt, 1))
+        if best is None or dt < best:
+            best, best_stats = dt, stats
+
+    parity_ok, parity_err = (None, None)
+    if not args.no_parity:
+        parity_ok, parity_err = parity_check(p, tmp, args.sr,
+                                             args.frames_per_chunk)
 
     rtf = audio_sec / best
+    wire = best_stats.get("wire", {})
     result = {
         "metric": "realtime_factor",
         "value": round(rtf, 1),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 18.0, 2),
+        "parity_ok": parity_ok,
+        "parity_max_err": (round(parity_err, 8)
+                           if parity_err is not None else None),
         "audio_seconds": audio_sec,
         "wall_seconds": round(best, 3),
+        "all_runs_x": runs,
+        "warmup_seconds": round(warmup_s, 1),
+        "timings": best_stats.get("timings", {}),
+        "link_bytes_per_audio_sec": {
+            "in": int(wire.get("in_bytes", 0) / audio_sec),
+            "out": int(wire.get("out_bytes", 0) / audio_sec),
+        },
         "device": str(dev),
-        "n_frames": stats["n_frames"],
+        "n_frames": best_stats["n_frames"],
         "frames_per_chunk": args.frames_per_chunk,
     }
     print(json.dumps(result))

@@ -151,3 +151,102 @@ def test_adaptive_mono_and_anyrate(tmp_path):
     first = lines[1].split(",")
     assert first[0] == "1"
     np.testing.assert_allclose(float(first[1]), 2048 / sr, atol=1e-6)
+
+
+def test_streaming_file_matches_array(tmp_path):
+    """The bounded-memory file pipeline (3 streaming passes + staged
+    rescale) must reproduce process_array exactly: same chunk shapes ->
+    bit-identical floats -> identical PCM_24 bytes."""
+    sr = 48000
+    x = _signal(6.0)
+    x = (np.rint(x * 8388608) / 8388608).astype(np.float32)  # PCM_24-exact
+    ip = tmp_path / "in.flac"
+    op = tmp_path / "out.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = AdaptiveParams()
+    stats = process(ip, op, p, state_csv_path=tmp_path / "s.csv",
+                    frames_per_chunk=32)
+    y_file, _ = audio.read(op)
+
+    y_arr, info = process_array(x, sr, p, frames_per_chunk=32)
+    v_file = np.rint(y_file * 8388608).astype(np.int32)
+    v_arr = np.clip(np.rint(y_arr * 8388608), -8388608, 8388607)
+    np.testing.assert_array_equal(v_file, v_arr.astype(np.int32))
+    assert stats["n_frames"] == info["n_frames"]
+    assert stats["optimal_threshold"] == info["optimal_threshold"]
+    assert stats["switch_count"] == info["switch_count"]
+    np.testing.assert_allclose(stats["atten_db"], info["atten_db"])
+
+
+def test_streaming_peak_protect(tmp_path):
+    """A file whose boosted output exceeds 0.999 must get the single
+    GLOBAL rescale (ref :340-345) through the staging pass."""
+    sr = 48000
+    x = _signal(4.0, seed=9) * 2.5
+    x = np.clip(x, -1, 1).astype(np.float32)
+    ip = tmp_path / "in.flac"
+    op = tmp_path / "out.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    x_disk, _ = audio.read(ip)   # +1.0 samples clamp to 8388607/2^23
+    process(ip, op, AdaptiveParams(), frames_per_chunk=32)
+    y_file, _ = audio.read(op)
+    y_arr, _ = process_array(x_disk, sr, AdaptiveParams(),
+                             frames_per_chunk=32)
+    np.testing.assert_array_equal(
+        np.rint(y_file * 8388608).astype(np.int32),
+        np.clip(np.rint(y_arr * 8388608), -8388608, 8388607)
+        .astype(np.int32))
+    assert np.max(np.abs(y_file)) <= 0.999 + 1e-6
+
+
+def test_adaptive_resume_after_interrupt(tmp_path, monkeypatch):
+    """Kill pass 3 mid-stream; the checkpointed resume must complete with
+    byte-identical output to an uninterrupted run."""
+    import pytest
+    from tomatis_tpu.io.wav import WavWriter
+
+    sr = 48000
+    x = _signal(8.0, seed=21)
+    x = (np.rint(x * 8388608) / 8388608).astype(np.float32)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = AdaptiveParams()
+
+    ref = tmp_path / "ref.flac"
+    process(ip, ref, p, state_csv_path=tmp_path / "ref.csv",
+            frames_per_chunk=16)
+
+    out = tmp_path / "out.flac"
+    ck = tmp_path / "ck.npz"
+
+    class _Bomb(Exception):
+        pass
+
+    orig_write = WavWriter.write
+    calls = {"n": 0}
+
+    def bomb(self, data):
+        if self.subtype == "FLOAT":   # only the pass-3 staging writer
+            calls["n"] += 1
+            if calls["n"] > 6:
+                raise _Bomb()
+        return orig_write(self, data)
+
+    monkeypatch.setattr(WavWriter, "write", bomb)
+    with pytest.raises(_Bomb):
+        process(ip, out, p, state_csv_path=tmp_path / "out.csv",
+                frames_per_chunk=16, checkpoint_path=ck,
+                checkpoint_every=2)
+    monkeypatch.setattr(WavWriter, "write", orig_write)
+    assert ck.exists()
+    assert calls["n"] > 6  # the interrupt actually fired mid-stream
+
+    process(ip, out, p, state_csv_path=tmp_path / "out.csv",
+            frames_per_chunk=16, checkpoint_path=ck, checkpoint_every=2)
+    assert not ck.exists()
+
+    y_ref, _ = audio.read(ref)
+    y_out, _ = audio.read(out)
+    np.testing.assert_array_equal(y_out, y_ref)
+    assert open(tmp_path / "out.csv").read() == \
+        open(tmp_path / "ref.csv").read()

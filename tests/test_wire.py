@@ -109,6 +109,46 @@ def test_compression_on_program_material():
     assert np.array_equal(wire.decode_np(buf), v)
 
 
+def _run_transport(sig, sr, transport, wire_input):
+    from tomatis_tpu.engine.streaming import ChunkedStftEngine, StreamRunner
+    from tomatis_tpu.models.standard import StandardParams, build_controller
+    p = StandardParams(require_48k_stereo=False)
+    eng = ChunkedStftEngine(p.n_fft, p.hop, 2, frames_per_chunk=16)
+    r = StreamRunner(eng, build_controller(p, sr), len(sig),
+                     transport=transport, wire_input=wire_input)
+    outs = []
+    stats = r.run(sig, on_audio=outs.append)
+    return np.concatenate([o.reshape(-1) for o in outs]), stats
+
+
+def test_wire_transport_matches_pcm24():
+    """The wire transport must produce byte-identical output to pcm24 —
+    it is the same quantized PCM stream, compressed on the link."""
+    rng = np.random.default_rng(3)
+    sr = 48000
+    t = np.arange(int(2.5 * sr)) / sr
+    env = np.where((t > 0.8) & (t < 1.7), 0.05, 0.002)
+    x = env * (np.sin(2 * np.pi * 1000 * t)
+               + 0.5 * np.sin(2 * np.pi * 4000 * t)
+               + 0.02 * rng.standard_normal(t.size))
+    sig = np.stack([x, 0.9 * x], 1).astype(np.float32)
+    sig = (np.rint(sig * 8388608) / 8388608).astype(np.float32)
+
+    b_pcm, _ = _run_transport(sig, sr, "pcm24", False)
+    b_wire, s_wire = _run_transport(sig, sr, "wire", False)
+    assert np.array_equal(b_pcm, b_wire)
+    assert 0 < s_wire["wire"]["out_bytes"] < len(b_pcm), \
+        "wire must actually compress this material"
+
+    b_wi, s_wi = _run_transport(sig, sr, "wire", True)
+    assert np.array_equal(b_pcm, b_wi), "wire input path changed output"
+    assert s_wi["wire"]["in_bytes"] > 0
+
+    # non-PCM_24-exact input must fall back to f32 transfers, not quantize
+    _, s_f = _run_transport(sig + np.float32(1.1e-8), sr, "wire", True)
+    assert s_f["wire"]["in_raw_chunks"] > 0
+
+
 def test_decode_rejects_garbage():
     with pytest.raises(ValueError):
         wire.decode_np(np.zeros(64, np.uint8))

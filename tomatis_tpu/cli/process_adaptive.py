@@ -32,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     add_stft_flags(ap)
     ap.add_argument("--frames_per_chunk", type=int, default=1024,
                     help="frames per compiled TPU chunk")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file for crash recovery of the STFT "
+                         "pass; re-running the same command resumes")
+    ap.add_argument("--checkpoint_every", type=int, default=8,
+                    help="chunks between checkpoints")
+    ap.add_argument("--progress", action="store_true",
+                    help="print per-chunk progress")
     return ap
 
 
@@ -45,9 +52,16 @@ def run(args) -> int:
         min_hold_ms=args.min_hold_ms, xfade_ms=args.xfade_ms,
         headroom_margin=args.headroom_margin,
         n_fft=args.n_fft, hop=args.hop)
+    prog = None
+    if args.progress:
+        def prog(done, total_frames):
+            print(f"  processed {done}/{total_frames} frames "
+                  f"({100 * done / max(1, total_frames):.0f}%)", flush=True)
     stats = process(args.input, args.output, p,
                     state_csv_path=args.state_csv,
-                    frames_per_chunk=args.frames_per_chunk)
+                    frames_per_chunk=args.frames_per_chunk,
+                    checkpoint_path=args.checkpoint,
+                    checkpoint_every=args.checkpoint_every, progress=prog)
     print(f"pre-attenuation: {-stats['atten_db']:.2f} dB")
     print(f"optimal threshold: {stats['optimal_threshold']:.2f} dBFS")
     print(f"C2 ratio: {stats['c2_ratio'] * 100:.1f}%  "

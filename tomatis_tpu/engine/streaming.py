@@ -34,9 +34,38 @@ import jax.numpy as jnp
 import numpy as np
 
 from tomatis_tpu.ops import stft
+from tomatis_tpu.ops import wire as wire_ops
 from tomatis_tpu.ops.dsp import EPS, PEAK_LIMIT, frame_levels_dbfs
 
 FLUSH_THRESHOLD = 48000 * 5  # hard-coded in the reference (src/process_tomatis.py:420)
+
+# wire transport: device->host page size (bytes) and host->device input
+# bucket granularity (bytes). Pages let the host fetch exactly
+# ceil(used/PAGE) fixed-shape arrays of a variable-size packed stream
+# (measured: N async page fetches run at full link bandwidth); buckets
+# bound the number of input-unpack executable shapes.
+WIRE_PAGE = 256 * 1024
+WIRE_BUCKET = 256 * 1024
+
+# Shared input-unpack executable; jit caches one trace per (bucket, n, ch).
+_UNPACK_INPUT = jax.jit(wire_ops.unpack_device, static_argnums=(1, 2))
+
+
+def wire_prepare_input(sig: np.ndarray, n: int, ch: int):
+    """Wire-compress a host->device input chunk when it is PCM_24-exact.
+
+    Returns (arg, packed_bytes): a device f32 array + its wire size, or
+    (sig unchanged, 0) when the chunk is not exactly PCM_24 (float
+    sources) — the caller then ships the floats as before. Bit-identical
+    either way."""
+    from tomatis_tpu.io import wirecodec
+    packed = wirecodec.encode_f32(sig)
+    if packed is None:
+        return sig, 0
+    bucket = -(-len(packed) // WIRE_BUCKET) * WIRE_BUCKET
+    pb = np.zeros(bucket, np.uint8)
+    pb[:len(packed)] = packed
+    return _UNPACK_INPUT(pb, n, ch), len(packed)
 
 
 # ---------------------------------------------------------------------------
@@ -129,6 +158,40 @@ class ChunkedStftEngine:
             np.float32).reshape(R, self.aux_width)
         return pcm, aux
 
+    def fetch_wire(self, auxw_dev, pages):
+        """Materialize a wire-transport chunk result on host: fetch the
+        small aux array, then only the pages the packed stream actually
+        used, and decode to the PCM_24 byte payload.
+
+        Returns (pcm bytes [emit_full*C*3], aux rows [R, W], used_bytes)."""
+        from tomatis_tpu.io import wirecodec
+        aux_np = np.asarray(auxw_dev)
+        rows, used_bytes = self.unpack_wire_aux(aux_np)
+        n_p = -(-used_bytes // WIRE_PAGE)
+        for pg in pages[:n_p]:
+            try:
+                pg.copy_to_host_async()
+            except AttributeError:
+                pass
+        buf = np.concatenate([np.asarray(pg) for pg in pages[:n_p]])
+        pcm = wirecodec.decode_pcm24(buf.view(np.uint8), self.emit_full,
+                                     self.channels)
+        return pcm, rows, used_bytes
+
+    @property
+    def wire_pages(self) -> int:
+        """Number of fixed-size device pages covering the worst-case
+        packed output of one chunk."""
+        mw = wire_ops.max_words(self.emit_full, self.channels)
+        return -(-(mw * 4) // WIRE_PAGE)
+
+    def unpack_wire_aux(self, aux: np.ndarray):
+        """Split the wire-transport aux array into (rows [R, W], used
+        stream bytes). Rows as in pcm24 (levels, logs..., peaks)."""
+        R = 2 + len(self.log_keys)
+        rows = aux[:R * self.aux_width].reshape(R, self.aux_width)
+        return rows, int(aux[R * self.aux_width]) * 4
+
     def make_chunk_fn(self, controller, transport: str = "f32",
                       output_gain_db: float = 0.0,
                       norm: str = "eps") -> Callable:
@@ -161,6 +224,16 @@ class ChunkedStftEngine:
             on-device shrinks device->host traffic by 1/4 — the dominant
             cost on a tunneled TPU — and the bytes are exactly the PCM_24
             file payload, so the host write is a memcpy.
+        transport="wire":
+            ... -> (aux, pages, out_f32_deviceref, carries): the PCM_24
+            ints are losslessly compressed on-device (ops.wire: best fixed
+            predictor + mid/side + per-block bit packing) into
+            engine.wire_pages fixed-shape uint32 page arrays; the host
+            reads `aux` first (rows + used length, one small transfer),
+            fetches only ceil(used/WIRE_PAGE) pages, and decodes with the
+            native codec (io.wirecodec) into the same PCM_24 payload the
+            pcm24 transport ships raw. Typically 1.5-2.2 B/sample on the
+            link instead of 3 — the realtime factor is link-bound.
 
         Aux rows [R, W] (W = F + n_fft/hop - 1): row 0 levels, one row per
         controller.LOG_KEYS entry, and (pcm24 only) a final row of
@@ -171,7 +244,7 @@ class ChunkedStftEngine:
         output_gain_db is accepted for call-site convenience but the value
         actually used at run time is the gain_lin argument.
         """
-        if transport not in ("f32", "pcm24"):
+        if transport not in ("f32", "pcm24", "wire"):
             raise ValueError(transport)
         if norm not in ("eps", "floor8"):
             # "eps": y/(w + 1e-12), the streaming processors' convention
@@ -236,6 +309,17 @@ class ChunkedStftEngine:
             aux = jnp.stack(rows + [peaks])
             v = jnp.clip(jnp.round(out * 8388608.0),
                          -8388608, 8388607).astype(jnp.int32)
+            if transport == "wire":
+                words, used = wire_ops.pack_device(
+                    v, v.shape[0], v.shape[1])
+                PW = WIRE_PAGE // 4
+                n_pages = -(-(words.size * 4) // WIRE_PAGE)
+                wpad = jnp.pad(words, (0, n_pages * PW - words.size))
+                pages = tuple(wpad[i * PW:(i + 1) * PW]
+                              for i in range(n_pages))
+                auxw = jnp.concatenate(
+                    [aux.reshape(-1), used.astype(jnp.float32)[None]])
+                return (auxw, pages, out) + carries
             pcm = jnp.stack([v & 255, (v >> 8) & 255, (v >> 16) & 255],
                             axis=-1).astype(jnp.uint8).reshape(-1)
             packed = jnp.concatenate(
@@ -280,12 +364,20 @@ class StreamRunner:
     def __init__(self, engine: ChunkedStftEngine, controller,
                  total: int, output_gain_db: float = 0.0,
                  peak_mode: str = "per_flush", transport: str = "f32",
-                 build_chunk_fn: bool = True):
+                 build_chunk_fn: bool = True, wire_input: bool = True):
         """transport="pcm24" quantizes + packs PCM_24 bytes on-device (4x
         less device->host traffic; the host write becomes a memcpy). The
         per-flush clamp decision then uses device-computed per-hop-block
         peaks; the (rare) clamped flush decodes the ints, rescales and
-        re-encodes on host — a <=1 LSB deviation from the f32 path."""
+        re-encodes on host — a <=1 LSB deviation from the f32 path.
+        transport="wire" additionally compresses the PCM_24 ints
+        losslessly on-device (see make_chunk_fn).
+
+        wire_input: compress the host->device input with the wire codec
+        (native C++ encode, on-device XLA unpack) whenever the input chunk
+        is exactly PCM_24-representable — bit-identical to the float32
+        transfer it replaces, at ~half the bytes. Chunks that are not
+        PCM_24-exact (float sources) fall back to float32 transparently."""
         self.engine = engine
         self.controller = controller
         self.total = int(total)
@@ -302,6 +394,9 @@ class StreamRunner:
         self.gain_f32 = jnp.float32(self.output_gain)
         self.stats = {}
         self.audio_samples_written = 0
+        self.wire_input = wire_input
+        self.wire_stats = {"in_bytes": 0, "out_bytes": 0,
+                           "in_raw_chunks": 0}
 
     def run(self, source, on_audio: Callable | None = None,
             on_frames: Callable | None = None, ckpt=None,
@@ -325,7 +420,8 @@ class StreamRunner:
 
         ctl_carry = self.controller.init_carry()
         out_tail, w_tail = eng.zero_tails()
-        pcm24 = self.transport == "pcm24"
+        wire = self.transport == "wire"
+        pcm24 = self.transport in ("pcm24", "wire")  # byte-payload modes
         bps = C * 3  # bytes per sample frame in pcm24 transport
 
         frame0 = 0         # absolute index of next chunk's first frame
@@ -378,11 +474,13 @@ class StreamRunner:
             """Materialize a dispatched chunk's results and route them."""
             nonlocal out_base, cut_i
             c_frame0, c_nf, c_packed, c_out_dev = ready
-            packed = np.asarray(c_packed)
-            if pcm24:
-                payload, aux = eng.unpack_pcm24(packed)
+            if wire:
+                payload, aux, used_bytes = eng.fetch_wire(*c_packed)
+                self.wire_stats["out_bytes"] += used_bytes
+            elif pcm24:
+                payload, aux = eng.unpack_pcm24(np.asarray(c_packed))
             else:
-                payload, aux = eng.unpack_f32(packed)
+                payload, aux = eng.unpack_f32(np.asarray(c_packed))
             log = {"levels": aux[0, :c_nf]}
             for i, k in enumerate(log_keys):
                 log[k] = aux[1 + i, :c_nf]
@@ -457,7 +555,21 @@ class StreamRunner:
                 sig = np.concatenate(
                     [sig, np.zeros((eng.chunk_input_len - len(sig), C),
                                    np.float32)], 0)
-            return sig
+            return prepare(sig)
+
+        def prepare(sig):
+            """Wire-compress the input chunk when it is PCM_24-exact: the
+            C++ codec packs it (~half the float32 bytes), the device
+            unpacks with pure XLA gathers + cumsums — bit-identical to
+            shipping the floats. Non-exact chunks ship as float32."""
+            if not self.wire_input:
+                return sig
+            arg, nbytes = wire_prepare_input(sig, eng.chunk_input_len, C)
+            if nbytes == 0:
+                self.wire_stats["in_raw_chunks"] += 1
+            else:
+                self.wire_stats["in_bytes"] += nbytes
+            return arg
 
         # Software pipeline: dispatch chunk k+1 (async) before materializing
         # chunk k, so device->host readback (the bottleneck over a tunneled
@@ -501,18 +613,24 @@ class StreamRunner:
                 in_base += nf * hop
                 staged = assemble(min(F_c, n_frames - next_frame0))
                 timings["input_host_s"] += _time.perf_counter() - _t
-            if pcm24:
+            if wire:
+                auxw, pages, out_dev, ctl_carry, out_tail, w_tail = res
+                packed = (auxw, pages)
+                wait_arr = auxw
+            elif pcm24:
                 packed, out_dev, ctl_carry, out_tail, w_tail = res
+                wait_arr = packed
             else:
                 packed, ctl_carry, out_tail, w_tail = res
                 out_dev = None
+                wait_arr = packed
             _t = _time.perf_counter()
             try:
                 # Wait for the (cheap) compute, then start the readback:
                 # issuing copy_to_host_async on a not-yet-computed array
                 # falls into a much slower transfer path on tunneled TPUs.
-                packed.block_until_ready()
-                packed.copy_to_host_async()
+                wait_arr.block_until_ready()
+                wait_arr.copy_to_host_async()
             except AttributeError:
                 pass
             timings["dispatch_compute_s"] += _time.perf_counter() - _t
@@ -561,6 +679,7 @@ class StreamRunner:
             # per-stage wall time: host input (read/decode/assemble),
             # device dispatch+compute wait, readback+drain+write
             timings={k: round(v, 4) for k, v in timings.items()},
+            wire=dict(self.wire_stats),
         )
         return self.stats
 
@@ -569,7 +688,7 @@ class StreamRunner:
         """Write out every flush cut whose samples are fully available.
         Mutates the pending lists in place; returns (cut_i, out_base)."""
         plan = self.plan
-        pcm24 = self.transport == "pcm24"
+        pcm24 = self.transport in ("pcm24", "wire")
         unit = self.engine.channels * 3 if pcm24 else 1
         hop = self.engine.hop
         while cut_i < len(plan.cuts):

@@ -255,28 +255,331 @@ def process_array(x: np.ndarray, sr: int, p: AdaptiveParams | None = None,
     return y, info
 
 
+def _write_state_csv(state_csv_path, info, hop, sr):
+    """Adaptive state CSV: i+1, (i+1)*hop/sr %.6f, level %.4f, state,
+    alpha %.4f (ref :354-362)."""
+    import csv
+    frame_sec = hop / sr
+    with open(state_csv_path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["frame_idx", "time_sec", "level_dbfs", "state",
+                    "alpha"])
+        for i in range(info["n_frames"]):
+            w.writerow([i + 1, "%.6f" % ((i + 1) * frame_sec),
+                        "%.4f" % info["levels"][i],
+                        "C1" if info["states"][i] == 1 else "C2",
+                        "%.4f" % info["alpha"][i]])
+
+
+def _stream_levels(fin, total: int, ch: int, p: AdaptiveParams,
+                   catt: np.float32, frames_per_chunk: int = 4096):
+    """Pass 2 of the streaming processor: per-frame RMS dBFS of the
+    attenuated stream in bounded memory. Produces bit-identical levels to
+    compute_frame_levels on the in-RAM attenuated signal (same chunk
+    shapes, same f32 per-block attenuation multiply)."""
+    n_fft, hop = p.n_fft, p.hop
+    pad = n_fft // 2
+    k0 = -(-pad // hop)
+    k1_excl = min((total + 2 * pad - n_fft) // hop,
+                  (total + pad - 1) // hop) + 1
+    F = max(0, k1_excl - k0)
+    if F == 0:
+        return np.zeros(0, np.float32)
+    fin.seek(0)
+    levels = np.empty(F, np.float32)
+    pend = np.zeros((pad, ch), np.float32)   # padded stream, pos0 = 0
+    pos0 = 0
+    drained = False
+    need = (frames_per_chunk - 1) * hop + n_fft
+    for f0 in range(0, F, frames_per_chunk):
+        nf = min(frames_per_chunk, F - f0)
+        s = (k0 + f0) * hop
+        if s > pos0:
+            pend = pend[s - pos0:]
+            pos0 = s
+        while len(pend) < need and not drained:
+            blk = fin.read(hop * 512)
+            if len(blk) == 0:
+                drained = True
+                pend = np.concatenate(
+                    [pend, np.zeros((pad, ch), np.float32)])
+                break
+            pend = np.concatenate(
+                [pend, np.asarray(blk, np.float32) * catt])
+        sig = pend[:need]
+        if len(sig) < need:
+            sig = np.concatenate(
+                [sig, np.zeros((need - len(sig), ch), np.float32)])
+        levels[f0:f0 + nf] = np.asarray(stft.frame_levels_chunk(
+            jnp.asarray(sig), n_fft, hop, frames_per_chunk))[:nf]
+    return levels
+
+
 def process(in_path, out_path, p: AdaptiveParams | None = None,
-            state_csv_path=None, frames_per_chunk: int = 1024) -> dict:
-    """File-to-file adaptive processing (ref :157-373). Accepts any sr/ch;
-    writes PCM_24; state CSV rows: i+1, (i+1)*hop/sr %.6f, level %.4f,
-    state, alpha %.4f (ref :354-362)."""
+            state_csv_path=None, frames_per_chunk: int = 1024,
+            checkpoint_path=None, checkpoint_every: int = 8,
+            progress=None) -> dict:
+    """File-to-file adaptive processing (ref :157-373) in BOUNDED memory.
+
+    The reference (and round 1 of this port) reads the whole file into RAM
+    (ref :179 — ~2.8 GB for an hour of 48 kHz stereo). SURVEY §5 calls
+    this out as the known scaling weakness; here the same math runs as
+    three streaming passes over the input file:
+
+      1. global input peak            -> pre-attenuation (ref :201-215)
+      2. chunked frame levels         -> threshold search, gate, alpha
+      3. chunked STFT with per-frame  -> float32 staging file + running
+         dB-blended gains                peak (the global peak protect
+                                         needs the whole file before any
+                                         sample can be finalized)
+      then a streaming rescale+quantize copy staging -> PCM_24 output.
+
+    Only the tiny per-frame vectors (levels/states/alpha, ~4 B/frame)
+    stay resident. Output matches process_array to float precision.
+
+    checkpoint_path enables chunk-granular crash recovery of pass 3 (the
+    expensive one); passes 1-2 are recomputed deterministically on resume.
+    Accepts any sr/ch; state CSV as in the reference (:354-362)."""
+    import os
     p = p or AdaptiveParams()
-    x, sr = audio.read(in_path)
-    y, info = process_array(x, sr, p, frames_per_chunk)
-    audio.write(str(out_path), y, sr, subtype="PCM_24")
-    if state_csv_path:
-        import csv
-        frame_sec = p.hop / sr
-        with open(state_csv_path, "w", newline="", encoding="utf-8") as f:
-            w = csv.writer(f)
-            w.writerow(["frame_idx", "time_sec", "level_dbfs", "state",
-                        "alpha"])
-            for i in range(info["n_frames"]):
-                w.writerow([i + 1, "%.6f" % ((i + 1) * frame_sec),
-                            "%.4f" % info["levels"][i],
-                            "C1" if info["states"][i] == 1 else "C2",
-                            "%.4f" % info["alpha"][i]])
+    with audio.AudioFile(in_path, "r") as fin:
+        sr, ch, total = fin.samplerate, fin.channels, fin.frames
+        n_fft, hop = p.n_fft, p.hop
+        pad = n_fft // 2
+        min_hold = p.min_hold_frames(sr)
+        xfade = p.xfade_frames(sr)
+
+        # ---- pass 1: global input peak ----
+        peak_in = 0.0
+        while True:
+            blk = fin.read(sr * 30)
+            if len(blk) == 0:
+                break
+            if blk.size:
+                peak_in = max(peak_in, float(np.max(np.abs(blk))))
+        input_peak_dbfs = 20.0 * np.log10(peak_in + EPS)
+        max_gain = max(abs(p.c1_low), abs(p.c2_high))
+        atten_db = max(0.0, input_peak_dbfs + max_gain + p.headroom_margin)
+        catt = np.float32(10.0 ** (-atten_db / 20.0))
+
+        k0 = -(-pad // hop)
+        k1_excl = min((total + 2 * pad - n_fft) // hop,
+                      (total + pad - 1) // hop) + 1
+        F = max(0, k1_excl - k0)
+        out_path = str(out_path)
+        if F == 0:
+            # degenerate short file: y = x (ref writes the input back)
+            fin.seek(0)
+            x, _ = audio.read(in_path)
+            audio.write(out_path, x, sr, subtype="PCM_24")
+            return dict(n_frames=0, optimal_threshold=0.0, c2_ratio=0.0,
+                        switch_count=0, switches_per_min=0.0,
+                        short_run_ratio=0.0, atten_db=atten_db,
+                        min_hold_frames=min_hold, xfade_frames=xfade,
+                        params=asdict(p), sr=sr, total=total,
+                        out_path=out_path)
+
+        # ---- pass 2: levels -> threshold -> states -> alpha ----
+        levels = _stream_levels(fin, total, ch, p, catt)
+        valid = levels > p.silence_threshold
+        optimal_t = find_optimal_threshold(levels, valid, p.hyst_db,
+                                           min_hold, p.target_c2)
+        states_j, _ = gate_ops.gate_minhold(
+            jnp.asarray(levels), optimal_t + p.hyst_db / 2.0,
+            optimal_t - p.hyst_db / 2.0, min_hold)
+        states = np.asarray(states_j)
+        run_stats = gate_ops.state_run_stats(states)
+        short_runs = int(np.sum(run_stats["run_lengths"] < min_hold))
+        n_runs = len(run_stats["run_lengths"])
+        targets = (states == 2).astype(np.float32)
+        step = 1.0 / xfade if xfade > 0 else 1.0
+        alpha = np.asarray(gate_ops.alpha_ramp_snap_first(
+            jnp.asarray(targets), step))
+
+        info = dict(
+            n_frames=F,
+            optimal_threshold=float(optimal_t),
+            c2_ratio=run_stats["c2_ratio"],
+            switch_count=run_stats["switch_count"],
+            switches_per_min=(run_stats["switch_count"]
+                              / (total / sr / 60.0)
+                              if total > 0 else 0.0),
+            short_run_ratio=short_runs / n_runs if n_runs else 0.0,
+            atten_db=atten_db,
+            min_hold_frames=min_hold,
+            xfade_frames=xfade,
+            levels=levels, states=states, alpha=alpha,
+        )
+        if state_csv_path:
+            _write_state_csv(state_csv_path, info, hop, sr)
+
+        # ---- pass 3: streaming STFT -> float32 staging + running peak ----
+        freqs = stft.rfft_freqs(n_fft, sr)
+        g1_db = dsp.build_tilt_gain_db(freqs, p.fc, p.slope, p.c1_low,
+                                       p.c1_high)
+        g2_db = dsp.build_tilt_gain_db(freqs, p.fc, p.slope, p.c2_low,
+                                       p.c2_high)
+        pad_alpha = np.zeros(((F + frames_per_chunk) // frames_per_chunk
+                              + 1) * frames_per_chunk, np.float32)
+        pad_alpha[:F] = alpha
+        controller = AlphaGainController(g1_db, g2_db, pad_alpha)
+        engine = ChunkedStftEngine(n_fft, hop, ch, frames_per_chunk)
+        chunk_fn = engine.make_chunk_fn(controller, norm="floor8")
+        ctl_params = controller.params()
+        gain_one = jnp.float32(1.0)
+        restore = np.float32(10.0 ** (atten_db / 20.0)) if atten_db > 0 \
+            else np.float32(1.0)
+        base = k0 * hop - pad    # absolute coord of the stream's sample 0
+
+        from tomatis_tpu.io.wav import WavWriter
+        stage_path = out_path + ".stage.wav"
+        ckpt = resume = None
+        f0_start = 0
+        abs_written = 0          # output samples finalized in staging
+        peak = 0.0
+        if checkpoint_path:
+            from tomatis_tpu.engine.checkpoint import CheckpointManager
+            config = dict(asdict(p), sr=sr, ch=ch, total=total,
+                          frames_per_chunk=frames_per_chunk,
+                          model="adaptive")
+            ckpt = CheckpointManager(checkpoint_path, config,
+                                     checkpoint_every)
+            resume = ckpt.load()
+        if resume is not None and os.path.exists(stage_path):
+            sc = resume["__meta__"]["scalars"]
+            f0_start = int(sc["f0"])
+            abs_written = int(sc["abs_written"])
+            peak = float(sc["peak"])
+            out_tail = jnp.asarray(resume["out_tail"])
+            w_tail = jnp.asarray(resume["w_tail"])
+            stage = WavWriter.reopen(stage_path, abs_written)
+        else:
+            resume = None
+            out_tail, w_tail = engine.zero_tails()
+            stage = WavWriter(stage_path, sr, ch, "FLOAT")
+        ctl_carry = jnp.int32(f0_start)
+
+        def emit_piece(stream_lo, piece):
+            """Crop a stream-coordinate piece to [0, total), restore the
+            attenuation, track the global peak, append to staging."""
+            nonlocal abs_written, peak
+            a0 = base + stream_lo
+            s = max(0, a0)
+            e = min(total, a0 + len(piece))
+            if e <= s:
+                return
+            if s > abs_written:   # leading gap (base > 0): zeros
+                stage.write(np.zeros((s - abs_written, ch), np.float32))
+                abs_written = s
+            out = piece[s - a0:e - a0] * restore
+            pk = float(np.max(np.abs(out))) if out.size else 0.0
+            peak = max(peak, pk)
+            stage.write(np.asarray(out, np.float32))
+            abs_written = e
+
+        # rolling input buffer: `pend` holds the padded+attenuated stream
+        # (xp coords) starting at pos0
+        if f0_start == 0:
+            fin.seek(0)
+            pend = np.zeros((pad, ch), np.float32)
+            pos0 = 0
+        else:
+            pos0 = (k0 + f0_start) * hop
+            fin.seek(min(pos0 - pad, total))  # k0*hop >= pad, so >= 0
+            pend = np.zeros((0, ch), np.float32)
+        drained = False
+        need = engine.chunk_input_len
+        inflight = None
+        snap = None
+
+        def read_more():
+            nonlocal pend, drained
+            blk = fin.read(hop * 512)
+            if len(blk) == 0:
+                drained = True
+                pend = np.concatenate(
+                    [pend, np.zeros((pad, ch), np.float32)])
+            else:
+                pend = np.concatenate(
+                    [pend, np.asarray(blk, np.float32) * catt])
+
+        def consume(ready):
+            c_f0, c_nf, c_packed = ready
+            emit, _ = engine.unpack_f32(np.asarray(c_packed))
+            if c_nf < frames_per_chunk:
+                emit_piece(c_f0 * hop, emit[:c_nf * hop + engine.tail_len])
+            else:
+                emit_piece(c_f0 * hop, emit[:c_nf * hop])
+
+        for f0 in range(f0_start, F, frames_per_chunk):
+            nf = min(frames_per_chunk, F - f0)
+            s = (k0 + f0) * hop
+            drop = s - pos0
+            if drop > 0:
+                while len(pend) < drop and not drained:
+                    read_more()
+                pend = pend[drop:]
+                pos0 = s
+            if ckpt is not None and f0 > f0_start \
+                    and ((f0 - f0_start) // frames_per_chunk) \
+                    % ckpt.every == 0:
+                snap = dict(f0=f0, out_tail=np.asarray(out_tail),
+                            w_tail=np.asarray(w_tail))
+            while len(pend) < need and not drained:
+                read_more()
+            sig = pend[:need]
+            if len(sig) < need:
+                sig = np.concatenate(
+                    [sig, np.zeros((need - len(sig), ch), np.float32)])
+            packed, ctl_carry, out_tail, w_tail = chunk_fn(
+                jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail,
+                w_tail, ctl_params, gain_one)
+            try:
+                packed.block_until_ready()
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+            if inflight is not None:
+                consume(inflight)
+                if progress is not None:
+                    progress(inflight[0] + inflight[1], F)
+            if snap is not None:
+                stage._f.flush()   # data bytes on disk before the state is
+                ckpt.maybe_save(dict(
+                    out_tail=snap["out_tail"], w_tail=snap["w_tail"],
+                    __scalars__=dict(f0=snap["f0"],
+                                     abs_written=abs_written,
+                                     peak=peak)), force=True)
+                snap = None
+            inflight = (f0, nf, packed)
+
+        if inflight is not None:
+            consume(inflight)
+        if F % frames_per_chunk == 0:
+            tail = (np.asarray(out_tail)
+                    / np.maximum(np.asarray(w_tail)[:, None], 1e-8))
+            emit_piece(F * hop, tail)
+        if abs_written < total:   # uncovered tail region stays zero
+            stage.write(np.zeros((total - abs_written, ch), np.float32))
+            abs_written = total
+        stage.close()
+
+        # ---- finalize: global peak protect + quantize to PCM_24 ----
+        scale = np.float32(PEAK_LIMIT / peak) if peak > PEAK_LIMIT \
+            else np.float32(1.0)
+        with audio.AudioFile(stage_path, "r") as fst, \
+                audio.AudioFile(out_path, "w", samplerate=sr, channels=ch,
+                                subtype="PCM_24") as fo:
+            while True:
+                blk = fst.read(sr * 30)
+                if len(blk) == 0:
+                    break
+                fo.write(blk * scale if scale != 1.0 else blk)
+        os.remove(stage_path)
+        if ckpt is not None:
+            ckpt.clear()
+
     out = {k: v for k, v in info.items()
            if k not in ("levels", "states", "alpha")}
-    out.update(params=asdict(p), sr=sr, total=len(x), out_path=str(out_path))
+    out.update(params=asdict(p), sr=sr, total=total, out_path=out_path)
     return out

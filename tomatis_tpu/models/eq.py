@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tomatis_tpu.engine.streaming import (ChunkedStftEngine, _encode_pcm24,
-                                          EPS)
+                                          EPS, wire_prepare_input)
 from tomatis_tpu.io import audio
 from tomatis_tpu.models.controllers import StaticGainController
 
@@ -194,7 +194,7 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
         controller = StaticGainController(gain_bins)
         raw = fout.supports_raw
         chunk_fn = engine.make_chunk_fn(
-            controller, transport="pcm24" if raw else "f32")
+            controller, transport="wire" if raw else "f32")
         ctl_params = controller.params()
         gain_one = jnp.float32(1.0)
 
@@ -228,15 +228,14 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
 
         def consume(ready):
             c_nf, c_packed = ready
-            packed = np.asarray(c_packed)
             emit_n = c_nf * hop + (engine.tail_len if c_nf < frames_per_chunk
                                    else 0)
             if raw:
-                payload, aux = engine.unpack_pcm24(packed)
+                payload, aux, _ = engine.fetch_wire(*c_packed)
                 piece = payload[:emit_n * ch * 3]
                 pk = float(np.max(aux[-1][:emit_n // hop])) if emit_n else 0.0
             else:
-                payload, aux = engine.unpack_f32(packed)
+                payload, aux = engine.unpack_f32(np.asarray(c_packed))
                 piece = payload[:emit_n]
                 pk = float(np.max(np.abs(piece))) if emit_n else 0.0
             write_piece(piece, pk)
@@ -269,15 +268,22 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                     # they are NOW (persisted after chunk f0-1 is written)
                     snap = dict(out_tail=np.asarray(out_tail),
                                 w_tail=np.asarray(w_tail), f0=f0)
-                res = chunk_fn(jnp.asarray(sig), jnp.int32(nf), ctl_carry,
-                               out_tail, w_tail, ctl_params, gain_one)
+                # wire-compress the input chunk when PCM_24-exact (the
+                # pre_gain path produces floats and falls back to f32)
+                sig_arg, _ = wire_prepare_input(sig, need, ch)
+                res = chunk_fn(jnp.asarray(sig_arg), jnp.int32(nf),
+                               ctl_carry, out_tail, w_tail, ctl_params,
+                               gain_one)
                 if raw:
-                    packed, _out_dev, ctl_carry, out_tail, w_tail = res
+                    auxw, pages, _out_dev, ctl_carry, out_tail, w_tail = res
+                    packed = (auxw, pages)
+                    wait_arr = auxw
                 else:
                     packed, ctl_carry, out_tail, w_tail = res
+                    wait_arr = packed
                 try:
-                    packed.block_until_ready()
-                    packed.copy_to_host_async()
+                    wait_arr.block_until_ready()
+                    wait_arr.copy_to_host_async()
                 except AttributeError:
                     pass
                 if inflight is not None:

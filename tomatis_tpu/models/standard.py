@@ -149,7 +149,7 @@ def process(in_path, out_path, p: StandardParams | None = None,
         # file payload (the clamped-flush path deviates <= 1 LSB).
         raw = fout.supports_raw
         runner = make_runner(p, sr, ch, total, frames_per_chunk,
-                             transport="pcm24" if raw else "f32")
+                             transport="wire" if raw else "f32")
         resume_frame = None
         if resume_state is not None:
             resume_frame = resume_state["__meta__"]["scalars"][

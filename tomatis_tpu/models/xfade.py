@@ -131,7 +131,7 @@ def process(in_path, out_path, p: XfadeParams | None = None,
                                        channels=ch, subtype="PCM_24")
         raw = fout.supports_raw
         runner = make_runner(p, sr, ch, total, frames_per_chunk,
-                             transport="pcm24" if raw else "f32")
+                             transport="wire" if raw else "f32")
         resume_frame = None
         if resume_state is not None:
             resume_frame = resume_state["__meta__"]["scalars"][
