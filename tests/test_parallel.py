@@ -178,3 +178,39 @@ def test_sharded_adaptive_matches_oracle():
         np.testing.assert_allclose(emit[b][:16], y_ref[:16], atol=2e-3)
         np.testing.assert_allclose(emit[b][16:], y_ref[16:F * HOP],
                                    atol=2e-4, rtol=1e-4)
+
+
+def test_process_sharded_file_matches_single_device(tmp_path):
+    """CLI-reachable dp x sp path: file->file output and state CSV must be
+    byte-identical to the single-device engine (8-virtual-device mesh)."""
+    from tomatis_tpu.io import audio
+    from tomatis_tpu.models.standard import StandardParams, process
+    from tomatis_tpu.parallel.stream import process_sharded
+
+    rng = np.random.default_rng(5)
+    sr = 48000
+    t = np.arange(int(7.3 * sr)) / sr
+    env = 0.002 + 0.06 * (np.sin(2 * np.pi * 0.4 * t) > 0)
+    x = env * (np.sin(2 * np.pi * 800 * t)
+               + 0.4 * np.sin(2 * np.pi * 3500 * t)
+               + 0.02 * rng.standard_normal(t.size))
+    sig = np.stack([x, 0.9 * x], 1).astype(np.float32)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, sig, sr, subtype="PCM_24")
+    p = StandardParams(require_48k_stereo=False, n_fft=1024, hop=512)
+
+    ref = tmp_path / "ref.flac"
+    process(ip, ref, p, state_csv_path=tmp_path / "ref.csv",
+            frames_per_chunk=64)
+    shd = tmp_path / "shd.flac"
+    st = process_sharded(ip, shd, p, frames_per_shard=23,
+                         state_csv_path=tmp_path / "shd.csv")
+    assert st["mesh"] == {"data": 1, "seq": 8}
+    y_ref, _ = audio.read(ref)
+    y_shd, _ = audio.read(shd)
+    np.testing.assert_array_equal(
+        np.rint(y_shd * 8388608).astype(np.int32),
+        np.rint(y_ref * 8388608).astype(np.int32))
+    assert open(tmp_path / "shd.csv").read() == \
+        open(tmp_path / "ref.csv").read()
+    assert st["c2_frames"] > 0 and st["c1_frames"] > 0

@@ -17,6 +17,9 @@ COMMANDS = {
     "process-adaptive": ("tomatis_tpu.cli.process_adaptive",
                          "adaptive processor (auto threshold, min-hold, "
                          "crossfade, headroom)"),
+    "process-sharded": ("tomatis_tpu.cli.process_sharded",
+                        "standard processor sharded over a multi-chip "
+                        "device mesh (sequence-parallel)"),
     "apply-eq": ("tomatis_tpu.cli.apply_eq",
                  "apply a static EQ curve CSV (layer 2)"),
     "apply-residual-eq": ("tomatis_tpu.cli.apply_residual_eq",

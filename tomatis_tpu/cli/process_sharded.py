@@ -1,0 +1,90 @@
+"""CLI: standard processor sharded over a multi-chip device mesh.
+
+One file's frames are split across the 'seq' axis of a ('data', 'seq')
+jax.sharding.Mesh: the FFT gain bank runs frame-parallel per chip, the gate
+automaton crosses chips as a block-composed associative scan, and the OLA
+halo rides one ppermute (parallel.sharded). Output is identical to
+`tomatis process` (same flush plan, per-flush clamp, state CSV).
+
+    python -m tomatis_tpu.cli.process_sharded -i in.flac -o out.flac \
+        --devices 8 --frames_per_shard 256
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from tomatis_tpu.cli._flags import (add_filter_flags, add_gate_flags,
+                                    add_io_flags, add_stft_flags)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="tomatis process-sharded",
+        description="Standard Tomatis processor sharded over a device mesh "
+                    "(sequence-parallel frames, ICI gate scan + OLA halo)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    add_io_flags(ap)
+    ap.add_argument("--state_csv", default=None,
+                    help="state CSV output path")
+    add_gate_flags(ap)
+    add_filter_flags(ap)
+    add_stft_flags(ap)
+    ap.add_argument("--output_gain_db", type=float, default=0.0,
+                    help="output gain (dB)")
+    ap.add_argument("--allow_any_rate", action="store_true",
+                    help="skip the 48 kHz stereo requirement")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="number of devices to use (default: all)")
+    ap.add_argument("--data", type=int, default=1,
+                    help="mesh rows reserved for data parallelism "
+                         "(1 = all devices sequence-parallel)")
+    ap.add_argument("--frames_per_shard", type=int, default=256,
+                    help="frames per device per super-chunk")
+    return ap
+
+
+def run(args) -> int:
+    from tomatis_tpu.models.standard import StandardParams
+    from tomatis_tpu.parallel.stream import process_sharded
+    p = StandardParams(
+        gate_ui=args.gate_ui, gate_mode=args.gate_mode,
+        dynamic_range=args.dynamic_range, gate_scale=args.gate_scale,
+        gate_offset=args.gate_offset, hysteresis_db=args.hyst_db,
+        up_delay_ms=args.up_delay_ms,
+        fc=args.fc, slope=args.slope,
+        c1_low=args.c1_low, c1_high=args.c1_high,
+        c2_low=args.c2_low, c2_high=args.c2_high,
+        n_fft=args.n_fft, hop=args.hop,
+        output_gain_db=args.output_gain_db,
+        require_48k_stereo=not args.allow_any_rate)
+    stats = process_sharded(args.input, args.output, p,
+                            n_devices=args.devices, data=args.data,
+                            frames_per_shard=args.frames_per_shard,
+                            state_csv_path=args.state_csv)
+    m = stats["mesh"]
+    print(f"mesh: data={m['data']} seq={m['seq']}  "
+          f"frames/shard: {stats['frames_per_shard']}")
+    print(f"threshold: {stats['threshold_dbfs']:.1f} dBFS")
+    print(f"frames: {stats['n_frames']}  "
+          f"C1: {stats['c1_frames']} ({stats['c1_ratio'] * 100:.1f}%)  "
+          f"C2: {stats['c2_frames']} ({stats['c2_ratio'] * 100:.1f}%)")
+    print(f"output: {stats['out_path']} ({stats['total']} samples)")
+    print(f"wall: {stats['wall_seconds']:.2f}s "
+          f"({stats['realtime_factor']:.1f}x realtime)")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return run(args)
+    except Exception as e:
+        import traceback
+        print(f"[ERR] {e}")
+        traceback.print_exc()
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -352,6 +352,70 @@ def sharded_process_step(mesh: Mesh, n_fft: int, hop: int,
     return run
 
 
+def sharded_stream_step(mesh: Mesh, n_fft: int, hop: int,
+                        frames_per_shard: int, channels: int,
+                        ton: float, toff: float, delay_frames: int,
+                        g1_lin, g2_lin, window=None):
+    """sharded_process_step with OLA tail carry across super-chunks — the
+    building block of the file->file sharded CLI path (parallel.stream).
+
+    Returns fn(frames [B, F, C, n_fft], s0 [B], n_valid [B],
+               in_tail_y [B, n_fft-hop, C], in_tail_w [B, n_fft-hop]) ->
+        (emit [B, F*hop, C], levels [B, F], states [B, F], carry [B],
+         out_tail_y [B, n_seq*(n_fft-hop), C], out_tail_w [B, n_seq*...])
+    where only the LAST tail block of out_tail_* (the stream tail of the
+    last 'seq' shard) is meaningful — slice [-(n_fft-hop):] on host. The
+    in_tails are added to shard 0's head (the previous super-chunk's
+    carried overlap), exactly like the single-device engine's carried
+    (out_tail, w_tail)."""
+    win = jnp.asarray(window if window is not None
+                      else stft.hann_symmetric(n_fft))
+    win2 = win * win
+    table = jnp.stack([jnp.asarray(g1_lin, jnp.float32),
+                       jnp.asarray(g2_lin, jnp.float32)])
+    tail = n_fft - hop
+    n_seq = mesh.shape["seq"]
+    F_loc = frames_per_shard
+
+    def per_file(frames, s0, n_valid, in_ty, in_tw):
+        seq_i = jax.lax.axis_index("seq")
+        f0 = seq_i * F_loc
+        valid = (f0 + jnp.arange(F_loc)) < n_valid
+        levels = frame_levels_dbfs(jnp.transpose(frames, (0, 2, 1)))
+        states, carry = _sharded_gate_updelay(
+            levels, ton, toff, delay_frames, s0, valid)
+        gains = jnp.take(table, states - 1, axis=0)
+        y = stft.apply_gain_bank(frames, win, gains)
+        mask = valid.astype(jnp.float32)
+        y = y * mask[:, None, None]
+        ola = stft.overlap_add(y, hop)
+        w = stft.overlap_add(win2[None, None, :] * mask[:, None, None],
+                             hop)[:, 0]
+        perm = [(i, i + 1) for i in range(n_seq - 1)]
+        recv_y = jax.lax.ppermute(ola[F_loc * hop:], "seq", perm)
+        recv_w = jax.lax.ppermute(w[F_loc * hop:], "seq", perm)
+        first = (seq_i == 0).astype(jnp.float32)
+        ola = ola.at[:tail].add(recv_y + first * in_ty)
+        w = w.at[:tail].add(recv_w + first * in_tw)
+        emit = ola[:F_loc * hop] / (w[:F_loc * hop, None] + EPS)
+        return (emit, levels, states, carry,
+                ola[F_loc * hop:], w[F_loc * hop:])
+
+    def step(frames, s0, n_valid, in_ty, in_tw):
+        return jax.vmap(per_file)(frames, s0, n_valid, in_ty, in_tw)
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data", "seq", None, None), P("data"), P("data"),
+                  P("data"), P("data")),
+        out_specs=(P("data", "seq", None), P("data", "seq"),
+                   P("data", "seq"), P("data"),
+                   P("data", "seq", None), P("data", "seq")),
+        check_vma=False)
+
+    return jax.jit(sharded)
+
+
 def frame_batch(signals: np.ndarray, n_fft: int, hop: int,
                 n_frames: int) -> jnp.ndarray:
     """Host helper: frame a [B, S, C] batch into [B, F, C, n_fft]."""

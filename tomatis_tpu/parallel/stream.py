@@ -1,0 +1,171 @@
+"""File->file standard processing over a ('data', 'seq') device mesh.
+
+This is the user-facing driver of parallel.sharded (CLI `process-sharded`):
+one file's frames are split across the 'seq' mesh axis, the gate automaton
+crosses shards as a block-composed associative scan over ICI, and the OLA
+halo rides one ppermute — while the host streams super-chunks of
+n_seq * frames_per_shard frames with carried gate state and OLA tails, and
+writes the output with the exact single-device reference semantics (flush
+plan, per-flush peak clamp, state CSV).
+
+On a single TPU host this exists to validate the multi-chip path end to
+end (tests run it on an 8-virtual-device CPU mesh and require the output
+to match the single-device engine); on a real pod slice the same code
+spreads one file's FFT bank over all chips.
+"""
+from __future__ import annotations
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from tomatis_tpu.engine.streaming import (ChunkedStftEngine, StreamRunner,
+                                          flush_plan)
+from tomatis_tpu.io import audio
+from tomatis_tpu.models.standard import StandardParams, build_controller
+from tomatis_tpu.ops import dsp, gate as gate_ops, stft
+from tomatis_tpu.ops.dsp import EPS
+from tomatis_tpu.parallel.sharded import make_mesh, sharded_stream_step
+from tomatis_tpu.utils.stateio import StateCsvWriter
+
+
+def process_sharded(in_path, out_path, p: StandardParams | None = None,
+                    n_devices: int | None = None, data: int = 1,
+                    frames_per_shard: int = 256,
+                    state_csv_path=None) -> dict:
+    """Standard processing of ONE file sharded over a device mesh.
+
+    data > 1 reserves mesh rows for batch lanes (future use); this driver
+    runs the single file on the first row, so data=1 (all devices on the
+    'seq' axis) is the useful configuration.
+    """
+    t_start = time.perf_counter()
+    p = p or StandardParams()
+    mesh = make_mesh(n_devices=n_devices, data=data)
+    n_seq = mesh.shape["seq"]
+    n_fft, hop = p.n_fft, p.hop
+    tail = n_fft - hop
+    F_tot = frames_per_shard * n_seq
+
+    with audio.AudioFile(in_path, "r") as fin:
+        sr, ch, total = fin.samplerate, fin.channels, fin.frames
+        if p.require_48k_stereo:
+            if sr != 48000:
+                raise ValueError(f"expected 48kHz, got {sr} Hz")
+            if ch != 2:
+                raise ValueError(f"expected stereo, got {ch} channels")
+
+        freqs = stft.rfft_freqs(n_fft, sr)
+        g1 = dsp.db_to_lin(dsp.build_tilt_gain_db(
+            freqs, p.fc, p.slope, p.c1_low, p.c1_high))
+        g2 = dsp.db_to_lin(dsp.build_tilt_gain_db(
+            freqs, p.fc, p.slope, p.c2_low, p.c2_high))
+        T = p.threshold_dbfs()
+        delay_frames = gate_ops.updelay_frames(
+            int(sr * p.up_delay_ms / 1000.0), hop)
+        step = sharded_stream_step(
+            mesh, n_fft, hop, frames_per_shard, ch,
+            ton=T + p.hysteresis_db / 2.0, toff=T - p.hysteresis_db / 2.0,
+            delay_frames=delay_frames, g1_lin=np.asarray(g1),
+            g2_lin=np.asarray(g2))
+
+        plan = flush_plan(total, n_fft, hop)
+        pad, n_frames = plan.pad, plan.n_frames
+
+        out_path = str(out_path)
+        try:
+            fout = audio.AudioFile(out_path, "w", samplerate=sr,
+                                   channels=ch, subtype="PCM_24")
+            actual_out = out_path
+        except Exception:
+            actual_out = out_path.rsplit(".", 1)[0] + ".wav"
+            fout = audio.AudioFile(actual_out, "w", samplerate=sr,
+                                   channels=ch, subtype="PCM_24")
+        csvw = StateCsvWriter(state_csv_path, sr, total) \
+            if state_csv_path else None
+
+        # drain/clamp reuse: a chunk-fn-less StreamRunner provides the
+        # reference write-out semantics (flush cuts + per-flush clamp)
+        engine = ChunkedStftEngine(n_fft, hop, ch, frames_per_chunk=F_tot)
+        runner = StreamRunner(engine, build_controller(p, sr), total,
+                              output_gain_db=p.output_gain_db,
+                              transport="f32", build_chunk_fn=False)
+
+        states_count = np.zeros(3, np.int64)
+        out_pend: list = []
+        cut_i = 0
+        out_base = -pad
+        carry = jnp.zeros((1,), jnp.int32)
+        in_ty = jnp.zeros((1, tail, ch), jnp.float32)
+        in_tw = jnp.zeros((1, tail), jnp.float32)
+
+        pend = np.zeros((pad, ch), np.float32)   # padded input stream
+        drained = False
+        need = (F_tot - 1) * hop + n_fft
+
+        def fill(n):
+            nonlocal pend, drained
+            while len(pend) < n and not drained:
+                blk = fin.read(hop * 512)
+                if len(blk) == 0:
+                    drained = True
+                    break
+                pend = np.concatenate(
+                    [pend, np.asarray(blk, np.float32)])
+            if len(pend) < n:
+                pend = np.concatenate(
+                    [pend, np.zeros((n - len(pend), ch), np.float32)])
+
+        for f0 in range(0, max(n_frames, 0), F_tot):
+            nf = min(F_tot, n_frames - f0)
+            fill(need)
+            sig = pend[:need]
+            frames = stft.frame_signal(jnp.asarray(sig), n_fft, hop,
+                                       F_tot)[None]
+            emit, levels, states, carry, oty, otw = step(
+                frames, carry, jnp.full((1,), nf, jnp.int32), in_ty, in_tw)
+            emit_np = np.asarray(emit[0])
+            lv = np.asarray(levels[0])[:nf]
+            st = np.asarray(states[0])[:nf].astype(np.int32)
+            states_count[1] += int(np.sum(st == 1))
+            states_count[2] += int(np.sum(st == 2))
+            if csvw is not None:
+                starts = -pad + (f0 + np.arange(nf)) * hop
+                csvw.on_frames(f0, starts, {"levels": lv, "states": st})
+            last = f0 + nf >= n_frames
+            if not last:
+                out_pend.append(emit_np)
+                in_ty = oty[:, -tail:]
+                in_tw = otw[:, -tail:]
+            else:
+                wanted = nf * hop + tail
+                if wanted <= F_tot * hop:
+                    out_pend.append(emit_np[:wanted])
+                else:
+                    t_y = np.asarray(oty[0, -tail:])
+                    t_w = np.asarray(otw[0, -tail:])
+                    out_pend.append(emit_np)
+                    out_pend.append(
+                        (t_y / (t_w[:, None] + EPS))
+                        [:wanted - F_tot * hop])
+            cut_i, out_base = runner._drain(out_pend, [], [], cut_i,
+                                            out_base, last, fout.write)
+            # pop the consumed input window (keep the n_fft-hop overlap)
+            pend = pend[nf * hop:]
+
+        fout.close()
+        if csvw:
+            csvw.close()
+
+    wall = time.perf_counter() - t_start
+    total_f = int(states_count[1] + states_count[2])
+    return dict(
+        n_frames=max(n_frames, 0),
+        c1_frames=int(states_count[1]), c2_frames=int(states_count[2]),
+        c1_ratio=states_count[1] / total_f if total_f else 0.0,
+        c2_ratio=states_count[2] / total_f if total_f else 0.0,
+        mesh=dict(mesh.shape), frames_per_shard=frames_per_shard,
+        sr=sr, channels=ch, total=total, out_path=actual_out,
+        threshold_dbfs=p.threshold_dbfs(), wall_seconds=wall,
+        realtime_factor=(total / sr) / wall if wall > 0 else 0.0)
