@@ -47,8 +47,17 @@ def test_verify_15db_passes_on_processed(tmp_path):
     assert ti["ti_effect"] > 5.0
     assert res["pass"]
     # artifacts
-    rep = open(tmp_path / "v15_report.txt").read()
-    assert "overall: PASS" in rep
+    rep = open(tmp_path / "v15_report.txt", encoding="utf-8").read()
+    # reference report layout (ref src/verify_tomatis_15db.py:514-516,799)
+    assert rep.startswith("Tomatis ±15dB 验证报告")
+    for section in ("A. 工程检查", "B. Gate 统计", "C. 条件频谱验证",
+                    "D. 效果量化"):
+        assert section in rep
+    assert "总体结果: PASS" in rep
+    # the 5-column spectrum CSV artifact (ref :645-653)
+    spec = open(tmp_path / "v15_spectrum.csv", encoding="utf-8").read()
+    assert spec.startswith("freq_hz,c1_measured_db,c1_theory_db,"
+                           "c2_measured_db,c2_theory_db")
     assert (tmp_path / "v15_spectrum.png").exists()
     assert (tmp_path / "v15_tilt_index.png").exists()
 

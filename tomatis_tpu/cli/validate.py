@@ -34,7 +34,30 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(args) -> int:
+    """Sectioned bilingual console audit — same layout and field lines as
+    the reference (ref src/validate_layer1.py:437-455, 460-469, 483-507,
+    518-540, 548-590, 655-678)."""
     from tomatis_tpu.verify.validate_layer1 import BANDS, validate
+
+    print("=" * 60)
+    print("Layer1 验证工具")
+    print("=" * 60)
+    print()
+    print('验证目标: 算法实现是否符合参数设定')
+    print('  - 门控逻辑: RMS dBFS + 回差 + 延迟')
+    print('  - 滤波形状: fc/slope/gain')
+    print('  - 工程完整性: 长度、削波')
+    print('注意: 本工具不验证"与硬件一模一样"')
+    print()
+    threshold_dbfs = args.gate_scale * args.gate_ui + args.gate_offset
+    print("参数:")
+    print(f"  Gate: UI={args.gate_ui}, T={threshold_dbfs:.2f} dBFS, "
+          f"hyst={args.hyst_db} dB, delay={args.up_delay_ms} ms")
+    print(f"  Filter: fc={args.fc} Hz, slope={args.slope} dB/oct")
+    print(f"  C1: low={args.c1_low} dB, high={args.c1_high} dB")
+    print(f"  C2: low={args.c2_low} dB, high={args.c2_high} dB")
+    print()
+
     res = validate(args.input, args.output, args.state_csv,
                    gate_ui=args.gate_ui, gate_scale=args.gate_scale,
                    gate_offset=args.gate_offset, hyst_db=args.hyst_db,
@@ -43,41 +66,84 @@ def run(args) -> int:
                    c1_high=args.c1_high, c2_low=args.c2_low,
                    c2_high=args.c2_high, n_fft=args.n_fft, hop=args.hop,
                    out_csv=args.out_csv, out_png=args.out_png)
+
+    def ok(b):
+        return "PASS" if b else "FAIL"
+
     eng = res["checks"]["engineering"]
-    print("A. engineering")
-    print(f"  sr: {eng['sr_in']} -> {eng['sr_out']} "
-          f"{'PASS' if eng['sr_match'] else 'FAIL'}")
-    print(f"  channels: {eng['ch_in']} -> {eng['ch_out']} "
-          f"{'PASS' if eng['ch_match'] else 'FAIL'}")
-    print(f"  samples: {eng['frames_in']} -> {eng['frames_out']} "
-          f"(diff={eng['frames_diff']}) "
-          f"{'PASS' if eng['frames_match'] else 'FAIL'}")
-    print(f"  peak: {eng['peak']:.4f} "
+    print("-" * 40)
+    print("A. 工程检查")
+    print("-" * 40)
+    print(f"  采样率: {eng['sr_in']} -> {eng['sr_out']} "
+          f"{ok(eng['sr_match'])}")
+    print(f"  声道数: {eng['ch_in']} -> {eng['ch_out']} "
+          f"{ok(eng['ch_match'])}")
+    print(f"  样点数: {eng['frames_in']} -> {eng['frames_out']} "
+          f"(diff={eng['frames_diff']}) {ok(eng['frames_match'])}")
+    print(f"  峰值: {eng['peak']:.4f} "
           f"{'PASS' if eng['peak_safe'] else 'FAIL (>=0.98)'}")
+
     g = res["checks"]["gate"]
-    print("B. gate recomputation")
-    print(f"  frames: {g['total_frames']}  mismatch: {g['mismatch_count']} "
-          f"({g['mismatch_rate'] * 100:.2f}%)")
-    print(f"  level diff: max {g['level_max_diff']:.4f} dB, "
-          f"mean {g['level_mean_diff']:.4f} dB")
-    print(f"  switches: csv={g['csv_switches']} sim={g['sim_switches']}")
-    print(f"  result: "
-          f"{'PASS' if g['pass'] else 'FAIL (mismatch>1% or level>0.1dB)'}")
-    s = res["checks"]["gate_stats"]
-    print("C. gate statistics")
-    print(f"  C2 ratio: {s['c2_ratio'] * 100:.1f}%  "
-          f"switches: {s['switch_count']}  "
-          f"short-run ratio: {s['short_run_ratio'] * 100:.1f}%")
-    print(f"  C2 range: {'PASS' if s['c2_ratio_ok'] else 'WARN (extreme)'}"
-          f"  jitter: {'PASS' if s['jitter_ok'] else 'WARN (short runs)'}")
-    sp = res["checks"]["spectrum"]
-    print("D. conditional spectrum")
-    print(f"  stable frames: C1={sp['c1_frames']}, C2={sp['c2_frames']}")
-    for (name, lo, hi), r1, r2 in zip(BANDS, sp["c1_rmse"], sp["c2_rmse"]):
-        print(f"  {name} ({lo}-{hi}Hz): C1 {r1:.2f} dB, C2 {r2:.2f} dB")
-    print(f"  result: {'PASS' if sp['pass'] else 'FAIL (RMSE >= 1.5 dB)'}")
     print()
-    print(f"Layer1 validation: {'PASS' if res['pass'] else 'FAIL'}")
+    print("-" * 40)
+    print("B. Gate 独立复算")
+    print("-" * 40)
+    print(f"  总帧数: {g['total_frames']}")
+    print(f"  状态不匹配: {g['mismatch_count']} "
+          f"({g['mismatch_rate'] * 100:.2f}%)")
+    print(f"  切换次数: CSV={g['csv_switches']}, SIM={g['sim_switches']}, "
+          f"diff={abs(g['csv_switches'] - g['sim_switches'])}")
+    print(f"  电平最大差: {g['level_max_diff']:.4f} dB")
+    print(f"  电平平均差: {g['level_mean_diff']:.4f} dB")
+    print(f"  结果: "
+          f"{'PASS' if g['pass'] else 'FAIL (mismatch>1% or level_diff>0.1dB)'}")
+
+    s = res["checks"]["gate_stats"]
+    print()
+    print("-" * 40)
+    print("C. Gate 统计")
+    print("-" * 40)
+    print(f"  C2 占比: {s['c2_ratio'] * 100:.1f}%")
+    print(f"  切换次数: {s['switch_count']}")
+    print(f"  Run length: min={s.get('run_min', 0)}, "
+          f"max={s.get('run_max', 0)}, median={s.get('run_median', 0):.0f}")
+    print(f"  短段(<=3帧): {s.get('short_runs', 0)} "
+          f"({s['short_run_ratio'] * 100:.1f}%)")
+    print(f"  C2占比范围: {'PASS' if s['c2_ratio_ok'] else 'WARN (极端值)'}")
+    print(f"  抖动检测: {'PASS' if s['jitter_ok'] else 'WARN (短段过多)'}")
+
+    sp = res["checks"]["spectrum"]
+    print()
+    print("-" * 40)
+    print("D. 条件频谱验证")
+    print("-" * 40)
+    print(f"  稳定帧: C1={sp['c1_frames']}, C2={sp['c2_frames']}")
+    print("  C1 RMSE:")
+    for (name, lo, hi), r in zip(BANDS, sp["c1_rmse"]):
+        print(f"    {name} ({lo}-{hi}Hz): {r:.2f} dB")
+    print("  C2 RMSE:")
+    for (name, lo, hi), r in zip(BANDS, sp["c2_rmse"]):
+        print(f"    {name} ({lo}-{hi}Hz): {r:.2f} dB")
+    print(f"  结果: {'PASS' if sp['pass'] else 'FAIL (RMSE >= 1.5 dB)'}")
+    print(f"\n频谱数据已保存: {args.out_csv}")
+
+    print()
+    print("=" * 60)
+    print("最终判定")
+    print("=" * 60)
+    eng_pass = (eng["sr_match"] and eng["ch_match"]
+                and eng["frames_match"] and eng["peak_safe"])
+    for name, passed in [("工程检查", eng_pass),
+                         ("Gate复算", g["pass"]),
+                         ("条件频谱", sp["pass"])]:
+        print(f"  {name}: {ok(passed)}")
+    print()
+    if res["pass"]:
+        print("Layer1 验证: PASS")
+        print("算法实现符合参数设定")
+    else:
+        print("Layer1 验证: FAIL")
+        print("请检查上述 FAIL 项")
     return 0 if res["pass"] else 1
 
 

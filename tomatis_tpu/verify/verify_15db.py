@@ -146,6 +146,17 @@ def verify(in_path, out_path, gate_ui=50.0, gate_scale=1.0,
     stats = analyze_gate_stats(states)
     stats["c2_ratio_ok"] = 0.05 <= stats.get("c2_ratio", 0) <= 0.95
     stats["jitter_ok"] = stats.get("short_run_ratio", 0) < 0.30
+    # console/report extras of the reference audit (ref :568-577)
+    duration_min = len(x) / sr / 60.0
+    stats["duration_min"] = duration_min
+    stats["switches_per_min"] = (stats.get("switch_count", 0) / duration_min
+                                 if duration_min > 0 else 0.0)
+    st_arr = np.asarray(states)
+    lv_arr = np.asarray(levels)
+    for name in ("C1", "C2"):
+        sel = lv_arr[st_arr == name] if len(lv_arr) else lv_arr
+        stats[f"{name.lower()}_level_mean"] = (
+            float(np.mean(sel)) if len(sel) else 0.0)
     results["checks"]["gate_stats"] = stats  # WARN-only
 
     y, _ = audio.read(out_path)
@@ -178,44 +189,69 @@ def verify(in_path, out_path, gate_ui=50.0, gate_scale=1.0,
 
     if out_prefix:
         _write_report(f"{out_prefix}_report.txt", results)
+        _write_spectrum_csv(f"{out_prefix}_spectrum.csv", freqs, c1_db,
+                            c2_db, c1_theory, c2_theory)
         _plot_spectrum(f"{out_prefix}_spectrum.png", freqs, c1_db, c2_db,
                        c1_theory, c2_theory, fc, gain_limit, n1, n2)
         _plot_ti(f"{out_prefix}_tilt_index.png", ti)
     return results
 
 
+def _write_spectrum_csv(path, freqs, c1_db, c2_db, c1_th, c2_th):
+    """5-column conditional-spectrum dump (ref :645-653)."""
+    import csv
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["freq_hz", "c1_measured_db", "c1_theory_db",
+                    "c2_measured_db", "c2_theory_db"])
+        for i, freq in enumerate(freqs):
+            w.writerow([f"{freq:.2f}", f"{c1_db[i]:.4f}", f"{c1_th[i]:.4f}",
+                        f"{c2_db[i]:.4f}", f"{c2_th[i]:.4f}"])
+
+
 def _write_report(path, results):
-    lines = ["Tomatis +-15dB verification report", "=" * 50]
+    """Sectioned bilingual report TXT — same layout, headings and field
+    lines as the reference (ref src/verify_tomatis_15db.py:514-516,
+    545-550, 585-588, 637-641, 675-677, 798-799)."""
     eng = results["checks"]["engineering"]
-    lines += ["", "A. engineering",
-              f"  sr match: {'PASS' if eng['sr_match'] else 'FAIL'}",
-              f"  channels match: {'PASS' if eng['ch_match'] else 'FAIL'}",
-              f"  samples match: {'PASS' if eng['frames_match'] else 'FAIL'}"
-              f" (diff={eng['frames_diff']})",
-              f"  peak safe: {'PASS' if eng['peak_safe'] else 'FAIL'}"
-              f" ({eng['peak']:.4f})",
-              f"  dc offset: {'PASS' if eng['dc_safe'] else 'FAIL'}"
-              f" ({eng['dc_mean']:.6f})"]
     st = results["checks"]["gate_stats"]
-    lines += ["", "B. gate statistics",
-              f"  C2 ratio: {st.get('c2_ratio', 0) * 100:.1f}%",
-              f"  switches: {st.get('switch_count', 0)}",
-              f"  short-run ratio: {st.get('short_run_ratio', 0) * 100:.1f}%"]
     sp = results["checks"]["spectrum"]
-    lines += ["", "C. conditional spectrum",
-              f"  C1 RMSE: {sp.get('c1_rmse', 0):.2f} dB",
-              f"  C2 RMSE: {sp.get('c2_rmse', 0):.2f} dB",
-              f"  fc error: C1={sp.get('c1_fc_error', 0):.2f}, "
-              f"C2={sp.get('c2_fc_error', 0):.2f} dB",
-              f"  result: {'PASS' if sp['pass'] else 'FAIL'}"]
     ti = results["checks"]["tilt_index"]
-    lines += ["", "D. tilt index",
-              f"  effect (C2-C1): {ti.get('ti_effect', 0):.2f} dB",
-              f"  effect check: "
-              f"{'PASS' if ti.get('effect_ok') else 'WARN (<5dB)'}",
-              "", f"overall: {'PASS' if results['pass'] else 'FAIL'}"]
+    ok = lambda b: "PASS" if b else "FAIL"  # noqa: E731
+    lines = ["Tomatis ±15dB 验证报告", "=" * 50]
+    lines += [
+        "\nA. 工程检查",
+        f"  采样率一致: {ok(eng['sr_match'])}",
+        f"  声道一致: {ok(eng['ch_match'])}",
+        f"  样点一致: {ok(eng['frames_match'])} (diff={eng['frames_diff']})",
+        f"  峰值安全: {ok(eng['peak_safe'])} ({eng['peak']:.4f})",
+        f"  DC偏移: {ok(eng['dc_safe'])} ({eng['dc_mean']:.6f})",
+    ]
+    lines += [
+        "\nB. Gate 统计",
+        f"  C2占比: {st.get('c2_ratio', 0) * 100:.1f}%",
+        f"  切换次数: {st.get('switch_count', 0)} "
+        f"({st.get('switches_per_min', 0):.1f}/min)",
+        f"  短段比例: {st.get('short_run_ratio', 0) * 100:.1f}%",
+    ]
+    lines += [
+        "\nC. 条件频谱验证",
+        f"  C1 RMSE: {sp.get('c1_rmse', 0):.2f} dB",
+        f"  C2 RMSE: {sp.get('c2_rmse', 0):.2f} dB",
+        f"  fc误差: C1={sp.get('c1_fc_error', 0):.2f}, "
+        f"C2={sp.get('c2_fc_error', 0):.2f} dB",
+        f"  结果: {ok(sp['pass'])}",
+    ]
+    lines += [
+        "\nD. 效果量化",
+        f"  Tomatis效果强度(C2-C1): {ti.get('ti_effect', 0):.2f} dB",
+        f"  效果验证: "
+        f"{'PASS' if ti.get('effect_ok') else 'WARN (<5dB)'}",
+    ]
+    lines += ["\n" + "=" * 50,
+              f"总体结果: {ok(results['pass'])}"]
     with open(path, "w", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines))
 
 
 def _plot_spectrum(path, freqs, c1_db, c2_db, c1_th, c2_th, fc, g, n1, n2):
