@@ -141,18 +141,39 @@ def test_flac_write_raw_pcm24(tmp_path):
     np.testing.assert_allclose(y, v.astype(np.float32) / 8388608.0, atol=1e-9)
 
 
-def test_external_flac_decode_if_available(tmp_path):
-    """Cross-check our decoder against the system `flac` tool if present."""
+def test_external_flac_decode(tmp_path):
+    """Cross-check our decoder against an independent encoder: the system
+    `flac` tool when present, otherwise the bit-level spec builder from
+    test_flac_spec (written straight from the FLAC format spec) — the
+    cross-validation never skips."""
     import shutil
     import subprocess
-    if shutil.which("flac") is None:
-        pytest.skip("no system flac binary")
-    x = _sig(n=12345)
-    wav = tmp_path / "x.wav"
-    audio.write(wav, x, 48000, subtype="PCM_24")
-    fl = tmp_path / "x.flac"
-    subprocess.run(["flac", "--silent", "-o", str(fl), str(wav)], check=True)
-    y, sr = audio.read(fl)
-    w, _ = audio.read(wav)
+    if shutil.which("flac") is not None:
+        x = _sig(n=12345)
+        wav = tmp_path / "x.wav"
+        audio.write(wav, x, 48000, subtype="PCM_24")
+        fl = tmp_path / "x.flac"
+        subprocess.run(["flac", "--silent", "-o", str(fl), str(wav)],
+                       check=True)
+        y, sr = audio.read(fl)
+        w, _ = audio.read(wav)
+        assert sr == 48000
+        np.testing.assert_allclose(y, w, atol=1e-9)
+        return
+    from tests import test_flac_spec as spec
+    B = 96
+    rng = np.random.default_rng(11)
+    L = np.cumsum(rng.integers(-700, 700, B)) + 2000
+    R = (0.7 * L).astype(np.int64)
+
+    def f(bw, cbps):
+        spec.sub_fixed(bw, L, 2, cbps[0], k=8)
+        spec.sub_fixed(bw, L - R, 1, cbps[1], k=7)
+    blob = (b"fLaC" + spec.streaminfo(48000, 2, 24, B, B)
+            + spec.frame(0, B, 24, 8, f))     # left/side
+    p = tmp_path / "spec.flac"
+    p.write_bytes(blob)
+    y, sr = audio.read(p)
+    exp = np.stack([L, R], 1).astype(np.float64) / 8388608.0
     assert sr == 48000
-    np.testing.assert_allclose(y, w, atol=1e-9)
+    np.testing.assert_allclose(y, exp, atol=1e-9)
