@@ -91,3 +91,16 @@ def test_batch_rejects_rate_mismatch_per_file(tmp_path):
                           frames_per_chunk=16)
     assert stats[0]["failed"] is None
     assert "stereo" in stats[1]["failed"] or "48" in stats[1]["failed"]
+
+
+def test_all_files_unopenable_returns_failed_stats(tmp_path):
+    """If every input fails to open, per-file failure isolation must hold:
+    failed stats come back, no engine crash (round-1 advisory finding)."""
+    from tomatis_tpu.models.standard import StandardParams
+    from tomatis_tpu.parallel.batch import process_batch
+    jobs = [(tmp_path / "nope1.flac", tmp_path / "o1.flac"),
+            (tmp_path / "nope2.flac", tmp_path / "o2.flac")]
+    stats = process_batch(jobs, StandardParams(require_48k_stereo=False))
+    assert len(stats) == 2
+    assert all(s["failed"] is not None for s in stats)
+    assert all(s["n_frames"] == 0 for s in stats)

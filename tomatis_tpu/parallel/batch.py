@@ -194,6 +194,14 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
         except Exception as e:
             metas.append(e)
 
+    if sr is None:
+        # every file failed to open: keep the documented per-file failure
+        # isolation — return per-file stats instead of crashing the engine
+        return [dict(in_path=str(in_path), out_path=str(out_path),
+                     failed=str(m), n_frames=0, c1_frames=0, c2_frames=0,
+                     c2_ratio=0.0)
+                for (in_path, out_path), m in zip(jobs, metas)]
+
     engine = ChunkedStftEngine(p.n_fft, p.hop, ch, frames_per_chunk)
     controller = build_controller(p, sr)
     chunk_fn = engine.make_chunk_fn(controller, transport="pcm24")
