@@ -352,6 +352,15 @@ def _iter_blocks(source, block: int) -> Iterator[np.ndarray]:
         yield np.asarray(x, np.float32)
 
 
+def _iter_blocks_int24(source, block: int) -> Iterator[np.ndarray]:
+    """Yield int32 PCM_24-scale blocks (the float-free wire input path)."""
+    while True:
+        x = source.read_int24(block)
+        if len(x) == 0:
+            return
+        yield np.ascontiguousarray(x, np.int32)
+
+
 class StreamRunner:
     """Runs a controller over an audio stream with reference write semantics.
 
@@ -456,6 +465,13 @@ class StreamRunner:
             if fr is not None and fr.size:
                 float_refs = [(out_base, len(fr), fr)]
 
+        # Float-free input: when the source reads losslessly as PCM_24
+        # ints and the wire codec ships the input, keep the whole host
+        # input path integer (no float conversion, no exactness check).
+        int_in = (self.wire_input and not isinstance(source, np.ndarray)
+                  and getattr(source, "int24_readable", False))
+        in_dt = np.int32 if int_in else np.float32
+
         # Rolling input: absolute sample coordinate of pend[0] is in_base.
         in_base = -pad + frame0 * hop
         if in_base > 0:
@@ -463,19 +479,45 @@ class StreamRunner:
                 source = source[in_base:]
             else:
                 source.seek(in_base)
-            pend = np.zeros((0, C), np.float32)
+            pend = np.zeros((0, C), in_dt)
         else:
-            pend = np.zeros((-in_base, C), np.float32)
-        blocks = _iter_blocks(source, eng.emit_len)
+            pend = np.zeros((-in_base, C), in_dt)
+        blocks = (_iter_blocks_int24(source, eng.emit_len) if int_in
+                  else _iter_blocks(source, eng.emit_len))
 
         log_keys = self.engine.log_keys
 
-        def consume(ready):
+        def consume_start(ready):
+            """Begin materializing a chunk: read the (already transferred)
+            aux array and issue the async page fetches, so the device->host
+            stream transfer overlaps the next chunk's host-side input
+            assembly instead of serializing after it."""
+            if not wire:
+                return None
+            _, _, c_packed, _ = ready
+            aux_np = np.asarray(c_packed[0])
+            rows, used_bytes = eng.unpack_wire_aux(aux_np)
+            n_p = -(-used_bytes // WIRE_PAGE)
+            pages = c_packed[1][:n_p]
+            for pg in pages:
+                try:
+                    pg.copy_to_host_async()
+                except AttributeError:
+                    pass
+            return (rows, used_bytes, pages)
+
+        def consume(ready, started=None):
             """Materialize a dispatched chunk's results and route them."""
             nonlocal out_base, cut_i
             c_frame0, c_nf, c_packed, c_out_dev = ready
             if wire:
-                payload, aux, used_bytes = eng.fetch_wire(*c_packed)
+                from tomatis_tpu.io import wirecodec
+                if started is None:
+                    started = consume_start(ready)
+                aux, used_bytes, pages = started
+                buf = np.concatenate([np.asarray(pg) for pg in pages])
+                payload = wirecodec.decode_pcm24(
+                    buf.view(np.uint8), eng.emit_full, C)
                 self.wire_stats["out_bytes"] += used_bytes
             elif pcm24:
                 payload, aux = eng.unpack_pcm24(np.asarray(c_packed))
@@ -549,21 +591,30 @@ class StreamRunner:
                 pend = np.concatenate([pend, blk], 0)
             if len(pend) < need:  # real signal exhausted: zero pad the tail
                 pend = np.concatenate(
-                    [pend, np.zeros((need - len(pend), C), np.float32)], 0)
+                    [pend, np.zeros((need - len(pend), C), in_dt)], 0)
             sig = pend[:eng.chunk_input_len]
             if len(sig) < eng.chunk_input_len:
                 sig = np.concatenate(
                     [sig, np.zeros((eng.chunk_input_len - len(sig), C),
-                                   np.float32)], 0)
+                                   in_dt)], 0)
             return prepare(sig)
 
         def prepare(sig):
             """Wire-compress the input chunk when it is PCM_24-exact: the
             C++ codec packs it (~half the float32 bytes), the device
             unpacks with pure XLA gathers + cumsums — bit-identical to
-            shipping the floats. Non-exact chunks ship as float32."""
+            shipping the floats. Non-exact float chunks ship as float32;
+            int24 sources stay integer end to end (no float pass at all)."""
             if not self.wire_input:
                 return sig
+            if int_in:
+                from tomatis_tpu.io import wirecodec
+                packed = wirecodec.encode_i32(sig)
+                self.wire_stats["in_bytes"] += len(packed)
+                bucket = -(-len(packed) // WIRE_BUCKET) * WIRE_BUCKET
+                pb = np.zeros(bucket, np.uint8)
+                pb[:len(packed)] = packed
+                return _UNPACK_INPUT(pb, eng.chunk_input_len, C)
             arg, nbytes = wire_prepare_input(sig, eng.chunk_input_len, C)
             if nbytes == 0:
                 self.wire_stats["in_raw_chunks"] += 1
@@ -603,6 +654,13 @@ class StreamRunner:
                 jnp.asarray(staged), jnp.int32(nf), ctl_carry, out_tail,
                 w_tail, self.ctl_params, self.gain_f32)
             timings["dispatch_compute_s"] += _time.perf_counter() - _t
+            # start the previous chunk's readback NOW: the async page
+            # transfer rides the link while we assemble the next input
+            started = None
+            if inflight is not None:
+                _t = _time.perf_counter()
+                started = consume_start(inflight)
+                timings["consume_s"] += _time.perf_counter() - _t
             # assemble the next chunk's input while the device works
             staged = None
             next_frame0 = frame0 + nf
@@ -637,7 +695,7 @@ class StreamRunner:
 
             if inflight is not None:
                 _t = _time.perf_counter()
-                consume(inflight)
+                consume(inflight, started)
                 timings["consume_s"] += _time.perf_counter() - _t
                 if on_progress is not None:
                     # frames fully processed and written so far

@@ -68,6 +68,25 @@ class FlacReader:
         x = buf[:got * self.channels].astype(np.float32) / _SCALE[self.bits]
         return x.reshape(-1, self.channels)
 
+    @property
+    def int24_readable(self) -> bool:
+        return self.bits in (8, 16, 24)
+
+    def read_int24(self, n_frames: int = -1) -> np.ndarray:
+        """Read as int32 samples at PCM_24 scale (float = v / 2^23) —
+        exact for <=24-bit sources, skipping the float conversion."""
+        if n_frames < 0:
+            n_frames = max(0, self.frames - self._pos)
+        buf = np.empty(n_frames * self.channels, np.int32)
+        got = self._lib.tflac_read(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_frames)
+        self._pos += got
+        v = buf[:got * self.channels]
+        if self.bits != 24:
+            v = v << (24 - self.bits)
+        return v.reshape(-1, self.channels)
+
     def seek(self, frame: int) -> int:
         frame = max(0, min(frame, self.frames))
         if self._lib.tflac_seek(self._h, frame) != 0:

@@ -288,49 +288,37 @@ def pack_device(v, n: int, ch: int):
     w = jnp.stack(all_w)[bi]                               # [ch, K]
     total = totals[bi].astype(jnp.int32)
 
-    # ---- packed layout ----
+    # ---- packed layout: one fused scatter-add ----
+    # Every bit of the stream belongs to exactly one sample, so per-sample
+    # contributions to a word are bit-disjoint and scatter-ADD == OR. Each
+    # sample touches at most two words (lo/hi split at the word boundary);
+    # indices are nondecreasing, which XLA's scatter exploits. This
+    # replaces the round-1 candidate-gather + searchsorted formulation
+    # (measured 10x slower on TPU: ~1.0 s vs ~0.1 s per 2M-sample chunk).
     wflat = w.reshape(ch * K)
     base = H + 8 * (jnp.cumsum(wflat) - wflat)             # [ch*K]
     rp = jnp.pad(r, ((0, 0), (0, pad))).reshape(ch * K, B)
     z = rp.astype(jnp.uint32) & jnp.where(
         wflat > 0, (jnp.uint32(1) << wflat.astype(jnp.uint32)) - 1,
         0)[:, None]
-
-    # stage 1: per-block slots [ch*K, 8*_WMAX] via candidate gathers
-    j = jnp.arange(8 * _WMAX, dtype=jnp.int32)[None, :]    # word in block
-    wb = wflat[:, None]
-    i0 = jnp.maximum(0, (32 * j) // jnp.maximum(wb, 1) - 1)
-    cand = i0[:, :, None] + jnp.arange(_NC, dtype=jnp.int32)  # [ch*K, 8W, NC]
-    cidx = jnp.clip(cand, 0, B - 1)
-    zc = jnp.take_along_axis(
-        z, cidx.reshape(ch * K, -1), axis=1).reshape(cand.shape)
-    bitpos = cand * wb[:, :, None] - 32 * j[:, :, None]    # (-w, 32)
-    shl = jnp.clip(bitpos, 0, 31).astype(jnp.uint32)
-    shr = jnp.clip(-bitpos, 0, 31).astype(jnp.uint32)
-    part = jnp.where((bitpos >= 0) & (bitpos < 32), zc << shl, 0) \
-        | jnp.where((bitpos < 0) & (bitpos > -32), zc >> shr, 0)
-    ok = (cand < B) & (cand == cidx) & (wb[:, :, None] > 0) \
-        & (j[:, :, None] < 8 * wb[:, :, None])
-    slots = functools.reduce(
-        jnp.bitwise_or,
-        [jnp.where(ok[:, :, k], part[:, :, k], 0) for k in range(_NC)])
+    i = jnp.arange(B, dtype=jnp.int32)[None, :]
+    bitpos = i * wflat[:, None]
+    gw = jnp.minimum(base[:, None] + (bitpos >> 5), M - 2)  # z=0 rows: +0
+    sh = (bitpos & 31).astype(jnp.uint32)
+    lo = z << sh
+    hi = jnp.where(sh == 0, 0, z >> (jnp.uint32(32) - sh))
+    body = jnp.zeros(M, jnp.uint32)
+    body = body.at[gw.reshape(-1)].add(
+        lo.reshape(-1), indices_are_sorted=True)
+    body = body.at[(gw + 1).reshape(-1)].add(
+        hi.reshape(-1), indices_are_sorted=True)
 
     # header + widths (static-length prefix)
     w8 = jnp.pad(wflat.astype(jnp.uint32), (0, (H - 5) * 4 - ch * K))
     w4 = w8.reshape(-1, 4)
     wwords = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
               | (w4[:, 3] << 24))
-
-    # stage 2: gather-compact stream words (no scatter)
-    m = jnp.arange(M - H, dtype=jnp.int32)
-    blk = jnp.searchsorted(base, m + H, side="right").astype(jnp.int32) - 1
-    blk = jnp.clip(blk, 0, ch * K - 1)
-    off = (m + H) - base[blk]
-    sflat = slots.reshape(-1)
-    sval = sflat[jnp.clip(blk * (8 * _WMAX) + off, 0, sflat.size - 1)]
-    live = (off >= 0) & (off < 8 * jnp.maximum(wflat[blk], 0)) \
-        & (m + H < total)
-    stream = jnp.where(live, sval, 0)
+    stream = body[H:]
 
     # ---- raw escape layout ----
     flat = v.reshape(-1)
@@ -375,60 +363,66 @@ def unpack_device(buf, n: int, ch: int):
     ms = (flags >> 16) & 1
     raw = (flags >> 17) & 1
 
-    # packed branch
-    t = jnp.arange(ch * K)
-    wflat = ((words[5 + t // 4] >> (8 * (t % 4).astype(jnp.uint32))) & 255) \
-        .astype(jnp.int32)
-    base = H + 8 * (jnp.cumsum(wflat) - wflat)
-    idx = jnp.arange(K * B, dtype=jnp.int32)
-    blk0 = idx // B
-    ii = idx % B
-    outs = []
-    for c in range(ch):
-        wb = wflat[c * K + blk0]
-        bitoff = ii * wb
-        q = base[c * K + blk0] + (bitoff >> 5)
-        sh = (bitoff & 31).astype(jnp.uint32)
-        lo = words[jnp.clip(q, 0, W - 1)] >> sh
-        hi = jnp.where(sh == 0, 0,
-                       words[jnp.clip(q + 1, 0, W - 1)]
-                       << (jnp.uint32(32) - sh))
-        mask = jnp.where(wb > 0,
-                         (jnp.uint32(1) << wb.astype(jnp.uint32)) - 1, 0)
-        val = (lo | hi) & mask
-        sb = jnp.where(wb > 0,
-                       jnp.uint32(1) << jnp.maximum(wb - 1, 0)
-                       .astype(jnp.uint32), 0)
-        sv = (val ^ sb).astype(jnp.int32) - sb.astype(jnp.int32)
-        outs.append(jnp.where(wb == 0, 0, sv)[:n])
-    r = jnp.stack(outs)                                    # [ch, n]
+    def packed_branch(_):
+        t = jnp.arange(ch * K)
+        wflat = ((words[5 + t // 4] >> (8 * (t % 4).astype(jnp.uint32)))
+                 & 255).astype(jnp.int32)
+        base = H + 8 * (jnp.cumsum(wflat) - wflat)
+        idx = jnp.arange(K * B, dtype=jnp.int32)
+        blk0 = idx // B
+        ii = idx % B
+        # fetch word pairs in ONE gather per channel (a sample's bits span
+        # at most two consecutive words)
+        wpair = jnp.stack(
+            [words, jnp.concatenate([words[1:], words[:1]])], 1)  # [W, 2]
+        outs = []
+        for c in range(ch):
+            wb = wflat[c * K + blk0]
+            bitoff = ii * wb
+            q = base[c * K + blk0] + (bitoff >> 5)
+            sh = (bitoff & 31).astype(jnp.uint32)
+            pair = wpair[jnp.clip(q, 0, W - 1)]
+            lo = pair[:, 0] >> sh
+            hi = jnp.where(sh == 0, 0,
+                           pair[:, 1] << (jnp.uint32(32) - sh))
+            mask = jnp.where(wb > 0,
+                             (jnp.uint32(1) << wb.astype(jnp.uint32)) - 1,
+                             0)
+            val = (lo | hi) & mask
+            sb = jnp.where(wb > 0,
+                           jnp.uint32(1) << jnp.maximum(wb - 1, 0)
+                           .astype(jnp.uint32), 0)
+            sv = (val ^ sb).astype(jnp.int32) - sb.astype(jnp.int32)
+            outs.append(jnp.where(wb == 0, 0, sv)[:n])
+        r = jnp.stack(outs)                                # [ch, n]
 
-    def mk(o):
-        def f(x):
-            for _ in range(o):
-                x = jnp.cumsum(x, axis=1, dtype=jnp.int32)
-            return x
-        return f
-    x = jax.lax.switch(jnp.clip(order, 0, 4), [mk(o) for o in range(5)], r)
-    vT = jnp.transpose(x)                                  # [n, ch]
-    if ch == 2:
-        m, s = vT[:, 0], vT[:, 1]
-        L = m + ((s + (s & 1)) >> 1)
-        vms = jnp.stack([L, L - s], 1)
-        vT = jnp.where(ms == 1, vms, vT)
+        def mk(o):
+            def f(x):
+                for _ in range(o):
+                    x = jnp.cumsum(x, axis=1, dtype=jnp.int32)
+                return x
+            return f
+        x = jax.lax.switch(jnp.clip(order, 0, 4),
+                           [mk(o) for o in range(5)], r)
+        vT = jnp.transpose(x)                              # [n, ch]
+        if ch == 2:
+            m, s = vT[:, 0], vT[:, 1]
+            L = m + ((s + (s & 1)) >> 1)
+            vms = jnp.stack([L, L - s], 1)
+            vT = jnp.where(ms == 1, vms, vT)
+        return vT
 
-    # raw branch
-    bidx = jnp.arange(n * ch, dtype=jnp.int32) * 3
+    def raw_branch(_):
+        bidx = jnp.arange(n * ch, dtype=jnp.int32) * 3
 
-    def byte_at(k):
-        pos = ((bidx + k) & 3).astype(jnp.uint32)
-        return (words[jnp.clip(5 + ((bidx + k) >> 2), 0, W - 1)]
-                >> (8 * pos)) & 255
+        def byte_at(k):
+            pos = ((bidx + k) & 3).astype(jnp.uint32)
+            return (words[jnp.clip(5 + ((bidx + k) >> 2), 0, W - 1)]
+                    >> (8 * pos)) & 255
 
-    b0, b1, b2 = byte_at(0), byte_at(1), byte_at(2)
-    vraw = (b0 | (b1 << 8) | (b2 << 16)).astype(jnp.int32)
-    vraw = (vraw << 8) >> 8
-    vraw = vraw.reshape(n, ch)
+        vraw = (byte_at(0) | (byte_at(1) << 8) | (byte_at(2) << 16)) \
+            .astype(jnp.int32)
+        return ((vraw << 8) >> 8).reshape(n, ch)
 
-    vfin = jnp.where(raw == 1, vraw, vT)
+    vfin = jax.lax.cond(raw == 1, raw_branch, packed_branch, None)
     return vfin.astype(jnp.float32) / 8388608.0
