@@ -158,25 +158,36 @@ class ChunkedStftEngine:
             np.float32).reshape(R, self.aux_width)
         return pcm, aux
 
-    def fetch_wire(self, auxw_dev, pages):
-        """Materialize a wire-transport chunk result on host: fetch the
-        small aux array, then only the pages the packed stream actually
-        used, and decode to the PCM_24 byte payload.
-
-        Returns (pcm bytes [emit_full*C*3], aux rows [R, W], used_bytes)."""
-        from tomatis_tpu.io import wirecodec
+    def fetch_wire_start(self, auxw_dev, pages):
+        """Read the (small, already transferred) aux array and issue the
+        async fetches of only the pages the packed stream used — call this
+        as early as possible so the transfer rides the link while the host
+        does other work, then fetch_wire_finish to materialize."""
         aux_np = np.asarray(auxw_dev)
         rows, used_bytes = self.unpack_wire_aux(aux_np)
         n_p = -(-used_bytes // WIRE_PAGE)
-        for pg in pages[:n_p]:
+        pgs = pages[:n_p]
+        for pg in pgs:
             try:
                 pg.copy_to_host_async()
             except AttributeError:
                 pass
-        buf = np.concatenate([np.asarray(pg) for pg in pages[:n_p]])
+        return rows, used_bytes, pgs
+
+    def fetch_wire_finish(self, started):
+        """Materialize started pages and decode the PCM_24 payload.
+        Returns (pcm bytes [emit_full*C*3], aux rows [R, W], used_bytes)."""
+        from tomatis_tpu.io import wirecodec
+        rows, used_bytes, pgs = started
+        buf = np.concatenate([np.asarray(pg) for pg in pgs])
         pcm = wirecodec.decode_pcm24(buf.view(np.uint8), self.emit_full,
                                      self.channels)
         return pcm, rows, used_bytes
+
+    def fetch_wire(self, auxw_dev, pages):
+        """Synchronous fetch+decode of a wire-transport chunk result."""
+        return self.fetch_wire_finish(self.fetch_wire_start(auxw_dev,
+                                                            pages))
 
     @property
     def wire_pages(self) -> int:
@@ -495,29 +506,16 @@ class StreamRunner:
             if not wire:
                 return None
             _, _, c_packed, _ = ready
-            aux_np = np.asarray(c_packed[0])
-            rows, used_bytes = eng.unpack_wire_aux(aux_np)
-            n_p = -(-used_bytes // WIRE_PAGE)
-            pages = c_packed[1][:n_p]
-            for pg in pages:
-                try:
-                    pg.copy_to_host_async()
-                except AttributeError:
-                    pass
-            return (rows, used_bytes, pages)
+            return eng.fetch_wire_start(c_packed[0], c_packed[1])
 
         def consume(ready, started=None):
             """Materialize a dispatched chunk's results and route them."""
             nonlocal out_base, cut_i
             c_frame0, c_nf, c_packed, c_out_dev = ready
             if wire:
-                from tomatis_tpu.io import wirecodec
                 if started is None:
                     started = consume_start(ready)
-                aux, used_bytes, pages = started
-                buf = np.concatenate([np.asarray(pg) for pg in pages])
-                payload = wirecodec.decode_pcm24(
-                    buf.view(np.uint8), eng.emit_full, C)
+                payload, aux, used_bytes = eng.fetch_wire_finish(started)
                 self.wire_stats["out_bytes"] += used_bytes
             elif pcm24:
                 payload, aux = eng.unpack_pcm24(np.asarray(c_packed))

@@ -201,7 +201,12 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
         ctl_carry = controller.init_carry()
         out_tail, w_tail = engine.zero_tails()
         need = engine.chunk_input_len
-        pend = np.zeros((pad_len, ch), np.float32)
+        # float-free input path when no pre-gain multiply is needed and the
+        # source reads losslessly as PCM_24 ints (mirrors the engine)
+        int_in = (pre_gain == 1.0
+                  and getattr(fin, "int24_readable", False))
+        in_dt = np.int32 if int_in else np.float32
+        pend = np.zeros((pad_len, ch), in_dt)
         drained = False
         peak_seen = 0.0
         inflight = None
@@ -214,7 +219,7 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
             # reposition the padded input stream at sample f0_start*hop
             pos = f0_start * hop
             lead = max(0, pad_len - pos)
-            pend = np.zeros((lead, ch), np.float32)
+            pend = np.zeros((lead, ch), in_dt)
             if pos > pad_len:
                 fin.seek(pos - pad_len)
 
@@ -226,12 +231,14 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
             else:
                 fout.write(piece)
 
-        def consume(ready):
+        def consume(ready, started=None):
             c_nf, c_packed = ready
             emit_n = c_nf * hop + (engine.tail_len if c_nf < frames_per_chunk
                                    else 0)
             if raw:
-                payload, aux, _ = engine.fetch_wire(*c_packed)
+                if started is None:
+                    started = engine.fetch_wire_start(*c_packed)
+                payload, aux, _ = engine.fetch_wire_finish(started)
                 piece = payload[:emit_n * ch * 3]
                 pk = float(np.max(aux[-1][:emit_n // hop])) if emit_n else 0.0
             else:
@@ -240,38 +247,54 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 pk = float(np.max(np.abs(piece))) if emit_n else 0.0
             write_piece(piece, pk)
 
+        def assemble(nf):
+            """Fill pend and return the prepared device/host input arg."""
+            nonlocal pend, drained
+            want = (nf - 1) * hop + n_fft
+            while len(pend) < want and not drained:
+                blk = (fin.read_int24(engine.emit_len) if int_in
+                       else fin.read(engine.emit_len))
+                if len(blk) == 0:
+                    drained = True
+                    break
+                if not int_in and pre_gain != 1.0:
+                    blk = blk * np.float32(pre_gain)
+                pend = np.concatenate(
+                    [pend, np.asarray(blk, in_dt)], 0)
+            if len(pend) < want:
+                pend = np.concatenate(
+                    [pend, np.zeros((want - len(pend), ch), in_dt)], 0)
+            sig = pend[:need]
+            if len(sig) < need:
+                sig = np.concatenate(
+                    [sig, np.zeros((need - len(sig), ch), in_dt)], 0)
+            if int_in:
+                from tomatis_tpu.engine.streaming import (WIRE_BUCKET,
+                                                          _UNPACK_INPUT)
+                from tomatis_tpu.io import wirecodec
+                packed = wirecodec.encode_i32(sig)
+                bucket = -(-len(packed) // WIRE_BUCKET) * WIRE_BUCKET
+                pb = np.zeros(bucket, np.uint8)
+                pb[:len(packed)] = packed
+                return _UNPACK_INPUT(pb, need, ch)
+            # wire-compress the input chunk when PCM_24-exact (the
+            # pre_gain path produces floats and falls back to f32)
+            sig_arg, _ = wire_prepare_input(sig, need, ch)
+            return sig_arg
+
         def _stream():
             nonlocal pend, drained, inflight, ctl_carry, out_tail, w_tail
+            staged = None
             for f0 in range(f0_start, F, frames_per_chunk):
                 nf = min(frames_per_chunk, F - f0)
-                want = (nf - 1) * hop + n_fft
-                while len(pend) < want and not drained:
-                    blk = fin.read(engine.emit_len)
-                    if len(blk) == 0:
-                        drained = True
-                        break
-                    if pre_gain != 1.0:
-                        blk = blk * np.float32(pre_gain)
-                    pend = np.concatenate(
-                        [pend, np.asarray(blk, np.float32)], 0)
-                if len(pend) < want:
-                    pend = np.concatenate(
-                        [pend,
-                         np.zeros((want - len(pend), ch), np.float32)], 0)
-                sig = pend[:need]
-                if len(sig) < need:
-                    sig = np.concatenate(
-                        [sig, np.zeros((need - len(sig), ch), np.float32)],
-                        0)
+                if staged is None:
+                    staged = assemble(nf)
                 if ckpt is not None:
                     # pre-dispatch state: resuming at f0 needs the tails as
                     # they are NOW (persisted after chunk f0-1 is written)
                     snap = dict(out_tail=np.asarray(out_tail),
                                 w_tail=np.asarray(w_tail), f0=f0)
-                # wire-compress the input chunk when PCM_24-exact (the
-                # pre_gain path produces floats and falls back to f32)
-                sig_arg, _ = wire_prepare_input(sig, need, ch)
-                res = chunk_fn(jnp.asarray(sig_arg), jnp.int32(nf),
+                res = chunk_fn(jnp.asarray(staged), jnp.int32(nf),
                                ctl_carry, out_tail, w_tail, ctl_params,
                                gain_one)
                 if raw:
@@ -281,13 +304,23 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 else:
                     packed, ctl_carry, out_tail, w_tail = res
                     wait_arr = packed
+                # start the previous chunk's page readback, then assemble
+                # the next input while it (and this chunk) runs
+                started = None
+                if inflight is not None and raw:
+                    started = engine.fetch_wire_start(*inflight[1])
+                staged = None
+                if f0 + frames_per_chunk < F:
+                    pend = pend[nf * hop:]
+                    staged = assemble(min(frames_per_chunk,
+                                          F - f0 - frames_per_chunk))
                 try:
                     wait_arr.block_until_ready()
                     wait_arr.copy_to_host_async()
                 except AttributeError:
                     pass
                 if inflight is not None:
-                    consume(inflight)
+                    consume(inflight, started)
                     if progress is not None:
                         progress(f0, F)
                     if ckpt is not None:
@@ -298,7 +331,6 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                                 next_f0=snap["f0"], peak_seen=peak_seen,
                                 audio_samples_written=snap["f0"] * hop)))
                 inflight = (nf, packed)
-                pend = pend[nf * hop:]
 
             if inflight is not None:
                 consume(inflight)
