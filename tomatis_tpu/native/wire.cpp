@@ -4,7 +4,7 @@
 // the XLA device implementation live there). This file is the production
 // host-side encoder (input path: host packs, device unpacks) and decoder
 // (output path: device packs, host unpacks). All three implementations are
-// bit-exact for encode (same variant tie-break) and互-decodable.
+// bit-exact for encode (same variant tie-break) and cross-decodable.
 //
 // Exported C ABI (ctypes-bound by tomatis_tpu/io/wirecodec.py):
 //   twire_encode_f32(x, n, ch, out, cap) -> used bytes; -1 if the floats
@@ -37,25 +37,38 @@ inline int width_of(uint32_t umax, bool anynz) {
     return bits + 1 < 4 ? 4 : bits + 1;
 }
 
-// widths for residual channel r[n]; returns total stream words (8*sum w)
-long block_widths(const int32_t* r, long n, uint8_t* w_out) {
-    long K = n_blocks(n);
-    long total = 0;
+// ONE pass computing block widths for ALL five predictor orders of a
+// channel: the order-o residual is derived incrementally from four
+// carried previous diffs (5x less memory traffic than five diff passes).
+void block_widths_all_orders(const int32_t* x, long n,
+                             uint8_t* w_out /* [5][K] */, long K,
+                             long* totals /* [5] */) {
+    int64_t p[4] = {0, 0, 0, 0};   // previous d0..d3
     for (long b = 0; b < K; b++) {
         long lo = b * B, hi = lo + B < n ? lo + B : n;
-        uint32_t umax = 0;
-        bool anynz = false;
+        uint32_t umax[5] = {0, 0, 0, 0, 0};
+        uint32_t anyz = 0;
         for (long i = lo; i < hi; i++) {
-            int32_t v = r[i];
-            anynz |= (v != 0);
-            uint32_t u = (uint32_t)(v ^ (v >> 31));
-            if (u > umax) umax = u;
+            int64_t d0 = x[i];
+            int64_t d1 = d0 - p[0];
+            int64_t d2 = d1 - p[1];
+            int64_t d3 = d2 - p[2];
+            int64_t d4 = d3 - p[3];
+            p[0] = d0; p[1] = d1; p[2] = d2; p[3] = d3;
+            int64_t d[5] = {d0, d1, d2, d3, d4};
+            for (int o = 0; o < 5; o++) {
+                int32_t v = (int32_t)d[o];
+                anyz |= ((v != 0) ? 1u : 0u) << o;
+                uint32_t u = (uint32_t)(v ^ (v >> 31));
+                if (u > umax[o]) umax[o] = u;
+            }
         }
-        int w = width_of(umax, anynz);
-        w_out[b] = (uint8_t)w;
-        total += 8L * w;
+        for (int o = 0; o < 5; o++) {
+            int w = width_of(umax[o], (anyz >> o) & 1);
+            w_out[(size_t)o * K + b] = (uint8_t)w;
+            totals[o] += 8L * w;
+        }
     }
-    return total;
 }
 
 void diff_inplace(int32_t* r, long n) {
@@ -102,26 +115,33 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
 
     long best_total = -1;
     int best_o = 0, best_ms = 0;
-    std::vector<uint8_t> w((size_t)ch * K), bw((size_t)ch * K);
+    std::vector<uint8_t> bw((size_t)ch * K);
     std::vector<int32_t> r((size_t)ch * n);
+    // all-order widths per variant in one pass per channel
+    std::vector<uint8_t> wall((size_t)n_var * ch * 5 * K);
     for (int ms = 0; ms < n_var; ms++) {
         const int32_t* x0 = ms ? msv.data() : lr.data();
-        std::memcpy(r.data(), x0, (size_t)ch * n * 4);
+        long totals[5] = {H, H, H, H, H};
+        for (int c = 0; c < ch; c++)
+            block_widths_all_orders(
+                x0 + (size_t)c * n, n,
+                wall.data() + ((size_t)ms * ch + c) * 5 * K, K, totals);
         for (int o = 0; o < 5; o++) {
-            long total = H;
-            for (int c = 0; c < ch; c++)
-                total += block_widths(r.data() + (size_t)c * n, n,
-                                      w.data() + (size_t)c * K);
-            if (best_total < 0 || total < best_total) {
-                best_total = total;
+            if (best_total < 0 || totals[o] < best_total) {
+                best_total = totals[o];
                 best_o = o;
                 best_ms = ms;
-                bw = w;
             }
-            for (int c = 0; c < ch; c++)
-                diff_inplace(r.data() + (size_t)c * n, n);
         }
     }
+    // tie-break parity with the numpy/XLA encoders: first minimum over
+    // the [lr o0..o4, ms o0..o4] ordering (the loop above already scans
+    // in that order and keeps strict '<', so best_o/best_ms match)
+    for (int c = 0; c < ch; c++)
+        std::memcpy(bw.data() + (size_t)c * K,
+                    wall.data() + ((size_t)best_ms * ch + c) * 5 * K
+                        + (size_t)best_o * K,
+                    (size_t)K);
 
     if (best_total >= RW) {   // raw escape
         if (cap < RW * 4) return -2;
