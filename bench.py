@@ -50,6 +50,28 @@ def synth(seconds: float, sr: int = 48000, seed: int = 0) -> np.ndarray:
     return np.stack([x, 0.9 * x], 1).astype(np.float32)
 
 
+def probe_link(mb: float = 8.0) -> dict:
+    """Measure the host<->device link right now (the tunneled TPU's
+    bandwidth swings between ~2 and ~45 MB/s over hours; recording it
+    makes the realtime factor interpretable from the artifact alone)."""
+    import jax
+    import jax.numpy as jnp
+    n = int(mb * 1e6 / 4)
+    gen = jax.jit(lambda s: jnp.arange(n, dtype=jnp.float32) + s)
+    np.asarray(gen(jnp.float32(0))[:8])
+    a = gen(jnp.float32(1))
+    t0 = time.perf_counter()
+    h = np.asarray(a)
+    d2h = h.nbytes / 1e6 / (time.perf_counter() - t0)
+    sink = jax.jit(lambda x: x.sum())
+    x = np.arange(n, dtype=np.float32)
+    np.asarray(sink(x[:16]))
+    t0 = time.perf_counter()
+    np.asarray(sink(x))
+    h2d = x.nbytes / 1e6 / (time.perf_counter() - t0)
+    return {"d2h_mbps": round(d2h, 1), "h2d_mbps": round(h2d, 1)}
+
+
 def parity_check(p, tmp, sr, frames_per_chunk):
     """Process a short deterministic file through the device pipeline and
     compare against the NumPy float64 oracle. Uses the same
@@ -166,8 +188,17 @@ def main() -> int:
         parity_ok, parity_err = parity_check(p, tmp, args.sr,
                                              args.frames_per_chunk)
 
+    link = probe_link()
+
     rtf = audio_sec / best
     wire = best_stats.get("wire", {})
+    bytes_total = (wire.get("in_bytes", 0)
+                   + wire.get("out_bytes", 0)) / audio_sec
+    # what the measured link alone would allow if everything else hid
+    # behind it (the tunnel is observed serial across directions, so all
+    # bytes share one pipe)
+    mbps = (link["d2h_mbps"] + link["h2d_mbps"]) / 2
+    ceiling = mbps * 1e6 / bytes_total if bytes_total else None
     result = {
         "metric": "realtime_factor",
         "value": round(rtf, 1),
@@ -185,6 +216,9 @@ def main() -> int:
             "in": int(wire.get("in_bytes", 0) / audio_sec),
             "out": int(wire.get("out_bytes", 0) / audio_sec),
         },
+        "link_probe_mbps": link,
+        "link_bound_ceiling_x": (round(ceiling, 1)
+                                 if ceiling is not None else None),
         "device": str(dev),
         "n_frames": best_stats["n_frames"],
         "frames_per_chunk": args.frames_per_chunk,

@@ -73,19 +73,42 @@ def main(argv=None) -> int:
 
     check("audio codecs", codecs)
 
+    def wire():
+        import numpy as np
+        from tomatis_tpu.io import wirecodec
+        rng = np.random.default_rng(0)
+        v = rng.integers(-100000, 100000, (5000, 2)).astype(np.int32)
+        buf = wirecodec.encode_i32(v)
+        assert np.array_equal(wirecodec.decode_i32(buf, 5000, 2), v)
+        native = "native" if wirecodec.available() else "numpy fallback"
+        return (f"{native}, {len(buf) / (v.size * 3):.2f}x of raw PCM_24 "
+                "round trip")
+
+    check("wire link codec", wire)
+
     def stft_smoke():
         import numpy as np
+        import jax
         import jax.numpy as jnp
         from tomatis_tpu.ops import dsp, stft
         sr, n_fft, hop = 48000, 1024, 512
         t = np.arange(sr) / sr
         x = np.stack([np.sin(2 * np.pi * 440 * t)] * 2, 1).astype(np.float32)
         F = stft.num_frames(len(x), n_fft, hop)
-        fr = stft.frame_signal(jnp.asarray(x), n_fft, hop, F)
-        lv = dsp.frame_levels_dbfs(jnp.transpose(fr, (0, 2, 1)))
-        peak_bin = int(np.argmax(np.abs(np.asarray(
-            jnp.fft.rfft(fr[2, 0] * jnp.asarray(
-                stft.hann_symmetric(n_fft)))))))
+        win = stft.hann_symmetric(n_fft)
+
+        # one jitted graph, like all product code: some backends (the
+        # tunneled axon TPU) only implement compiled execution, not
+        # eager op-by-op dispatch
+        @jax.jit
+        def smoke(sig, w):
+            fr = stft.frame_signal(sig, n_fft, hop, F)
+            lv = dsp.frame_levels_dbfs(jnp.transpose(fr, (0, 2, 1)))
+            spec = jnp.abs(jnp.fft.rfft(fr[2, 0] * w))
+            return lv, jnp.argmax(spec)
+
+        lv, peak_bin = smoke(x, win)
+        peak_bin = int(np.asarray(peak_bin))
         f_peak = peak_bin * sr / n_fft
         assert abs(f_peak - 440) < sr / n_fft
         assert abs(float(np.asarray(lv)[2]) - (-3.0)) < 0.5
