@@ -65,9 +65,9 @@ def probe_link(mb: float = 8.0) -> dict:
     d2h = h.nbytes / 1e6 / (time.perf_counter() - t0)
     sink = jax.jit(lambda x: x.sum())
     x = np.arange(n, dtype=np.float32)
-    np.asarray(sink(x[:16]))
+    np.asarray(sink(x))   # warm at the TIMED shape (compile excluded)
     t0 = time.perf_counter()
-    np.asarray(sink(x))
+    np.asarray(sink(x + 1))
     h2d = x.nbytes / 1e6 / (time.perf_counter() - t0)
     return {"d2h_mbps": round(d2h, 1), "h2d_mbps": round(h2d, 1)}
 

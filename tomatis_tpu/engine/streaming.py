@@ -51,6 +51,15 @@ WIRE_BUCKET = 256 * 1024
 _UNPACK_INPUT = jax.jit(wire_ops.unpack_device, static_argnums=(1, 2))
 
 
+def _bucketed_unpack(packed: np.ndarray, n: int, ch: int):
+    """Pad a packed buffer to the bucket grid (bounding the number of
+    unpack executable shapes) and dispatch the on-device unpack."""
+    bucket = -(-len(packed) // WIRE_BUCKET) * WIRE_BUCKET
+    pb = np.zeros(bucket, np.uint8)
+    pb[:len(packed)] = packed
+    return _UNPACK_INPUT(pb, n, ch)
+
+
 def wire_prepare_input(sig: np.ndarray, n: int, ch: int):
     """Wire-compress a host->device input chunk when it is PCM_24-exact.
 
@@ -62,10 +71,15 @@ def wire_prepare_input(sig: np.ndarray, n: int, ch: int):
     packed = wirecodec.encode_f32(sig)
     if packed is None:
         return sig, 0
-    bucket = -(-len(packed) // WIRE_BUCKET) * WIRE_BUCKET
-    pb = np.zeros(bucket, np.uint8)
-    pb[:len(packed)] = packed
-    return _UNPACK_INPUT(pb, n, ch), len(packed)
+    return _bucketed_unpack(packed, n, ch), len(packed)
+
+
+def wire_prepare_input_i32(sig: np.ndarray, n: int, ch: int):
+    """Wire-compress an int32 PCM_24-scale input chunk (the float-free
+    path). Returns (device f32 array, packed_bytes)."""
+    from tomatis_tpu.io import wirecodec
+    packed = wirecodec.encode_i32(sig)
+    return _bucketed_unpack(packed, n, ch), len(packed)
 
 
 # ---------------------------------------------------------------------------
@@ -198,10 +212,14 @@ class ChunkedStftEngine:
 
     def unpack_wire_aux(self, aux: np.ndarray):
         """Split the wire-transport aux array into (rows [R, W], used
-        stream bytes). Rows as in pcm24 (levels, logs..., peaks)."""
+        stream bytes). Rows as in pcm24 (levels, logs..., peaks); the
+        used-words count is bitcast int32 in the final f32 slot."""
         R = 2 + len(self.log_keys)
         rows = aux[:R * self.aux_width].reshape(R, self.aux_width)
-        return rows, int(aux[R * self.aux_width]) * 4
+        used_words = int(np.asarray(
+            aux[R * self.aux_width:R * self.aux_width + 1])
+            .view(np.int32)[0])
+        return rows, used_words * 4
 
     def make_chunk_fn(self, controller, transport: str = "f32",
                       output_gain_db: float = 0.0,
@@ -328,8 +346,11 @@ class ChunkedStftEngine:
                 wpad = jnp.pad(words, (0, n_pages * PW - words.size))
                 pages = tuple(wpad[i * PW:(i + 1) * PW]
                               for i in range(n_pages))
+                # used_words rides the f32 aux array BITCAST, not cast —
+                # a float32 cast is only exact below 2^24 words (~64 MB)
+                used_f = jax.lax.bitcast_convert_type(used, jnp.float32)
                 auxw = jnp.concatenate(
-                    [aux.reshape(-1), used.astype(jnp.float32)[None]])
+                    [aux.reshape(-1), used_f[None]])
                 return (auxw, pages, out) + carries
             pcm = jnp.stack([v & 255, (v >> 8) & 255, (v >> 16) & 255],
                             axis=-1).astype(jnp.uint8).reshape(-1)
@@ -606,13 +627,10 @@ class StreamRunner:
             if not self.wire_input:
                 return sig
             if int_in:
-                from tomatis_tpu.io import wirecodec
-                packed = wirecodec.encode_i32(sig)
-                self.wire_stats["in_bytes"] += len(packed)
-                bucket = -(-len(packed) // WIRE_BUCKET) * WIRE_BUCKET
-                pb = np.zeros(bucket, np.uint8)
-                pb[:len(packed)] = packed
-                return _UNPACK_INPUT(pb, eng.chunk_input_len, C)
+                arg, nbytes = wire_prepare_input_i32(
+                    sig, eng.chunk_input_len, C)
+                self.wire_stats["in_bytes"] += nbytes
+                return arg
             arg, nbytes = wire_prepare_input(sig, eng.chunk_input_len, C)
             if nbytes == 0:
                 self.wire_stats["in_raw_chunks"] += 1

@@ -54,6 +54,20 @@ class AdaptiveParams:
         return int(np.ceil(self.xfade_ms / (self.hop / sr * 1000.0)))
 
 
+def frame_window(total: int, n_fft: int, hop: int):
+    """In-range frame window of the adaptive processor: frame k starts at
+    k*hop in padded coords; in-range iff 0 <= k*hop - pad < total and
+    k*hop + n_fft <= total + 2*pad (ref :70-79). Returns (k0, F).
+
+    The streaming file pipeline's bit-identical-to-process_array guarantee
+    depends on every pass using this one definition."""
+    pad = n_fft // 2
+    k0 = -(-pad // hop)
+    k1_excl = min((total + 2 * pad - n_fft) // hop,
+                  (total + pad - 1) // hop) + 1
+    return k0, max(0, k1_excl - k0)
+
+
 def compute_frame_levels(x: np.ndarray, p: AdaptiveParams,
                          frames_per_chunk: int = 4096):
     """Per-frame RMS dBFS of the in-range frames (ref :57-84), batched on
@@ -61,12 +75,7 @@ def compute_frame_levels(x: np.ndarray, p: AdaptiveParams,
     n_fft, hop = p.n_fft, p.hop
     pad = n_fft // 2
     total, ch = x.shape
-    # frame k starts at k*hop in padded coords; in-range iff
-    # 0 <= k*hop - pad < total and k*hop + n_fft <= total + 2*pad
-    k0 = -(-pad // hop)
-    k1_excl = min((total + 2 * pad - n_fft) // hop,
-                  (total + pad - 1) // hop) + 1
-    F = max(0, k1_excl - k0)
+    k0, F = frame_window(total, n_fft, hop)
     if F == 0:
         return np.zeros(0, np.float32), np.zeros(0, bool), []
 
@@ -279,10 +288,7 @@ def _stream_levels(fin, total: int, ch: int, p: AdaptiveParams,
     shapes, same f32 per-block attenuation multiply)."""
     n_fft, hop = p.n_fft, p.hop
     pad = n_fft // 2
-    k0 = -(-pad // hop)
-    k1_excl = min((total + 2 * pad - n_fft) // hop,
-                  (total + pad - 1) // hop) + 1
-    F = max(0, k1_excl - k0)
+    k0, F = frame_window(total, n_fft, hop)
     if F == 0:
         return np.zeros(0, np.float32)
     fin.seek(0)
@@ -362,10 +368,7 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
         atten_db = max(0.0, input_peak_dbfs + max_gain + p.headroom_margin)
         catt = np.float32(10.0 ** (-atten_db / 20.0))
 
-        k0 = -(-pad // hop)
-        k1_excl = min((total + 2 * pad - n_fft) // hop,
-                      (total + pad - 1) // hop) + 1
-        F = max(0, k1_excl - k0)
+        k0, F = frame_window(total, n_fft, hop)
         out_path = str(out_path)
         if F == 0:
             # degenerate short file: y = x (ref writes the input back)
@@ -454,6 +457,12 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
             w_tail = jnp.asarray(resume["w_tail"])
             stage = WavWriter.reopen(stage_path, abs_written)
         else:
+            if resume is not None and ckpt is not None:
+                # checkpoint without its stage file: starting fresh — drop
+                # the stale state NOW, or a crash before the first new
+                # snapshot would resume the old offsets against the new
+                # stage and silently corrupt the output
+                ckpt.clear()
             resume = None
             out_tail, w_tail = engine.zero_tails()
             stage = WavWriter(stage_path, sr, ch, "FLOAT")

@@ -177,6 +177,8 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 fout = _RawWavOut(WavWriter.reopen(
                     stage_path, sc["audio_samples_written"]))
             else:
+                if resume is not None:
+                    ckpt.clear()   # stale checkpoint without its stage file
                 resume = None
                 fout = _RawWavOut(WavWriter(stage_path, sr, ch, "PCM_24"))
             actual_out = out_path
@@ -269,14 +271,9 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 sig = np.concatenate(
                     [sig, np.zeros((need - len(sig), ch), in_dt)], 0)
             if int_in:
-                from tomatis_tpu.engine.streaming import (WIRE_BUCKET,
-                                                          _UNPACK_INPUT)
-                from tomatis_tpu.io import wirecodec
-                packed = wirecodec.encode_i32(sig)
-                bucket = -(-len(packed) // WIRE_BUCKET) * WIRE_BUCKET
-                pb = np.zeros(bucket, np.uint8)
-                pb[:len(packed)] = packed
-                return _UNPACK_INPUT(pb, need, ch)
+                from tomatis_tpu.engine.streaming import \
+                    wire_prepare_input_i32
+                return wire_prepare_input_i32(sig, need, ch)[0]
             # wire-compress the input chunk when PCM_24-exact (the
             # pre_gain path produces floats and falls back to f32)
             sig_arg, _ = wire_prepare_input(sig, need, ch)

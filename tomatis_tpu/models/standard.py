@@ -132,6 +132,12 @@ def process(in_path, out_path, p: StandardParams | None = None,
                                           sc["audio_samples_written"])
                 fout = _RawWav(fout_h, ch)
             else:
+                if resume_state is not None:
+                    # checkpoint without its stage file: drop the stale
+                    # state before starting fresh (a crash before the
+                    # first new snapshot would otherwise resume the old
+                    # offsets against the new stage)
+                    ckpt.clear()
                 resume_state = None
                 fout = _RawWav(WavWriter(stage_path, sr, ch, "PCM_24"), ch)
             actual_out = out_path

@@ -117,6 +117,8 @@ def process(in_path, out_path, p: XfadeParams | None = None,
                 fout = _RawWav(WavWriter.reopen(
                     stage_path, sc["audio_samples_written"]), ch)
             else:
+                if resume_state is not None:
+                    ckpt.clear()   # stale checkpoint without its stage file
                 resume_state = None
                 fout = _RawWav(WavWriter(stage_path, sr, ch, "PCM_24"), ch)
             actual_out = out_path

@@ -237,6 +237,8 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
     long H = header_words(n, ch);
     if (nbytes < H * 4) return -4;
     const uint8_t* wtab = in + 20;
+    for (long t = 0; t < (long)ch * K; t++)
+        if (wtab[t] > 30) return -5;  // UB shifts on malformed widths
     std::vector<uint32_t> words((size_t)used);
     std::memcpy(words.data(), in, (size_t)
                 (used * 4 <= nbytes ? used * 4 : nbytes));
