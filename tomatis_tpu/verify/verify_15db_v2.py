@@ -195,6 +195,13 @@ def verify_v2(in_path, out_path, hyst_db=1.0, up_delay_ms=0.0,
     states = simulate_gate_frames(levels, t_opt, hyst_db, up_frames)
     results["auto_threshold_dbfs"] = t_opt
     results["achieved_c2_ratio"] = c2_ratio
+    st_arr = np.asarray(states)
+    results["switch_count"] = int(np.sum(st_arr[1:] != st_arr[:-1])) \
+        if len(st_arr) else 0
+    # ref :622 gates the 50% target at 48-52%; generalized to +-2% of the
+    # requested target
+    c2_ratio_ok = abs(c2_ratio - target_c2) <= 0.02
+    results["c2_ratio_ok"] = c2_ratio_ok
 
     y, _ = audio.read(out_path)
     freqs, c1_db, c2_db, n1, n2 = conditional_spectrum_v2(
@@ -205,29 +212,74 @@ def verify_v2(in_path, out_path, hyst_db=1.0, up_delay_ms=0.0,
                                                   c2_low, c2_high))
     metrics = compute_spectrum_metrics_v2(freqs, c1_db, c2_db, c1_theory,
                                           c2_theory, fc, gain_limit)
-    spectrum_pass = (
-        metrics.get("c1_lo_platform_rmse", 99) < 1.5
-        and metrics.get("c2_lo_platform_rmse", 99) < 1.5
-        and metrics.get("c1_hi_platform_rmse", 99) < 1.5
-        and metrics.get("c2_hi_platform_rmse", 99) < 1.5
-        and metrics.get("c1_fc_error", 99) < 0.5
-        and metrics.get("c2_fc_error", 99) < 0.5)
+    # the v2 acceptance gates are the reference's stricter digital-music
+    # thresholds (ref :671-679): platform RMSE < 0.5, slope RMSE < 1.0,
+    # fc error < 0.5
+    platform_rmse_ok = all(metrics.get(k, 99) < 0.5 for k in (
+        "c1_lo_platform_rmse", "c2_lo_platform_rmse",
+        "c1_hi_platform_rmse", "c2_hi_platform_rmse"))
+    slope_rmse_ok = (metrics.get("c1_slope_rmse", 99) < 1.0
+                     and metrics.get("c2_slope_rmse", 99) < 1.0)
+    fc_ok = (metrics.get("c1_fc_error", 99) < 0.5
+             and metrics.get("c2_fc_error", 99) < 0.5)
+    spectrum_pass = platform_rmse_ok and slope_rmse_ok and fc_ok
     results["checks"]["spectrum"] = dict(
-        metrics, c1_frames=n1, c2_frames=n2, **{"pass": spectrum_pass})
+        metrics, c1_frames=n1, c2_frames=n2,
+        platform_rmse_ok=platform_rmse_ok, slope_rmse_ok=slope_rmse_ok,
+        fc_ok=fc_ok, **{"pass": spectrum_pass})
     if not spectrum_pass:
         results["pass"] = False
 
     ti = compute_tilt_index(x, y, sr, states, n_fft, hop)
     ti_stats = analyze_tilt_index(ti)
-    ti_stats["effect_ok"] = ti_stats.get("ti_effect", 0) > 5.0
+    ti_stats["effect_ok"] = ti_stats.get("ti_effect", 0) > 5.0  # WARN-only
     results["checks"]["tilt_index"] = ti_stats
 
+    if not c2_ratio_ok:   # gates the overall verdict (ref :831-838)
+        results["pass"] = False
+
     if out_prefix:
-        with open(f"{out_prefix}_report.txt", "w", encoding="utf-8") as f:
-            f.write(f"auto threshold: {t_opt:.2f} dBFS "
-                    f"(C2 {c2_ratio * 100:.1f}%)\n")
-            for k, v in metrics.items():
-                f.write(f"{k}: {v:.3f}\n")
-            f.write(f"ti_effect: {ti_stats.get('ti_effect', 0):.2f} dB\n")
-            f.write(f"overall: {'PASS' if results['pass'] else 'FAIL'}\n")
+        _write_report_v2(f"{out_prefix}_report.txt", results)
+        from tomatis_tpu.verify.verify_15db import _write_spectrum_csv
+        _write_spectrum_csv(f"{out_prefix}_spectrum.csv", freqs, c1_db,
+                            c2_db, c1_theory, c2_theory)
     return results
+
+
+def _write_report_v2(path, results):
+    """Sectioned bilingual v2 report — same layout and field lines as the
+    reference (ref src/verify_tomatis_15db_v2.py:558-560, 582-584,
+    627-630, 691-695, 731-734, 837-838)."""
+    eng = results["checks"]["engineering"]
+    sp = results["checks"]["spectrum"]
+    ti = results["checks"]["tilt_index"]
+    ok = lambda b: "PASS" if b else "FAIL"  # noqa: E731
+    lines = ["Tomatis ±15dB 自适应验证报告 v2", "=" * 50]
+    lines += [
+        "\nA. 工程检查",
+        f"  结果: {ok(eng['pass'])}",
+        f"  峰值: {eng['peak']:.4f}",
+    ]
+    lines += [
+        "\nB. 自适应门控",
+        f"  最优阈值 T: {results['auto_threshold_dbfs']:.2f} dBFS",
+        f"  C2 占比: {results['achieved_c2_ratio'] * 100:.1f}%",
+        f"  切换次数: {results['switch_count']}",
+    ]
+    lines += [
+        "\nC. 条件频谱验证",
+        f"  有效帧: C1={sp['c1_frames']}, C2={sp['c2_frames']}",
+        f"  平台 RMSE: {ok(sp['platform_rmse_ok'])}",
+        f"  斜坡 RMSE: {ok(sp['slope_rmse_ok'])}",
+        f"  fc 误差: {ok(sp['fc_ok'])}",
+    ]
+    lines += [
+        "\nD. 效果量化",
+        f"  C1 TI: {ti.get('c1_mean', 0):.2f} dB",
+        f"  C2 TI: {ti.get('c2_mean', 0):.2f} dB",
+        f"  分离度: {ti.get('ti_effect', 0):.2f} dB",
+    ]
+    lines += ["\n" + "=" * 50,
+              f"总体结果: {ok(results['pass'])}"]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
