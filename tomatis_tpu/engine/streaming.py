@@ -667,7 +667,7 @@ class StreamRunner:
 
             _t = _time.perf_counter()
             res = self.chunk_fn(
-                jnp.asarray(staged), jnp.int32(nf), ctl_carry, out_tail,
+                staged, jnp.int32(nf), ctl_carry, out_tail,
                 w_tail, self.ctl_params, self.gain_f32)
             timings["dispatch_compute_s"] += _time.perf_counter() - _t
             # start the previous chunk's readback NOW: the async page

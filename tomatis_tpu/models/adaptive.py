@@ -93,7 +93,7 @@ def compute_frame_levels(x: np.ndarray, p: AdaptiveParams,
             sig = np.concatenate(
                 [sig, np.zeros((need - len(sig), ch), np.float32)])
         levels[f0:f0 + nf] = np.asarray(stft.frame_levels_chunk(
-            jnp.asarray(sig), n_fft, hop, frames_per_chunk))[:nf]
+            sig, n_fft, hop, frames_per_chunk))[:nf]
     valid = levels > p.silence_threshold
     return levels, valid, None
 
@@ -210,7 +210,7 @@ def process_array(x: np.ndarray, sr: int, p: AdaptiveParams | None = None,
             sig = np.concatenate(
                 [sig, np.zeros((need - len(sig), ch), np.float32)])
         packed, ctl_carry, out_tail, w_tail = chunk_fn(
-            jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail, w_tail,
+            sig, jnp.int32(nf), ctl_carry, out_tail, w_tail,
             ctl_params, gain_one)
         try:
             packed.block_until_ready()
@@ -317,7 +317,7 @@ def _stream_levels(fin, total: int, ch: int, p: AdaptiveParams,
             sig = np.concatenate(
                 [sig, np.zeros((need - len(sig), ch), np.float32)])
         levels[f0:f0 + nf] = np.asarray(stft.frame_levels_chunk(
-            jnp.asarray(sig), n_fft, hop, frames_per_chunk))[:nf]
+            sig, n_fft, hop, frames_per_chunk))[:nf]
     return levels
 
 
@@ -541,7 +541,7 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
                 sig = np.concatenate(
                     [sig, np.zeros((need - len(sig), ch), np.float32)])
             packed, ctl_carry, out_tail, w_tail = chunk_fn(
-                jnp.asarray(sig), jnp.int32(nf), ctl_carry, out_tail,
+                sig, jnp.int32(nf), ctl_carry, out_tail,
                 w_tail, ctl_params, gain_one)
             try:
                 packed.block_until_ready()

@@ -291,7 +291,7 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                     # they are NOW (persisted after chunk f0-1 is written)
                     snap = dict(out_tail=np.asarray(out_tail),
                                 w_tail=np.asarray(w_tail), f0=f0)
-                res = chunk_fn(jnp.asarray(staged), jnp.int32(nf),
+                res = chunk_fn(staged, jnp.int32(nf),
                                ctl_carry, out_tail, w_tail, ctl_params,
                                gain_one)
                 if raw:

@@ -121,7 +121,7 @@ def process_sharded(in_path, out_path, p: StandardParams | None = None,
             nf = min(F_tot, n_frames - f0)
             fill(need)
             sig = pend[:need]
-            frames = stft.frame_signal(jnp.asarray(sig), n_fft, hop,
+            frames = stft.frame_signal(sig, n_fft, hop,
                                        F_tot)[None]
             emit, levels, states, carry, oty, otw = step(
                 frames, carry, jnp.full((1,), nf, jnp.int32), in_ty, in_tw)

@@ -68,7 +68,7 @@ def _inrange_frame_levels(x: np.ndarray, n_fft: int, hop: int,
             sig = np.concatenate(
                 [sig, np.zeros((need - len(sig), ch), np.float32)])
         out[f0:f0 + nf] = np.asarray(stft.frame_levels_chunk(
-            jnp.asarray(sig), n_fft, hop, chunk))[:nf]
+            sig, n_fft, hop, chunk))[:nf]
     return out
 
 
