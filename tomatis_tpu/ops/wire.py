@@ -13,8 +13,10 @@ cuts the bytes on BOTH directions with a lossless scheme chosen so that
 - optional mid/side decorrelation (FLAC-style, integer-exact).
 - per-256-sample-block fixed bit-width storage (signed, two's
   complement). 256*w bits is always a whole number of 32-bit words, so
-  blocks are word-aligned and the device can bit-pack/unpack with pure
-  gather arithmetic - no scatter, no sequential bit cursor.
+  blocks are word-aligned; the device packs with one sorted-index
+  scatter-add (stream bits partition one-bit-per-sample, so ADD == OR)
+  and unpacks with one paired-word gather per channel - no sequential
+  bit cursor anywhere.
 - a raw PCM_24 escape when packing would exceed raw size.
 
 The same format runs in three implementations that must agree bit-for-bit:
@@ -39,13 +41,11 @@ Layout (little-endian u32 words):
 """
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 
 MAGIC = 0x54574331
 B = 256               # samples per width block
-_NC = 10              # max samples overlapping one packed word (w >= 4)
 _WMAX = 30            # side channel at order 4 needs up to 25+4+1 bits
 
 
