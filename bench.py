@@ -72,6 +72,48 @@ def probe_link(mb: float = 8.0) -> dict:
     return {"d2h_mbps": round(d2h, 1), "h2d_mbps": round(h2d, 1)}
 
 
+def device_resident_factor(p, sr: int, frames_per_chunk: int,
+                           n_chunks: int = 6) -> float:
+    """Per-chip processing rate with inputs pre-resident and outputs left
+    on device: compute + HBM only, no host link. This is the number a real
+    (non-tunneled, PCIe-attached) TPU host approaches; the headline
+    realtime_factor on this dev host is link-bound far below it."""
+    import jax
+    import jax.numpy as jnp
+    from tomatis_tpu.engine.streaming import ChunkedStftEngine
+    from tomatis_tpu.models.standard import build_controller
+
+    engine = ChunkedStftEngine(p.n_fft, p.hop, 2, frames_per_chunk)
+    ctl = build_controller(p, sr)
+    fn = engine.make_chunk_fn(ctl, transport="wire")
+    params = ctl.params()
+    stage = jax.jit(lambda x: x + 0.0)
+    L = engine.chunk_input_len
+    sigs = []
+    for i in range(n_chunks):
+        x = synth((L + sr) / sr, sr, seed=100 + i)[:L]
+        sigs.append(stage(np.ascontiguousarray(x)))
+
+    def run_once():
+        carry = ctl.init_carry()
+        ot, wt = engine.zero_tails()
+        res = None
+        for sig in sigs:
+            res = fn(sig, jnp.int32(frames_per_chunk), carry, ot, wt,
+                     params, jnp.float32(1.0))
+            carry, ot, wt = res[-3], res[-2], res[-1]
+        # fetching an output of the last executable waits for the whole
+        # chain (data dependencies through the carries); avoid eager
+        # slicing/block_until_ready — both unreliable on this backend
+        np.asarray(res[0])
+
+    run_once()   # warm (also finishes the staging transfers)
+    t0 = time.perf_counter()
+    run_once()
+    dt = time.perf_counter() - t0
+    return n_chunks * frames_per_chunk * p.hop / sr / dt
+
+
 def parity_check(p, tmp, sr, frames_per_chunk):
     """Process a short deterministic file through the device pipeline and
     compare against the NumPy float64 oracle. Uses the same
@@ -187,6 +229,7 @@ def main() -> int:
     if not args.no_parity:
         parity_ok, parity_err = parity_check(p, tmp, args.sr,
                                              args.frames_per_chunk)
+    resident_x = device_resident_factor(p, args.sr, args.frames_per_chunk)
 
     link = probe_link()
 
@@ -219,6 +262,7 @@ def main() -> int:
         "link_probe_mbps": link,
         "link_bound_ceiling_x": (round(ceiling, 1)
                                  if ceiling is not None else None),
+        "device_resident_x": round(resident_x, 1),
         "device": str(dev),
         "n_frames": best_stats["n_frames"],
         "frames_per_chunk": args.frames_per_chunk,

@@ -213,12 +213,12 @@ class ChunkedStftEngine:
     def unpack_wire_aux(self, aux: np.ndarray):
         """Split the wire-transport aux array into (rows [R, W], used
         stream bytes). Rows as in pcm24 (levels, logs..., peaks); the
-        used-words count is bitcast int32 in the final f32 slot."""
+        used-words count rides the final two f32 slots as exact integer
+        halves (hi * 4096 + lo)."""
         R = 2 + len(self.log_keys)
         rows = aux[:R * self.aux_width].reshape(R, self.aux_width)
-        used_words = int(np.asarray(
-            aux[R * self.aux_width:R * self.aux_width + 1])
-            .view(np.int32)[0])
+        base = R * self.aux_width
+        used_words = int(aux[base]) * 4096 + int(aux[base + 1])
         return rows, used_words * 4
 
     def make_chunk_fn(self, controller, transport: str = "f32",
@@ -346,11 +346,14 @@ class ChunkedStftEngine:
                 wpad = jnp.pad(words, (0, n_pages * PW - words.size))
                 pages = tuple(wpad[i * PW:(i + 1) * PW]
                               for i in range(n_pages))
-                # used_words rides the f32 aux array BITCAST, not cast —
-                # a float32 cast is only exact below 2^24 words (~64 MB)
-                used_f = jax.lax.bitcast_convert_type(used, jnp.float32)
+                # used_words rides the f32 aux array as two small integer
+                # halves (each < 2^20, exactly representable). A plain
+                # cast is only exact below 2^24 words; a bitcast would
+                # produce a denormal f32 that the TPU flushes to zero.
+                used_hi = (used >> 12).astype(jnp.float32)
+                used_lo = (used & 0xFFF).astype(jnp.float32)
                 auxw = jnp.concatenate(
-                    [aux.reshape(-1), used_f[None]])
+                    [aux.reshape(-1), used_hi[None], used_lo[None]])
                 return (auxw, pages, out) + carries
             pcm = jnp.stack([v & 255, (v >> 8) & 255, (v >> 16) & 255],
                             axis=-1).astype(jnp.uint8).reshape(-1)
