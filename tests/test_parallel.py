@@ -214,3 +214,49 @@ def test_process_sharded_file_matches_single_device(tmp_path):
     assert open(tmp_path / "shd.csv").read() == \
         open(tmp_path / "ref.csv").read()
     assert st["c2_frames"] > 0 and st["c1_frames"] > 0
+
+
+def test_process_sharded_xfade_matches_single_device(tmp_path):
+    """The sharded crossfade file path (gate + alpha block scans + tail
+    carry) must match the single-device xfade engine byte-for-byte."""
+    from tomatis_tpu.io import audio
+    from tomatis_tpu.models.xfade import XfadeParams, process
+    from tomatis_tpu.parallel.stream import process_sharded
+
+    rng = np.random.default_rng(8)
+    sr = 48000
+    t = np.arange(int(6.2 * sr)) / sr
+    env = 0.002 + 0.06 * (np.sin(2 * np.pi * 0.5 * t) > 0)
+    x = env * (np.sin(2 * np.pi * 700 * t)
+               + 0.3 * np.sin(2 * np.pi * 3000 * t)
+               + 0.02 * rng.standard_normal(t.size))
+    sig = np.stack([x, 0.9 * x], 1).astype(np.float32)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, sig, sr, subtype="PCM_24")
+    p = XfadeParams(require_48k_stereo=False, n_fft=1024, hop=512,
+                    gate_offset=-80.0, xfade_ms=120.0)
+
+    ref = tmp_path / "ref.flac"
+    process(ip, ref, p, state_csv_path=tmp_path / "ref.csv",
+            frames_per_chunk=64)
+    shd = tmp_path / "shd.flac"
+    st = process_sharded(ip, shd, p, frames_per_shard=19,
+                         state_csv_path=tmp_path / "shd.csv",
+                         variant="xfade")
+    assert st["variant"] == "xfade" and st["mesh"]["seq"] == 8
+    y_ref, _ = audio.read(ref)
+    y_shd, _ = audio.read(shd)
+    # the block-composed alpha scan reassociates f32 clip-affine maps, so
+    # ramp-frame gains can differ in the last ulp: allow <=1 PCM_24 LSB on
+    # a small fraction of samples (states and non-ramp frames are exact)
+    d = np.abs(np.rint(y_shd * 8388608).astype(np.int64)
+               - np.rint(y_ref * 8388608).astype(np.int64))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 0.01
+    ref_rows = open(tmp_path / "ref.csv").read().splitlines()
+    shd_rows = open(tmp_path / "shd.csv").read().splitlines()
+    assert len(ref_rows) == len(shd_rows)
+    for a, b in zip(ref_rows[1:], shd_rows[1:]):
+        ca, cb = a.split(","), b.split(",")
+        assert ca[:4] == cb[:4]                     # idx/time/level/state
+        assert abs(float(ca[4]) - float(cb[4])) <= 0.001   # alpha %.3f

@@ -41,27 +41,46 @@ def build_parser() -> argparse.ArgumentParser:
                          "(1 = all devices sequence-parallel)")
     ap.add_argument("--frames_per_shard", type=int, default=256,
                     help="frames per device per super-chunk")
+    ap.add_argument("--variant", choices=("standard", "xfade"),
+                    default="standard",
+                    help="processor variant (xfade adds the rate-limited "
+                         "alpha ramp with dB-domain gain blending)")
+    ap.add_argument("--xfade_ms", type=float, default=0.0,
+                    help="crossfade transition (ms, xfade variant)")
     return ap
 
 
 def run(args) -> int:
-    from tomatis_tpu.models.standard import StandardParams
     from tomatis_tpu.parallel.stream import process_sharded
-    p = StandardParams(
-        gate_ui=args.gate_ui, gate_mode=args.gate_mode,
-        dynamic_range=args.dynamic_range, gate_scale=args.gate_scale,
-        gate_offset=args.gate_offset, hysteresis_db=args.hyst_db,
-        up_delay_ms=args.up_delay_ms,
-        fc=args.fc, slope=args.slope,
-        c1_low=args.c1_low, c1_high=args.c1_high,
-        c2_low=args.c2_low, c2_high=args.c2_high,
-        n_fft=args.n_fft, hop=args.hop,
-        output_gain_db=args.output_gain_db,
-        require_48k_stereo=not args.allow_any_rate)
+    if args.variant == "xfade":
+        from tomatis_tpu.models.xfade import XfadeParams
+        p = XfadeParams(
+            gate_ui=args.gate_ui, gate_scale=args.gate_scale,
+            gate_offset=args.gate_offset, hysteresis_db=args.hyst_db,
+            up_delay_ms=args.up_delay_ms, xfade_ms=args.xfade_ms,
+            fc=args.fc, slope=args.slope,
+            c1_low=args.c1_low, c1_high=args.c1_high,
+            c2_low=args.c2_low, c2_high=args.c2_high,
+            n_fft=args.n_fft, hop=args.hop,
+            require_48k_stereo=not args.allow_any_rate)
+    else:
+        from tomatis_tpu.models.standard import StandardParams
+        p = StandardParams(
+            gate_ui=args.gate_ui, gate_mode=args.gate_mode,
+            dynamic_range=args.dynamic_range, gate_scale=args.gate_scale,
+            gate_offset=args.gate_offset, hysteresis_db=args.hyst_db,
+            up_delay_ms=args.up_delay_ms,
+            fc=args.fc, slope=args.slope,
+            c1_low=args.c1_low, c1_high=args.c1_high,
+            c2_low=args.c2_low, c2_high=args.c2_high,
+            n_fft=args.n_fft, hop=args.hop,
+            output_gain_db=args.output_gain_db,
+            require_48k_stereo=not args.allow_any_rate)
     stats = process_sharded(args.input, args.output, p,
                             n_devices=args.devices, data=args.data,
                             frames_per_shard=args.frames_per_shard,
-                            state_csv_path=args.state_csv)
+                            state_csv_path=args.state_csv,
+                            variant=args.variant)
     m = stats["mesh"]
     print(f"mesh: data={m['data']} seq={m['seq']}  "
           f"frames/shard: {stats['frames_per_shard']}")

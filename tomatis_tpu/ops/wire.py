@@ -200,6 +200,8 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
 
     H = header_words(n, ch)
     wflat = buf[20:20 + ch * K].astype(np.int64)
+    if (wflat > 30).any():
+        raise ValueError("malformed wire buffer: width byte > 30")
     words = np.zeros(used, np.uint32)
     words[:] = buf[:used * 4].view(np.uint32)
     base = H + 8 * np.concatenate([[0], np.cumsum(wflat)[:-1]])

@@ -1,17 +1,20 @@
-"""File->file standard processing over a ('data', 'seq') device mesh.
+"""File->file processing over a ('data', 'seq') device mesh.
 
 This is the user-facing driver of parallel.sharded (CLI `process-sharded`):
 one file's frames are split across the 'seq' mesh axis, the gate automaton
 crosses shards as a block-composed associative scan over ICI, and the OLA
 halo rides one ppermute — while the host streams super-chunks of
-n_seq * frames_per_shard frames with carried gate state and OLA tails, and
-writes the output with the exact single-device reference semantics (flush
-plan, per-flush peak clamp, state CSV).
+n_seq * frames_per_shard frames with carried gate state (and crossfade
+alpha) and OLA tails, and writes the output with the exact single-device
+reference semantics (flush plan, per-flush peak clamp, state CSV).
 
 On a single TPU host this exists to validate the multi-chip path end to
 end (tests run it on an 8-virtual-device CPU mesh and require the output
 to match the single-device engine); on a real pod slice the same code
 spreads one file's FFT bank over all chips.
+
+Variants: "standard" (hysteresis + up-delay gate) and "xfade" (the same
+gate plus the rate-limited alpha ramp with dB-domain gain blending).
 """
 from __future__ import annotations
 
@@ -23,25 +26,38 @@ import numpy as np
 from tomatis_tpu.engine.streaming import (ChunkedStftEngine, StreamRunner,
                                           flush_plan)
 from tomatis_tpu.io import audio
-from tomatis_tpu.models.standard import StandardParams, build_controller
+from tomatis_tpu.models import standard as _standard
+from tomatis_tpu.models import xfade as _xfade
 from tomatis_tpu.ops import dsp, gate as gate_ops, stft
 from tomatis_tpu.ops.dsp import EPS
-from tomatis_tpu.parallel.sharded import make_mesh, sharded_stream_step
+from tomatis_tpu.parallel.sharded import (make_mesh,
+                                          sharded_stream_step,
+                                          sharded_xfade_stream_step)
 from tomatis_tpu.utils.stateio import StateCsvWriter
 
 
-def process_sharded(in_path, out_path, p: StandardParams | None = None,
+def process_sharded(in_path, out_path, p=None,
                     n_devices: int | None = None, data: int = 1,
                     frames_per_shard: int = 256,
-                    state_csv_path=None) -> dict:
-    """Standard processing of ONE file sharded over a device mesh.
+                    state_csv_path=None, variant: str = "standard") -> dict:
+    """Standard/crossfade processing of ONE file sharded over a mesh.
 
+    p: StandardParams (variant="standard") or XfadeParams ("xfade").
     data > 1 reserves mesh rows for batch lanes (future use); this driver
     runs the single file on the first row, so data=1 (all devices on the
     'seq' axis) is the useful configuration.
+
+    The standard variant is byte-identical to the single-device engine.
+    The xfade variant matches within 1 PCM_24 LSB on ramp frames: the
+    block-composed alpha scan reassociates f32 clip-affine maps, which
+    can move mid-ramp gains by one ulp.
     """
     t_start = time.perf_counter()
-    p = p or StandardParams()
+    if variant not in ("standard", "xfade"):
+        raise ValueError(variant)
+    xf = variant == "xfade"
+    if p is None:
+        p = _xfade.XfadeParams() if xf else _standard.StandardParams()
     mesh = make_mesh(n_devices=n_devices, data=data)
     n_seq = mesh.shape["seq"]
     n_fft, hop = p.n_fft, p.hop
@@ -57,18 +73,29 @@ def process_sharded(in_path, out_path, p: StandardParams | None = None,
                 raise ValueError(f"expected stereo, got {ch} channels")
 
         freqs = stft.rfft_freqs(n_fft, sr)
-        g1 = dsp.db_to_lin(dsp.build_tilt_gain_db(
-            freqs, p.fc, p.slope, p.c1_low, p.c1_high))
-        g2 = dsp.db_to_lin(dsp.build_tilt_gain_db(
-            freqs, p.fc, p.slope, p.c2_low, p.c2_high))
+        g1_db = dsp.build_tilt_gain_db(freqs, p.fc, p.slope, p.c1_low,
+                                       p.c1_high)
+        g2_db = dsp.build_tilt_gain_db(freqs, p.fc, p.slope, p.c2_low,
+                                       p.c2_high)
         T = p.threshold_dbfs()
+        ton = T + p.hysteresis_db / 2.0
+        toff = T - p.hysteresis_db / 2.0
         delay_frames = gate_ops.updelay_frames(
             int(sr * p.up_delay_ms / 1000.0), hop)
-        step = sharded_stream_step(
-            mesh, n_fft, hop, frames_per_shard, ch,
-            ton=T + p.hysteresis_db / 2.0, toff=T - p.hysteresis_db / 2.0,
-            delay_frames=delay_frames, g1_lin=np.asarray(g1),
-            g2_lin=np.asarray(g2))
+        if xf:
+            xff = p.xfade_frames(sr)
+            alpha_step = 1.0 / xff if xff > 0 else 1.0
+            step = sharded_xfade_stream_step(
+                mesh, n_fft, hop, frames_per_shard, ch, ton=ton,
+                toff=toff, delay_frames=delay_frames,
+                alpha_step=alpha_step, g1_db=np.asarray(g1_db),
+                g2_db=np.asarray(g2_db))
+        else:
+            step = sharded_stream_step(
+                mesh, n_fft, hop, frames_per_shard, ch, ton=ton,
+                toff=toff, delay_frames=delay_frames,
+                g1_lin=np.asarray(dsp.db_to_lin(g1_db)),
+                g2_lin=np.asarray(dsp.db_to_lin(g2_db)))
 
         plan = flush_plan(total, n_fft, hop)
         pad, n_frames = plan.pad, plan.n_frames
@@ -82,14 +109,24 @@ def process_sharded(in_path, out_path, p: StandardParams | None = None,
             actual_out = out_path.rsplit(".", 1)[0] + ".wav"
             fout = audio.AudioFile(actual_out, "w", samplerate=sr,
                                    channels=ch, subtype="PCM_24")
-        csvw = StateCsvWriter(state_csv_path, sr, total) \
-            if state_csv_path else None
+        if xf:
+            csvw = StateCsvWriter(state_csv_path, sr, total,
+                                  with_alpha=True, level_fmt="%.2f",
+                                  alpha_fmt="%.3f") \
+                if state_csv_path else None
+            controller = _xfade.build_controller(p, sr)
+            output_gain_db = 0.0
+        else:
+            csvw = StateCsvWriter(state_csv_path, sr, total) \
+                if state_csv_path else None
+            controller = _standard.build_controller(p, sr)
+            output_gain_db = p.output_gain_db
 
         # drain/clamp reuse: a chunk-fn-less StreamRunner provides the
         # reference write-out semantics (flush cuts + per-flush clamp)
         engine = ChunkedStftEngine(n_fft, hop, ch, frames_per_chunk=F_tot)
-        runner = StreamRunner(engine, build_controller(p, sr), total,
-                              output_gain_db=p.output_gain_db,
+        runner = StreamRunner(engine, controller, total,
+                              output_gain_db=output_gain_db,
                               transport="f32", build_chunk_fn=False)
 
         states_count = np.zeros(3, np.int64)
@@ -97,6 +134,7 @@ def process_sharded(in_path, out_path, p: StandardParams | None = None,
         cut_i = 0
         out_base = -pad
         carry = jnp.zeros((1,), jnp.int32)
+        alpha_c = jnp.zeros((1,), jnp.float32)
         in_ty = jnp.zeros((1, tail, ch), jnp.float32)
         in_tw = jnp.zeros((1, tail), jnp.float32)
 
@@ -121,10 +159,16 @@ def process_sharded(in_path, out_path, p: StandardParams | None = None,
             nf = min(F_tot, n_frames - f0)
             fill(need)
             sig = pend[:need]
-            frames = stft.frame_signal(sig, n_fft, hop,
-                                       F_tot)[None]
-            emit, levels, states, carry, oty, otw = step(
-                frames, carry, jnp.full((1,), nf, jnp.int32), in_ty, in_tw)
+            frames = stft.frame_signal(sig, n_fft, hop, F_tot)[None]
+            nv = jnp.full((1,), nf, jnp.int32)
+            if xf:
+                (emit, levels, states, alpha, carry, alpha_c,
+                 oty, otw) = step(frames, carry, alpha_c, nv, in_ty, in_tw)
+                alpha_np = np.asarray(alpha[0])[:nf]
+            else:
+                emit, levels, states, carry, oty, otw = step(
+                    frames, carry, nv, in_ty, in_tw)
+                alpha_np = None
             emit_np = np.asarray(emit[0])
             lv = np.asarray(levels[0])[:nf]
             st = np.asarray(states[0])[:nf].astype(np.int32)
@@ -132,7 +176,10 @@ def process_sharded(in_path, out_path, p: StandardParams | None = None,
             states_count[2] += int(np.sum(st == 2))
             if csvw is not None:
                 starts = -pad + (f0 + np.arange(nf)) * hop
-                csvw.on_frames(f0, starts, {"levels": lv, "states": st})
+                log = {"levels": lv, "states": st}
+                if alpha_np is not None:
+                    log["alpha"] = alpha_np
+                csvw.on_frames(f0, starts, log)
             last = f0 + nf >= n_frames
             if not last:
                 out_pend.append(emit_np)
@@ -166,6 +213,7 @@ def process_sharded(in_path, out_path, p: StandardParams | None = None,
         c1_ratio=states_count[1] / total_f if total_f else 0.0,
         c2_ratio=states_count[2] / total_f if total_f else 0.0,
         mesh=dict(mesh.shape), frames_per_shard=frames_per_shard,
-        sr=sr, channels=ch, total=total, out_path=actual_out,
-        threshold_dbfs=p.threshold_dbfs(), wall_seconds=wall,
+        variant=variant, sr=sr, channels=ch, total=total,
+        out_path=actual_out, threshold_dbfs=p.threshold_dbfs(),
+        wall_seconds=wall,
         realtime_factor=(total / sr) / wall if wall > 0 else 0.0)
