@@ -149,6 +149,24 @@ def test_wire_transport_matches_pcm24():
     assert s_f["wire"]["in_raw_chunks"] > 0
 
 
+def test_wire_transport_fullscale_noise_end_to_end():
+    """Near-full-scale white noise: the +-15 dB boost saturates the
+    device PCM_24 quantizer and trips the per-flush clamp (the
+    float-ref re-encode fallback) — the wire transport must stay
+    byte-identical to pcm24 through all of it. (The raw escape itself is
+    exercised at codec level by the white_fullscale parity case; the
+    engine's post-quantization stream saturates and still compresses.)"""
+    rng = np.random.default_rng(11)
+    sr = 48000
+    sig = (rng.integers(-7500000, 7500000, (int(1.5 * sr), 2))
+           .astype(np.float32) / 8388608.0)
+    sig = (np.rint(sig * 8388608) / 8388608).astype(np.float32)
+    b_pcm, _ = _run_transport(sig, sr, "pcm24", False)
+    b_wire, s_wire = _run_transport(sig, sr, "wire", True)
+    assert np.array_equal(b_pcm, b_wire)
+    assert s_wire["wire"]["out_bytes"] > 0
+
+
 def test_decode_rejects_garbage():
     with pytest.raises(ValueError):
         wire.decode_np(np.zeros(64, np.uint8))
