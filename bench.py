@@ -73,7 +73,7 @@ def probe_link(mb: float = 8.0) -> dict:
 
 
 def device_resident_factor(p, sr: int, frames_per_chunk: int,
-                           n_chunks: int = 6) -> float:
+                           n_chunks: int = 4) -> float:
     """Per-chip processing rate with inputs pre-resident and outputs left
     on device: compute + HBM only, no host link. This is the number a real
     (non-tunneled, PCIe-attached) TPU host approaches; the headline
@@ -150,6 +150,9 @@ def main() -> int:
                          "as vmapped lanes in one device dispatch; reports "
                          "aggregate audio-sec/sec")
     ap.add_argument("--no_parity", action="store_true")
+    ap.add_argument("--no_resident", action="store_true",
+                    help="skip the device-resident measurement (stages "
+                         "~70 MB over the link)")
     args = ap.parse_args()
 
     import jax
@@ -229,7 +232,9 @@ def main() -> int:
     if not args.no_parity:
         parity_ok, parity_err = parity_check(p, tmp, args.sr,
                                              args.frames_per_chunk)
-    resident_x = device_resident_factor(p, args.sr, args.frames_per_chunk)
+    resident_x = (None if args.no_resident else
+                  device_resident_factor(p, args.sr,
+                                         args.frames_per_chunk))
 
     link = probe_link()
 
@@ -262,7 +267,8 @@ def main() -> int:
         "link_probe_mbps": link,
         "link_bound_ceiling_x": (round(ceiling, 1)
                                  if ceiling is not None else None),
-        "device_resident_x": round(resident_x, 1),
+        "device_resident_x": (round(resident_x, 1)
+                              if resident_x is not None else None),
         "device": str(dev),
         "n_frames": best_stats["n_frames"],
         "frames_per_chunk": args.frames_per_chunk,

@@ -54,6 +54,15 @@ def run(args) -> int:
     from tomatis_tpu.parallel.stream import process_sharded
     if args.variant == "xfade":
         from tomatis_tpu.models.xfade import XfadeParams
+        if args.output_gain_db:
+            print("[ERR] --output_gain_db is not supported by the xfade "
+                  "variant (reference parity: src/process_tomatis_xfade.py "
+                  "has no output gain)")
+            return 2
+        if args.gate_mode != "linear":
+            print("note: the crossfade variant supports only the LINEAR "
+                  "gate mapping (ref src/process_tomatis_xfade.py:28-30); "
+                  f"--gate_mode {args.gate_mode} is ignored")
         p = XfadeParams(
             gate_ui=args.gate_ui, gate_scale=args.gate_scale,
             gate_offset=args.gate_offset, hysteresis_db=args.hyst_db,

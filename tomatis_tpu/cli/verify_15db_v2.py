@@ -135,7 +135,8 @@ def run(args) -> int:
     else:
         print("验证结果: FAIL")
         print("请检查上述 FAIL 项")
-    print(f"\n综合报告已保存: {args.out_prefix}_report.txt")
+    if args.out_prefix:   # verify_v2 writes artifacts only when set
+        print(f"\n综合报告已保存: {args.out_prefix}_report.txt")
     return 0 if res["pass"] else 1
 
 

@@ -199,6 +199,9 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
         return v.reshape(n, ch)
 
     H = header_words(n, ch)
+    if used < 5 or used * 4 > buf.size + 3:
+        raise ValueError(f"malformed wire buffer: used={used} words vs "
+                         f"{buf.size} bytes")
     wflat = buf[20:20 + ch * K].astype(np.int64)
     if (wflat > 30).any():
         raise ValueError("malformed wire buffer: width byte > 30")

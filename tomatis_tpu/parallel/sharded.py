@@ -160,6 +160,36 @@ def _sharded_alpha_ramp(targets, step, alpha0, valid):
     return alpha, final
 
 
+def _ola_halo_emit(y, win2, mask, hop: int, F_loc: int, n_seq: int,
+                   in_ty=None, in_tw=None, norm: str = "eps"):
+    """Shared tail of every sharded per-file step: overlap-add, the
+    forward OLA halo ppermute (my trailing n_fft-hop samples overlap the
+    next shard's head), optional carried head tails (super-chunk
+    streaming), and normalization.
+
+    Returns (emit [F_loc*hop, C], tail_y [tail, C], tail_w [tail]) — the
+    tails are the shard's raw trailing accumulations (only the LAST
+    shard's are meaningful to a streaming caller)."""
+    ola = stft.overlap_add(y, hop)
+    w = stft.overlap_add(win2[None, None, :] * mask[:, None, None],
+                         hop)[:, 0]
+    tail = ola.shape[0] - F_loc * hop
+    perm = [(i, i + 1) for i in range(n_seq - 1)]
+    recv_y = jax.lax.ppermute(ola[F_loc * hop:], "seq", perm)
+    recv_w = jax.lax.ppermute(w[F_loc * hop:], "seq", perm)
+    if in_ty is not None:
+        first = (jax.lax.axis_index("seq") == 0).astype(jnp.float32)
+        recv_y = recv_y + first * in_ty
+        recv_w = recv_w + first * in_tw
+    ola = ola.at[:tail].add(recv_y)
+    w = w.at[:tail].add(recv_w)
+    if norm == "floor8":   # the adaptive processor's normalizer floor
+        emit = ola[:F_loc * hop] / jnp.maximum(w[:F_loc * hop, None], 1e-8)
+    else:
+        emit = ola[:F_loc * hop] / (w[:F_loc * hop, None] + EPS)
+    return emit, ola[F_loc * hop:], w[F_loc * hop:]
+
+
 def sharded_xfade_step(mesh: Mesh, n_fft: int, hop: int,
                        frames_per_shard: int, channels: int,
                        ton: float, toff: float, delay_frames: int,
@@ -196,15 +226,7 @@ def sharded_xfade_step(mesh: Mesh, n_fft: int, hop: int,
         y = stft.apply_gain_bank(frames, win, gains.astype(jnp.float32))
         mask = valid.astype(jnp.float32)
         y = y * mask[:, None, None]
-        ola = stft.overlap_add(y, hop)
-        w = stft.overlap_add(win2[None, None, :] * mask[:, None, None],
-                             hop)[:, 0]
-        perm = [(i, i + 1) for i in range(n_seq - 1)]
-        recv_y = jax.lax.ppermute(ola[F_loc * hop:], "seq", perm)
-        recv_w = jax.lax.ppermute(w[F_loc * hop:], "seq", perm)
-        ola = ola.at[:tail].add(recv_y)
-        w = w.at[:tail].add(recv_w)
-        emit = ola[:F_loc * hop] / (w[:F_loc * hop, None] + EPS)
+        emit, _, _ = _ola_halo_emit(y, win2, mask, hop, F_loc, n_seq)
         return emit, states, alpha, gate_carry, alpha_carry
 
     def step(frames, s0, alpha0, n_valid):
@@ -264,16 +286,9 @@ def sharded_adaptive_step(mesh: Mesh, n_fft: int, hop: int,
         y = stft.apply_gain_bank(frames, win, gains.astype(jnp.float32))
         mask = valid.astype(jnp.float32)
         y = y * mask[:, None, None]
-        ola = stft.overlap_add(y, hop)
-        w = stft.overlap_add(win2[None, None, :] * mask[:, None, None],
-                             hop)[:, 0]
-        perm = [(i, i + 1) for i in range(n_seq - 1)]
-        recv_y = jax.lax.ppermute(ola[F_loc * hop:], "seq", perm)
-        recv_w = jax.lax.ppermute(w[F_loc * hop:], "seq", perm)
-        ola = ola.at[:tail].add(recv_y)
-        w = w.at[:tail].add(recv_w)
         # adaptive normalizer floor is max(w, 1e-8) (models/adaptive.py)
-        emit = ola[:F_loc * hop] / jnp.maximum(w[:F_loc * hop, None], 1e-8)
+        emit, _, _ = _ola_halo_emit(y, win2, mask, hop, F_loc, n_seq,
+                                    norm="floor8")
         return emit, states, alpha, gate_carry, alpha_carry
 
     def step(frames, s0, alpha0, n_valid):
@@ -323,16 +338,7 @@ def sharded_process_step(mesh: Mesh, n_fft: int, hop: int,
         y = stft.apply_gain_bank(frames, win, gains)
         mask = valid.astype(jnp.float32)
         y = y * mask[:, None, None]
-        ola = stft.overlap_add(y, hop)                   # [F_loc*hop + tail, C]
-        w = stft.overlap_add(win2[None, None, :] * mask[:, None, None],
-                             hop)[:, 0]
-        # halo: my tail overlaps the next shard's head -> shift right
-        perm = [(i, i + 1) for i in range(n_seq - 1)]
-        recv_y = jax.lax.ppermute(ola[F_loc * hop:], "seq", perm)
-        recv_w = jax.lax.ppermute(w[F_loc * hop:], "seq", perm)
-        ola = ola.at[:tail].add(recv_y)
-        w = w.at[:tail].add(recv_w)
-        emit = ola[:F_loc * hop] / (w[:F_loc * hop, None] + EPS)
+        emit, _, _ = _ola_halo_emit(y, win2, mask, hop, F_loc, n_seq)
         return emit, states, carry
 
     def step(frames, s0, n_valid):
@@ -388,18 +394,9 @@ def sharded_stream_step(mesh: Mesh, n_fft: int, hop: int,
         y = stft.apply_gain_bank(frames, win, gains)
         mask = valid.astype(jnp.float32)
         y = y * mask[:, None, None]
-        ola = stft.overlap_add(y, hop)
-        w = stft.overlap_add(win2[None, None, :] * mask[:, None, None],
-                             hop)[:, 0]
-        perm = [(i, i + 1) for i in range(n_seq - 1)]
-        recv_y = jax.lax.ppermute(ola[F_loc * hop:], "seq", perm)
-        recv_w = jax.lax.ppermute(w[F_loc * hop:], "seq", perm)
-        first = (seq_i == 0).astype(jnp.float32)
-        ola = ola.at[:tail].add(recv_y + first * in_ty)
-        w = w.at[:tail].add(recv_w + first * in_tw)
-        emit = ola[:F_loc * hop] / (w[:F_loc * hop, None] + EPS)
-        return (emit, levels, states, carry,
-                ola[F_loc * hop:], w[F_loc * hop:])
+        emit, t_y, t_w = _ola_halo_emit(y, win2, mask, hop, F_loc, n_seq,
+                                        in_ty, in_tw)
+        return emit, levels, states, carry, t_y, t_w
 
     def step(frames, s0, n_valid, in_ty, in_tw):
         return jax.vmap(per_file)(frames, s0, n_valid, in_ty, in_tw)
@@ -456,18 +453,10 @@ def sharded_xfade_stream_step(mesh: Mesh, n_fft: int, hop: int,
         y = stft.apply_gain_bank(frames, win, gains.astype(jnp.float32))
         mask = valid.astype(jnp.float32)
         y = y * mask[:, None, None]
-        ola = stft.overlap_add(y, hop)
-        w = stft.overlap_add(win2[None, None, :] * mask[:, None, None],
-                             hop)[:, 0]
-        perm = [(i, i + 1) for i in range(n_seq - 1)]
-        recv_y = jax.lax.ppermute(ola[F_loc * hop:], "seq", perm)
-        recv_w = jax.lax.ppermute(w[F_loc * hop:], "seq", perm)
-        first = (seq_i == 0).astype(jnp.float32)
-        ola = ola.at[:tail].add(recv_y + first * in_ty)
-        w = w.at[:tail].add(recv_w + first * in_tw)
-        emit = ola[:F_loc * hop] / (w[:F_loc * hop, None] + EPS)
+        emit, t_y, t_w = _ola_halo_emit(y, win2, mask, hop, F_loc, n_seq,
+                                        in_ty, in_tw)
         return (emit, levels, states, alpha, gate_carry, alpha_carry,
-                ola[F_loc * hop:], w[F_loc * hop:])
+                t_y, t_w)
 
     def step(frames, s0, alpha0, n_valid, in_ty, in_tw):
         return jax.vmap(per_file)(frames, s0, alpha0, n_valid, in_ty,
