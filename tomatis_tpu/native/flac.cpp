@@ -303,7 +303,7 @@ struct FlacDecoder {
             for (uint32_t i = 0; i < bsize; i++) {
                 int64_t mid = chans[0][i];
                 int64_t s = chans[1][i];
-                mid = (mid << 1) | (s & 1);
+                mid = (int64_t)(((uint64_t)mid << 1) | ((uint64_t)s & 1));
                 chans[0][i] = (int32_t)((mid + s) >> 1);
                 chans[1][i] = (int32_t)((mid - s) >> 1);
             }
@@ -354,7 +354,8 @@ struct FlacDecoder {
                 int64_t p = 0;
                 for (uint32_t j = 0; j < order; j++)
                     p += (int64_t)coef[j] * out[i - 1 - j];
-                out[i] += (int32_t)(p >> shift);
+                out[i] = (int32_t)((uint32_t)out[i]
+                                   + (uint32_t)(p >> shift));
             }
         } else {
             return false;
@@ -365,12 +366,15 @@ struct FlacDecoder {
     }
 
     static void restore_fixed(uint32_t order, uint32_t n, std::vector<int32_t>& x) {
+        // unsigned arithmetic: malformed residuals may overflow, and the
+        // two's-complement wrap is well-defined (valid files never wrap)
+        auto u = [&](uint32_t i) { return (uint32_t)x[i]; };
         switch (order) {
             case 0: break;
-            case 1: for (uint32_t i = 1; i < n; i++) x[i] += x[i-1]; break;
-            case 2: for (uint32_t i = 2; i < n; i++) x[i] += 2*x[i-1] - x[i-2]; break;
-            case 3: for (uint32_t i = 3; i < n; i++) x[i] += 3*x[i-1] - 3*x[i-2] + x[i-3]; break;
-            case 4: for (uint32_t i = 4; i < n; i++) x[i] += 4*x[i-1] - 6*x[i-2] + 4*x[i-3] - x[i-4]; break;
+            case 1: for (uint32_t i = 1; i < n; i++) x[i] = (int32_t)(u(i) + u(i-1)); break;
+            case 2: for (uint32_t i = 2; i < n; i++) x[i] = (int32_t)(u(i) + 2u*u(i-1) - u(i-2)); break;
+            case 3: for (uint32_t i = 3; i < n; i++) x[i] = (int32_t)(u(i) + 3u*u(i-1) - 3u*u(i-2) + u(i-3)); break;
+            case 4: for (uint32_t i = 4; i < n; i++) x[i] = (int32_t)(u(i) + 4u*u(i-1) - 6u*u(i-2) + 4u*u(i-3) - u(i-4)); break;
         }
     }
 
@@ -904,7 +908,7 @@ struct FlacEncoder {
             bw.bits((uint32_t)k, 5);
             for (uint32_t i = 0; i < cnt; i++) {
                 long long v = res[idx + i];
-                uint64_t zz = (uint64_t)((v << 1) ^ (v >> 63));
+                uint64_t zz = ((uint64_t)v << 1) ^ (uint64_t)(v >> 63);
                 uint64_t q = zz >> k;
                 bw.unary((uint32_t)q);
                 if (k) bw.bits((uint32_t)(zz & ((1ull << k) - 1)), k);
