@@ -104,3 +104,56 @@ def test_all_files_unopenable_returns_failed_stats(tmp_path):
     assert len(stats) == 2
     assert all(s["failed"] is not None for s in stats)
     assert all(s["n_frames"] == 0 for s in stats)
+
+
+def test_batch_exact_chunk_boundary_lane_matches_single(tmp_path):
+    """A shorter lane whose frame count is an exact multiple of
+    frames_per_chunk must still match the single-file path: exhausted
+    lanes keep being dispatched, and those all-invalid chunks must not
+    wipe the lane's OLA tail carry (round-2 review finding)."""
+    from tomatis_tpu.io import audio
+    from tomatis_tpu.models.standard import StandardParams, process
+    from tomatis_tpu.parallel.batch import process_batch
+
+    sr = 48000
+    p = StandardParams(require_48k_stereo=False)
+    fpc = 16
+    # choose a length whose n_frames is an exact multiple of fpc:
+    # n_frames = (pad + total + pad_end - n_fft) // hop + 1 = 48
+    total_short = 48 * 2048  # 98304 samples -> pad 2048, pad_end fills
+    rng = np.random.default_rng(3)
+    t = np.arange(total_short) / sr
+    x_short = (0.05 * np.sin(2 * np.pi * 500 * t)
+               + 0.001 * rng.standard_normal(total_short))
+    x_short = np.stack([x_short, 0.9 * x_short], 1).astype(np.float32)
+    t2 = np.arange(int(4.3 * sr)) / sr
+    x_long = (0.04 * np.sin(2 * np.pi * 800 * t2)).astype(np.float32)
+    x_long = np.stack([x_long, x_long], 1)
+
+    ps = tmp_path / "short.flac"
+    pl = tmp_path / "long.flac"
+    audio.write(ps, x_short, sr, subtype="PCM_24")
+    audio.write(pl, x_long, sr, subtype="PCM_24")
+
+    ref = tmp_path / "ref.flac"
+    process(ps, ref, p, frames_per_chunk=fpc)
+
+    outs = tmp_path / "s_out.flac"
+    outl = tmp_path / "l_out.flac"
+    stats = process_batch([(ps, outs), (pl, outl)], p,
+                          frames_per_chunk=fpc)
+    assert all(s["failed"] is None for s in stats)
+    y_ref, _ = audio.read(ref)
+    y_bat, _ = audio.read(outs)
+    np.testing.assert_array_equal(y_bat, y_ref)
+
+
+def test_batch_rejects_mismatched_csv_list(tmp_path):
+    from tomatis_tpu.models.standard import StandardParams
+    from tomatis_tpu.parallel.batch import process_batch
+    import pytest
+    with pytest.raises(ValueError, match="state_csv_paths"):
+        process_batch([(tmp_path / "a.flac", tmp_path / "b.flac"),
+                       (tmp_path / "c.flac", tmp_path / "d.flac")],
+                      StandardParams(require_48k_stereo=False),
+                      state_csv_paths=[tmp_path / "one.csv"])

@@ -86,6 +86,8 @@ def gated_mean_power(x_lr: np.ndarray, sr: int, n_fft: int, hop: int,
     (ref compare_diff_spectrum.py:79-119)."""
     mono = power_mono(x_lr).astype(np.float32)
     n_frames = 1 + (len(mono) - n_fft) // hop
+    if n_frames < 1:
+        raise ValueError("segment too short")
     lv, P = _frame_power(jnp.asarray(mono), n_fft, hop, n_frames, False)
     lv = np.asarray(lv)
     P = np.asarray(P, np.float64)

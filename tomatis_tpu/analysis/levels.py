@@ -173,12 +173,17 @@ def _per_channel_inrange_levels(x: np.ndarray, n_fft: int, hop: int):
             starts.append(k * hop)
         k += 1
     starts = np.asarray(starts)
-    idx = starts[:, None] + np.arange(n_fft)[None, :]
     levels = np.empty((len(starts), ch), np.float32)
+    win_idx = np.arange(n_fft)[None, :]
+    blk = 8192   # bound the materialized frame matrix (an hour-long file
+    #              would otherwise allocate ~1.4 GB per channel)
     for c in range(ch):
-        fr = xp[:, c][idx]
-        r = np.sqrt(np.mean(fr * fr, axis=1) + EPS)
-        levels[:, c] = 20 * np.log10(r + EPS)
+        col = xp[:, c]
+        for i in range(0, len(starts), blk):
+            sb = starts[i:i + blk]
+            fr = col[sb[:, None] + win_idx]
+            r = np.sqrt(np.mean(fr * fr, axis=1) + EPS)
+            levels[i:i + len(sb), c] = 20 * np.log10(r + EPS)
     return levels, starts  # starts are in padded coordinates
 
 

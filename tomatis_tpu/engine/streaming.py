@@ -303,8 +303,8 @@ class ChunkedStftEngine:
             levels = frame_levels_dbfs(
                 jnp.transpose(frames, (0, 2, 1)))               # [F]
             valid = jnp.arange(F) < n_valid
-            gains, log, ctl_carry = controller.step(levels, valid, ctl_carry,
-                                                    params)
+            gains, log, ctl_carry_new = controller.step(levels, valid,
+                                                        ctl_carry, params)
             y = stft.apply_gain_bank(frames, win, gains)        # [F, C, n_fft]
             mask = valid.astype(jnp.float32)
             y = y * mask[:, None, None]
@@ -325,7 +325,19 @@ class ChunkedStftEngine:
             W = F + n_fft // hop - 1
             rows = [levels] + [log[k] for k in log_keys]
             rows = [jnp.pad(r.astype(jnp.float32), (0, W - F)) for r in rows]
-            carries = (ctl_carry, ola[F * hop:], w[F * hop:])
+            # freeze all carried state when the chunk holds no valid
+            # frames: batch lanes keep dispatching after their stream is
+            # exhausted, and an all-invalid chunk must not wipe the OLA
+            # tail (the lane's final flush still needs it) or advance the
+            # controller
+            keep = n_valid > 0
+            ctl_kept = jax.tree_util.tree_map(
+                lambda new_leaf, old_leaf: jnp.where(keep, new_leaf,
+                                                     old_leaf),
+                ctl_carry_new, ctl_carry)
+            carries = (ctl_kept,
+                       jnp.where(keep, ola[F * hop:], out_tail),
+                       jnp.where(keep, w[F * hop:], w_tail))
             if transport == "f32":
                 # Fuse payload + aux into ONE flat f32 array: each extra
                 # device->host transfer costs ~0.2 s of tunnel latency.

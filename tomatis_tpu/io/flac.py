@@ -11,7 +11,12 @@ import numpy as np
 
 from tomatis_tpu.native.build import load_library
 
-_SCALE = {8: 128.0, 16: 32768.0, 24: 8388608.0, 32: 2147483648.0}
+def _scale(bits: int) -> float:
+    """Full-scale divisor 2^(bits-1) — any legal FLAC depth (4-32),
+    including the 12/20-bit files some capture tools emit."""
+    return float(1 << (bits - 1))
+
+
 _SUBTYPE_BITS = {"PCM_16": 16, "PCM_24": 24}
 
 
@@ -65,12 +70,12 @@ class FlacReader:
             self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n_frames)
         self._pos += got
-        x = buf[:got * self.channels].astype(np.float32) / _SCALE[self.bits]
+        x = buf[:got * self.channels].astype(np.float32) / _scale(self.bits)
         return x.reshape(-1, self.channels)
 
     @property
     def int24_readable(self) -> bool:
-        return self.bits in (8, 16, 24)
+        return self.bits <= 24
 
     def read_int24(self, n_frames: int = -1) -> np.ndarray:
         """Read as int32 samples at PCM_24 scale (float = v / 2^23) —
@@ -130,7 +135,7 @@ class FlacWriter:
             data = data[:, None]
         if data.shape[1] != self.channels:
             raise ValueError("channel mismatch")
-        s = _SCALE[self.bits]
+        s = _scale(self.bits)
         v = np.clip(np.rint(data * s), -s, s - 1).astype(np.int32)
         flat = np.ascontiguousarray(v.reshape(-1))
         self._lib.tflac_write(

@@ -42,10 +42,14 @@ def _parse_header(f) -> WavInfo:
         if len(hdr) < 8:
             break
         cid, csize = struct.unpack("<4sI", hdr)
-        if cid == b"fmt ":
-            fmt = f.read(csize)
-            if csize % 2:
-                f.read(1)
+        if cid == b"fmt " and fmt is None:
+            # first fmt wins, and cap the read: after a crashed writer's
+            # csize=0 data header the walker steps through audio bytes,
+            # where a stray b'fmt ' with a garbage size must not replace
+            # the real format or trigger a multi-GB read
+            take = min(csize, 1 << 16)
+            fmt = f.read(take)
+            f.seek(csize - take + (csize % 2), 1)
         elif cid == b"data" and data_offset is None:
             # first data chunk wins: a writer killed before header fixup
             # leaves csize=0, and the walker would then misread the audio

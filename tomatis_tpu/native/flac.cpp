@@ -228,6 +228,21 @@ struct FlacDecoder {
         if (!have_si || off >= stream.size()) return false;
         frames_off = off;
         byte_pos = off;
+        if (total_samples == 0) {
+            // legal streamed encodes leave STREAMINFO total_samples = 0
+            // (unknown length); every consumer here needs the length up
+            // front (flush plans, output sizing), so count by decoding
+            // one full pass, then rewind
+            std::vector<int32_t> tmp;
+            uint64_t start, counted = 0;
+            while (decode_frame(tmp, &start))
+                counted += tmp.size() / (channels ? channels : 1);
+            total_samples = counted;
+            byte_pos = frames_off;
+            next_sample = 0;
+            pend.clear();
+            pend_off = 0;
+        }
         return true;
     }
 

@@ -174,6 +174,9 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     jobs = list(jobs)
     B = len(jobs)
     csvs = state_csv_paths or [None] * B
+    if len(csvs) != B:
+        raise ValueError(f"state_csv_paths has {len(csvs)} entries for "
+                         f"{B} jobs (zip would silently drop jobs)")
 
     mesh_devs = None
     if devices is not None:

@@ -43,8 +43,9 @@ class StateCsvWriter:
         if resume_at_frame is not None and os.path.exists(path):
             with open(path, newline="", encoding="utf-8") as f:
                 rows = list(csv.reader(f))
-            keep = [rows[0]] + [r for r in rows[1:]
-                                if r and int(r[0]) < resume_at_frame]
+            if rows:   # a crash can leave a truncated/empty CSV behind
+                keep = [rows[0]] + [r for r in rows[1:]
+                                    if r and int(r[0]) < resume_at_frame]
         self._f = open(path, "w", newline="", encoding="utf-8")
         self._w = csv.writer(self._f)
         for r in keep:
