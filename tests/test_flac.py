@@ -177,3 +177,28 @@ def test_external_flac_decode(tmp_path):
     exp = np.stack([L, R], 1).astype(np.float64) / 8388608.0
     assert sr == 48000
     np.testing.assert_allclose(y, exp, atol=1e-9)
+
+
+def test_unknown_length_flac(tmp_path):
+    """STREAMINFO total_samples=0 (legal for streamed encodes) must be
+    counted at open, not read as an empty file (round-2 review finding)."""
+    x = _sig(n=10000)
+    p = tmp_path / "u.flac"
+    audio.write(p, x, 48000, subtype="PCM_24")
+    raw = bytearray(p.read_bytes())
+    # STREAMINFO block body starts at byte 8; total_samples = low nibble
+    # of body[13] and body[14:18]
+    base = 8
+    raw[base + 13] &= 0xF0
+    raw[base + 14:base + 18] = b"\x00\x00\x00\x00"
+    p.write_bytes(bytes(raw))
+    info = audio.info(p)
+    assert info.frames == len(x), info.frames
+    y, sr = audio.read(p)
+    assert sr == 48000 and y.shape == x.shape
+    assert np.max(np.abs(y - x)) <= 2 ** -23 + 1e-7
+    # seeking must also still work without the header length
+    with audio.AudioFile(p) as f:
+        f.seek(5000)
+        z = f.read(100)
+        np.testing.assert_allclose(z, y[5000:5100], atol=1e-9)
