@@ -250,3 +250,37 @@ def test_adaptive_resume_after_interrupt(tmp_path, monkeypatch):
     np.testing.assert_array_equal(y_out, y_ref)
     assert open(tmp_path / "out.csv").read() == \
         open(tmp_path / "ref.csv").read()
+
+
+def test_streaming_levels_with_nondividing_hop(tmp_path):
+    """hop that does not divide n_fft//2 (k0*hop > pad) must not misalign
+    the streamed level pass (round-2 review finding: the first chunk
+    dropped buffer it had not read yet)."""
+    sr = 48000
+    x = _signal(3.0, seed=5)
+    x = (np.rint(x * 8388608) / 8388608).astype(np.float32)
+    ip = tmp_path / "in.flac"
+    op = tmp_path / "out.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = AdaptiveParams(n_fft=3072, hop=1024)   # pad=1536, k0*hop=2048
+    stats = process(ip, op, p, frames_per_chunk=32)
+    y_file, _ = audio.read(op)
+    y_arr, info = process_array(x, sr, p, frames_per_chunk=32)
+    np.testing.assert_array_equal(
+        np.rint(y_file * 8388608).astype(np.int32),
+        np.clip(np.rint(y_arr * 8388608), -8388608, 8388607)
+        .astype(np.int32))
+    assert stats["optimal_threshold"] == info["optimal_threshold"]
+
+
+def test_adaptive_degenerate_short_file_writes_csv(tmp_path):
+    sr = 48000
+    x = np.zeros((100, 2), np.float32)   # shorter than one frame
+    ip = tmp_path / "tiny.flac"
+    op = tmp_path / "out.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    stats = process(ip, op, AdaptiveParams(),
+                    state_csv_path=tmp_path / "s.csv")
+    assert stats["n_frames"] == 0
+    assert open(tmp_path / "s.csv").read().startswith(
+        "frame_idx,time_sec,level_dbfs,state,alpha")

@@ -215,6 +215,14 @@ class WavWriter:
             info = _parse_header(f)
             end = f.seek(0, 2)
         on_disk = max(0, end - info.data_offset) // info.bytes_per_frame
+        if on_disk < frames:
+            # the checkpoint promises more audio than the stage holds
+            # (power loss can persist the renamed checkpoint but not the
+            # buffered stage pages) — resuming would silently drop the
+            # gap and shift everything after it
+            raise ValueError(
+                f"stage file holds {on_disk} frames but the checkpoint "
+                f"expects {frames}; delete the checkpoint to restart")
         w = cls.__new__(cls)
         w.samplerate = info.samplerate
         w.channels = info.channels

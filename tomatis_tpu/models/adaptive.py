@@ -297,13 +297,9 @@ def _stream_levels(fin, total: int, ch: int, p: AdaptiveParams,
     pos0 = 0
     drained = False
     need = (frames_per_chunk - 1) * hop + n_fft
-    for f0 in range(0, F, frames_per_chunk):
-        nf = min(frames_per_chunk, F - f0)
-        s = (k0 + f0) * hop
-        if s > pos0:
-            pend = pend[s - pos0:]
-            pos0 = s
-        while len(pend) < need and not drained:
+    def fill(n):
+        nonlocal pend, drained
+        while len(pend) < n and not drained:
             blk = fin.read(hop * 512)
             if len(blk) == 0:
                 drained = True
@@ -312,6 +308,18 @@ def _stream_levels(fin, total: int, ch: int, p: AdaptiveParams,
                 break
             pend = np.concatenate(
                 [pend, np.asarray(blk, np.float32) * catt])
+
+    for f0 in range(0, F, frames_per_chunk):
+        nf = min(frames_per_chunk, F - f0)
+        s = (k0 + f0) * hop
+        if s > pos0:
+            # fill BEFORE dropping: when hop does not divide pad, the
+            # first chunk's start k0*hop exceeds the pad-only buffer and
+            # an early slice would misalign the whole stream
+            fill(s - pos0 + need)
+            pend = pend[s - pos0:]
+            pos0 = s
+        fill(need)
         sig = pend[:need]
         if len(sig) < need:
             sig = np.concatenate(
@@ -371,10 +379,15 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
         k0, F = frame_window(total, n_fft, hop)
         out_path = str(out_path)
         if F == 0:
-            # degenerate short file: y = x (ref writes the input back)
+            # degenerate short file: y = x (ref writes the input back);
+            # still write the (header-only) state CSV the caller asked for
             fin.seek(0)
             x, _ = audio.read(in_path)
             audio.write(out_path, x, sr, subtype="PCM_24")
+            if state_csv_path:
+                _write_state_csv(state_csv_path,
+                                 dict(n_frames=0, levels=[], states=[],
+                                      alpha=[]), hop, sr)
             return dict(n_frames=0, optimal_threshold=0.0, c2_ratio=0.0,
                         switch_count=0, switches_per_min=0.0,
                         short_run_ratio=0.0, atten_db=atten_db,

@@ -202,6 +202,9 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
     if used < 5 or used * 4 > buf.size + 3:
         raise ValueError(f"malformed wire buffer: used={used} words vs "
                          f"{buf.size} bytes")
+    if K != n_blocks(n) or ch < 1:
+        raise ValueError(f"malformed wire buffer: K={K} for n={n}, "
+                         f"ch={ch}")
     wflat = buf[20:20 + ch * K].astype(np.int64)
     if (wflat > 30).any():
         raise ValueError("malformed wire buffer: width byte > 30")
@@ -268,7 +271,7 @@ def pack_device(v, n: int, ch: int):
     def diff(x):
         return x - jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
 
-    all_r, all_w, all_tot = [], [], []
+    all_w, all_tot = [], []
     for x0 in variants:
         r = x0
         for o in range(5):
@@ -281,7 +284,6 @@ def pack_device(v, n: int, ch: int):
             w = 4 + jnp.sum(umax[:, :, None] >= thresh[None, None, :],
                             axis=2)
             w = jnp.where(jnp.any(rp != 0, axis=2), w, 0).astype(jnp.int32)
-            all_r.append(r)
             all_w.append(w)
             all_tot.append(H + 8 * jnp.sum(w, dtype=jnp.int32))
             r = diff(r)
@@ -289,8 +291,20 @@ def pack_device(v, n: int, ch: int):
     bi = jnp.argmin(totals)                                # first minimum
     order = (bi % 5).astype(jnp.uint32)
     ms = (bi // 5).astype(jnp.uint32)
-    r = jnp.stack(all_r)[bi]                               # [ch, n]
-    w = jnp.stack(all_w)[bi]                               # [ch, K]
+
+    # recompute the winning residual under a switch instead of stacking
+    # all ten candidates (a [10, ch, n] buffer, ~170 MB per 2M-sample
+    # chunk): diffs are cheap, memory is not
+    def _mk(vi, oi):
+        def br(_):
+            rr = variants[vi]
+            for _ in range(oi):
+                rr = diff(rr)
+            return rr
+        return br
+    r = jax.lax.switch(bi, [_mk(vi, oi) for vi in range(len(variants))
+                            for oi in range(5)], None)
+    w = jnp.stack(all_w)[bi]                               # [ch, K] (small)
     total = totals[bi].astype(jnp.int32)
 
     # ---- packed layout: one fused scatter-add ----
