@@ -56,6 +56,14 @@ def find_delay_by_corr(orig_path, base_path, sr: int = 48000,
     mo_ds = resample_poly(mo, ds_sr, sr).astype(np.float32)
     mo_ds = mo_ds - np.mean(mo_ds)
 
+    if len(mo_ds) < len(mb_ds):
+        # mode='valid' silently commutes its arguments when the first is
+        # shorter — argmax would then index into the wrong signal and the
+        # delay would be meaningless
+        raise ValueError(
+            f"orig recording too short for alignment: "
+            f"{len(mo_ds) / ds_sr:.1f}s of envelope vs the base's "
+            f"{len(mb_ds) / ds_sr:.1f}s search chunk")
     corr = fftconvolve(mo_ds, mb_ds[::-1], mode="valid")
     k = int(np.argmax(corr))
     base_center = (s + (e - s) // 2) / sr

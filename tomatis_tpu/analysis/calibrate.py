@@ -93,6 +93,13 @@ def calibrate_v2(orig_path, base_path, gate_ui: float = 50.0,
     s_fit = base_state[idx]
     lv_fit = orig_level[idx]
 
+    # NOTE (reference parity, src/calibrate_to_baseline_v2.py:241-265):
+    # the joint gain search is structurally a no-op — T0 is re-centered
+    # from the SAME gain-shifted levels, so the gate simulation is
+    # shift-invariant and every gain scores identically (modulo f32
+    # rounding); with the strict '<' the first grid value (gain_db0 -
+    # gain_search_pm_db) wins, exactly as in the reference. T_raw and
+    # gate_offset are gain-invariant and unaffected.
     best = None
     for gain_db in gains:
         levels_adj = lv_fit + gain_db

@@ -103,6 +103,13 @@ class FlushPlan:
 
 def flush_plan(total: int, n_fft: int, hop: int,
                threshold: int = FLUSH_THRESHOLD) -> FlushPlan:
+    if (n_fft // 2) % hop:
+        # frames start at -n_fft//2; if hop does not divide the pad, the
+        # reference's pad_end formula leaves the stream tail uncovered
+        # and the cropped output silently loses its final samples
+        raise ValueError(
+            "n_fft//2 must be a multiple of hop for the cropped streaming "
+            "write-out (the adaptive processor accepts any hop)")
     pad = n_fft // 2
     pad_end = stft.pad_end(total, n_fft, hop)
     n_frames = (pad + total + pad_end - n_fft) // hop + 1
@@ -699,7 +706,6 @@ class StreamRunner:
                 _t = _time.perf_counter()
                 keep = max(0, len(pend) - (nf * hop))
                 pend = pend[len(pend) - keep:]
-                in_base += nf * hop
                 staged = assemble(min(F_c, n_frames - next_frame0))
                 timings["input_host_s"] += _time.perf_counter() - _t
             if wire:
@@ -741,6 +747,8 @@ class StreamRunner:
 
         if inflight is not None:
             consume(inflight)
+            if on_progress is not None:
+                on_progress(inflight[0] + inflight[1], n_frames)
         # Final: if the last chunk was full, its tail is still in the carry.
         if n_frames % F_c == 0 and n_frames > 0:
             tail_np = np.asarray(out_tail) / (np.asarray(w_tail)[:, None] + EPS)
@@ -879,12 +887,3 @@ def _encode_pcm24(x: np.ndarray) -> np.ndarray:
     out[:, 1] = (flat >> 8) & 0xFF
     out[:, 2] = (flat >> 16) & 0xFF
     return out.reshape(-1)
-
-
-def _decode_pcm24(raw: np.ndarray, channels: int) -> np.ndarray:
-    b = raw.reshape(-1, 3)
-    v = (b[:, 0].astype(np.int32)
-         | (b[:, 1].astype(np.int32) << 8)
-         | (b[:, 2].astype(np.int32) << 16))
-    v = (v << 8) >> 8
-    return (v.astype(np.float32) / 8388608.0).reshape(-1, channels)

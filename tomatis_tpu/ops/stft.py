@@ -42,10 +42,11 @@ def num_frames(n_samples: int, n_fft: int, hop: int) -> int:
     return (n_samples - n_fft) // hop + 1
 
 
-def pad_end(total_frames: int, n_fft: int, hop: int) -> int:
+def pad_end(n_samples: int, n_fft: int, hop: int) -> int:
     """Reference tail zero-padding so the last samples are frame-covered:
-    (hop - ((N - n_fft) % hop)) % hop  (ref src/process_tomatis.py:272)."""
-    return (hop - ((total_frames - n_fft) % hop)) % hop
+    (hop - ((N - n_fft) % hop)) % hop  (ref src/process_tomatis.py:272).
+    N is a SAMPLE count."""
+    return (hop - ((n_samples - n_fft) % hop)) % hop
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop", "n_frames"))
