@@ -260,3 +260,21 @@ def test_process_sharded_xfade_matches_single_device(tmp_path):
         ca, cb = a.split(","), b.split(",")
         assert ca[:4] == cb[:4]                     # idx/time/level/state
         assert abs(float(ca[4]) - float(cb[4])) <= 0.001   # alpha %.3f
+
+
+def test_process_sharded_rejects_data_gt_1(tmp_path):
+    """data > 1 used to crash deep inside shard_map ('axis sizes not
+    evenly divisible'); it must be rejected up front with a clear error."""
+    from tomatis_tpu.io import audio
+    from tomatis_tpu.models.standard import StandardParams
+    from tomatis_tpu.parallel.stream import process_sharded
+
+    sr = 48000
+    x = np.zeros((sr // 4, 2), np.float32)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    with pytest.raises(ValueError, match="data must be 1"):
+        process_sharded(str(ip), str(tmp_path / "out.wav"),
+                        StandardParams(require_48k_stereo=False,
+                                       n_fft=256, hop=128),
+                        n_devices=4, data=2, frames_per_shard=8)

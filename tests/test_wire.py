@@ -173,3 +173,53 @@ def test_decode_rejects_garbage():
     if wirecodec.available():
         with pytest.raises(RuntimeError):
             wirecodec.decode_i32(np.zeros(64, np.uint8), 16, 2)
+
+
+def _corruptions():
+    """Header corruptions every decoder must reject cleanly (no crash,
+    no silent garbage): each yields (name, mutate(buf) -> bad buf)."""
+    def set_flag_byte(buf, byteoff, val):
+        b = buf.copy()
+        b[byteoff] = val
+        return b
+
+    # header word 3 = flags at bytes 12..15: ch | order<<8 | ms<<16 | raw<<17
+    yield "order_200", lambda b: set_flag_byte(b, 13, 200)
+    yield "midside_on_mono", lambda b: set_flag_byte(b, 14, 1)
+    yield "truncated", lambda b: b[:max(24, len(b) - 8)]
+
+    def raw_too_short(b):
+        bb = b.copy()
+        bb[14] = bb[14] | 2            # raw flag (bit 17 = byte14 bit1)
+        return bb[:40]
+    yield "raw_truncated", raw_too_short
+
+
+@pytest.mark.parametrize("name,mutate", list(_corruptions()))
+def test_decoders_reject_corrupt_headers(name, mutate):
+    """numpy fallback and native C++ must both reject the same corrupt
+    buffers with a clean error — not IndexError/crash/silent garbage
+    (the numpy path previously ran 200 cumsums on order=200 and crashed
+    with IndexError on a midside mono buffer)."""
+    v = (1000 * np.sin(np.arange(900) / 7)).astype(np.int32)[:, None]
+    good = wire.encode_np(v)
+    assert np.array_equal(wire.decode_np(good), v)
+    bad = mutate(good)
+    with pytest.raises(ValueError):
+        wire.decode_np(bad)
+    if wirecodec.available():
+        with pytest.raises(RuntimeError):
+            wirecodec.decode_i32(bad, len(v), 1)
+
+
+def test_native_raw_escape_negative_samples():
+    """Raw-escape decode of negative (sign-bit) samples: previously UB via
+    signed (v << 8) in C++; must round-trip exactly in both decoders."""
+    rng = np.random.default_rng(7)
+    v = rng.integers(-8388608, 8388608, (2048, 2)).astype(np.int32)
+    buf = wire.encode_np(v)
+    flags = buf[12:16].view(np.uint32)[0]
+    assert (flags >> 17) & 1 == 1, "full-scale noise must hit raw escape"
+    assert np.array_equal(wire.decode_np(buf), v)
+    if wirecodec.available():
+        assert np.array_equal(wirecodec.decode_i32(buf, len(v), 2), v)

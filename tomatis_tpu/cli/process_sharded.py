@@ -35,10 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--allow_any_rate", action="store_true",
                     help="skip the 48 kHz stereo requirement")
     ap.add_argument("--devices", type=int, default=None,
-                    help="number of devices to use (default: all)")
-    ap.add_argument("--data", type=int, default=1,
-                    help="mesh rows reserved for data parallelism "
-                         "(1 = all devices sequence-parallel)")
+                    help="number of devices to use (default: all); every "
+                         "device goes on the 'seq' axis — for parallelism "
+                         "across FILES use process-batch instead")
     ap.add_argument("--frames_per_shard", type=int, default=256,
                     help="frames per device per super-chunk")
     ap.add_argument("--variant", choices=("standard", "xfade"),
@@ -86,7 +85,7 @@ def run(args) -> int:
             output_gain_db=args.output_gain_db,
             require_48k_stereo=not args.allow_any_rate)
     stats = process_sharded(args.input, args.output, p,
-                            n_devices=args.devices, data=args.data,
+                            n_devices=args.devices,
                             frames_per_shard=args.frames_per_shard,
                             state_csv_path=args.state_csv,
                             variant=args.variant)

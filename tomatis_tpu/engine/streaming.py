@@ -205,18 +205,6 @@ class ChunkedStftEngine:
                                      self.channels)
         return pcm, rows, used_bytes
 
-    def fetch_wire(self, auxw_dev, pages):
-        """Synchronous fetch+decode of a wire-transport chunk result."""
-        return self.fetch_wire_finish(self.fetch_wire_start(auxw_dev,
-                                                            pages))
-
-    @property
-    def wire_pages(self) -> int:
-        """Number of fixed-size device pages covering the worst-case
-        packed output of one chunk."""
-        mw = wire_ops.max_words(self.emit_full, self.channels)
-        return -(-(mw * 4) // WIRE_PAGE)
-
     def unpack_wire_aux(self, aux: np.ndarray):
         """Split the wire-transport aux array into (rows [R, W], used
         stream bytes). Rows as in pcm24 (levels, logs..., peaks); the
@@ -264,7 +252,7 @@ class ChunkedStftEngine:
             ... -> (aux, pages, out_f32_deviceref, carries): the PCM_24
             ints are losslessly compressed on-device (ops.wire: best fixed
             predictor + mid/side + per-block bit packing) into
-            engine.wire_pages fixed-shape uint32 page arrays; the host
+            fixed-shape uint32 page arrays; the host
             reads `aux` first (rows + used length, one small transfer),
             fetches only ceil(used/WIRE_PAGE) pages, and decodes with the
             native codec (io.wirecodec) into the same PCM_24 payload the

@@ -220,15 +220,17 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
     int ms = (hdr[3] >> 16) & 1;
     int raw = (hdr[3] >> 17) & 1;
     long used = (long)hdr[4];
-    if (order > 4 || used * 4 > nbytes + 3) return -4;
+    if (order > 4 || used * 4 > nbytes) return -4;  // used is word-aligned
+    if (ms && ch != 2) return -4;
 
     out.resize((size_t)n * ch);
     if (raw) {
         if (nbytes < 20 + n * ch * 3) return -4;
         const uint8_t* p = in + 20;
         for (long i = 0; i < n * ch; i++) {
-            int32_t v = p[0] | (p[1] << 8) | (p[2] << 16);
-            out[i] = (v << 8) >> 8;
+            uint32_t v = (uint32_t)p[0] | ((uint32_t)p[1] << 8)
+                         | ((uint32_t)p[2] << 16);
+            out[i] = (int32_t)(v << 8) >> 8;  // sign-extend 24 -> 32 sans UB
             p += 3;
         }
         return 0;
@@ -240,8 +242,7 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
     for (long t = 0; t < (long)ch * K; t++)
         if (wtab[t] > 30) return -5;  // UB shifts on malformed widths
     std::vector<uint32_t> words((size_t)used);
-    std::memcpy(words.data(), in, (size_t)
-                (used * 4 <= nbytes ? used * 4 : nbytes));
+    std::memcpy(words.data(), in, (size_t)(used * 4));
     std::vector<int32_t> r(n);
     for (int c = 0; c < ch; c++) {
         Reader rd{words.data(), H, 0, used};

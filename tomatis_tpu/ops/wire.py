@@ -191,6 +191,9 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
     raw = (flags >> 17) & 1
     used = int(hdr[4])
     if raw:
+        if buf.size < 20 + n * ch * 3:
+            raise ValueError(f"malformed wire buffer: raw payload needs "
+                             f"{20 + n * ch * 3} bytes, have {buf.size}")
         pcm = buf[20:20 + n * ch * 3].reshape(-1, 3)
         v = (pcm[:, 0].astype(np.int32)
              | (pcm[:, 1].astype(np.int32) << 8)
@@ -199,12 +202,16 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
         return v.reshape(n, ch)
 
     H = header_words(n, ch)
-    if used < 5 or used * 4 > buf.size + 3:
+    if used < 5 or used * 4 > buf.size:   # used counts whole u32 words
         raise ValueError(f"malformed wire buffer: used={used} words vs "
                          f"{buf.size} bytes")
     if K != n_blocks(n) or ch < 1:
         raise ValueError(f"malformed wire buffer: K={K} for n={n}, "
                          f"ch={ch}")
+    if order > 4:
+        raise ValueError(f"malformed wire buffer: order={order} > 4")
+    if ms and ch != 2:
+        raise ValueError(f"malformed wire buffer: midside with ch={ch}")
     wflat = buf[20:20 + ch * K].astype(np.int64)
     if (wflat > 30).any():
         raise ValueError("malformed wire buffer: width byte > 30")

@@ -43,9 +43,9 @@ def process_sharded(in_path, out_path, p=None,
     """Standard/crossfade processing of ONE file sharded over a mesh.
 
     p: StandardParams (variant="standard") or XfadeParams ("xfade").
-    data > 1 reserves mesh rows for batch lanes (future use); this driver
-    runs the single file on the first row, so data=1 (all devices on the
-    'seq' axis) is the useful configuration.
+    data must be 1: this driver processes ONE file, so every device
+    belongs on the 'seq' axis. For parallelism across files use
+    parallel.batch.process_batch (CLI `process-batch --devices N`).
 
     The standard variant is byte-identical to the single-device engine.
     The xfade variant matches within 1 PCM_24 LSB on ramp frames: the
@@ -55,6 +55,13 @@ def process_sharded(in_path, out_path, p=None,
     t_start = time.perf_counter()
     if variant not in ("standard", "xfade"):
         raise ValueError(variant)
+    if data != 1:
+        # the sharded step shards the (size-1) batch axis over 'data';
+        # any data > 1 would fail deep inside shard_map — reject it here
+        raise ValueError(
+            "process_sharded runs ONE file with all devices on the 'seq' "
+            "axis; data must be 1 (use process-batch for file "
+            f"parallelism), got data={data}")
     xf = variant == "xfade"
     if p is None:
         p = _xfade.XfadeParams() if xf else _standard.StandardParams()
