@@ -21,8 +21,22 @@
 
 namespace {
 
-constexpr uint32_t MAGIC = 0x54574331u;
+constexpr uint32_t MAGIC = 0x54574332u;
 constexpr int B = 256;
+
+// Hacker's-Delight 32x32 bit-matrix transpose: out[l] bit i ==
+// in[31-i] bit (31-l) -- the orientation the TWC2 stream layout is
+// defined around (ops/wire.py). Involution.
+inline void transpose32(uint32_t A[32]) {
+    uint32_t m = 0x0000FFFFu, t;
+    for (int j = 16; j != 0; j >>= 1, m ^= (m << j)) {
+        for (int k = 0; k < 32; k = (k + j + 1) & ~j) {
+            t = (A[k] ^ (A[k + j] >> j)) & m;
+            A[k] ^= t;
+            A[k + j] ^= (t << j);
+        }
+    }
+}
 
 inline long n_blocks(long n) { return (n + B - 1) / B; }
 inline long header_words(long n, int ch) {
@@ -79,19 +93,6 @@ void diff_inplace(int32_t* r, long n) {
         prev = cur;
     }
 }
-
-struct Writer {
-    uint32_t* words;
-    long word;       // current word index
-    int bit;         // bits already used in current word
-    void put(uint32_t z, int w) {
-        words[word] |= z << bit;
-        if (bit + w > 32) words[word + 1] |= z >> (32 - bit);
-        bit += w;
-        word += bit >> 5;
-        bit &= 31;
-    }
-};
 
 long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
     long K = n_blocks(n);
@@ -158,8 +159,8 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
         return RW * 4;
     }
 
-    if (cap < (best_total + 1) * 4) return -2;  // +1: Writer hi-word spill
-    std::memset(out, 0, (size_t)(best_total + 1) * 4);
+    if (cap < best_total * 4) return -2;
+    std::memset(out, 0, (size_t)best_total * 4);
     uint32_t hdr[5] = {MAGIC, (uint32_t)n, (uint32_t)K,
                        (uint32_t)ch | ((uint32_t)best_o << 8)
                            | ((uint32_t)best_ms << 16),
@@ -174,38 +175,31 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
         for (int c = 0; c < ch; c++)
             diff_inplace(r.data() + (size_t)c * n, n);
 
-    Writer wr{reinterpret_cast<uint32_t*>(out), H, 0};
+    // bit-plane stream: per block, 8 transposed 32-sample groups emit the
+    // first w planes (octet o, word j = group j's transform lane 31-o)
+    uint32_t* words = reinterpret_cast<uint32_t*>(out);
+    long pos = H;   // stream word cursor (blocks are 8-word aligned)
     for (int c = 0; c < ch; c++) {
         const int32_t* rc = r.data() + (size_t)c * n;
         for (long b = 0; b < K; b++) {
             int w_ = bw[(size_t)c * K + b];
             if (!w_) continue;
-            uint32_t mask = (w_ >= 32) ? 0xFFFFFFFFu : ((1u << w_) - 1);
+            uint32_t mask = (1u << w_) - 1;   // w_ <= 30
             long lo = b * B, hi = lo + B < n ? lo + B : n;
-            for (long i = lo; i < hi; i++)
-                wr.put((uint32_t)rc[i] & mask, w_);
-            for (long i = hi; i < lo + B; i++) wr.put(0, w_);  // block pad
+            for (int j = 0; j < 8; j++) {
+                uint32_t A[32];
+                for (int k = 0; k < 32; k++) {
+                    long i = lo + 32 * j + k;
+                    A[k] = i < hi ? ((uint32_t)rc[i] & mask) : 0;
+                }
+                transpose32(A);
+                for (int o = 0; o < w_; o++) words[pos + 8 * o + j] = A[31 - o];
+            }
+            pos += 8L * w_;
         }
     }
     return best_total * 4;
 }
-
-struct Reader {
-    const uint32_t* words;
-    long word;
-    int bit;
-    long limit;
-    int32_t get(int w) {
-        uint64_t lo = word < limit ? words[word] : 0;
-        uint64_t hi = word + 1 < limit ? words[word + 1] : 0;
-        uint32_t v = (uint32_t)(((lo >> bit) | (hi << (32 - bit)))
-                                & ((1ull << w) - 1));
-        bit += w;
-        word += bit >> 5;
-        bit &= 31;
-        return (int32_t)(v << (32 - w)) >> (32 - w);
-    }
-};
 
 int decode_core(const uint8_t* in, long nbytes, long n, int ch,
                 std::vector<int32_t>& out) {
@@ -239,17 +233,17 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
     long H = header_words(n, ch);
     if (nbytes < H * 4) return -4;
     const uint8_t* wtab = in + 20;
-    for (long t = 0; t < (long)ch * K; t++)
+    long S = 0;   // total stream octets
+    for (long t = 0; t < (long)ch * K; t++) {
         if (wtab[t] > 30) return -5;  // UB shifts on malformed widths
+        S += wtab[t];
+    }
+    if (used != H + 8 * S) return -4;  // stream length must match widths
     std::vector<uint32_t> words((size_t)used);
     std::memcpy(words.data(), in, (size_t)(used * 4));
     std::vector<int32_t> r(n);
+    long pos = H;   // stream word cursor
     for (int c = 0; c < ch; c++) {
-        Reader rd{words.data(), H, 0, used};
-        // skip previous channels' streams
-        long skip = 0;
-        for (long t = 0; t < (long)c * K; t++) skip += 8L * wtab[t];
-        rd.word = H + skip;
         for (long b = 0; b < K; b++) {
             int w_ = wtab[(size_t)c * K + b];
             long lo = b * B, hi = lo + B < n ? lo + B : n;
@@ -257,8 +251,17 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
                 for (long i = lo; i < hi; i++) r[i] = 0;
                 continue;
             }
-            for (long i = lo; i < hi; i++) r[i] = rd.get(w_);
-            for (long i = hi; i < lo + B; i++) rd.get(w_);
+            for (int j = 0; j < 8; j++) {
+                uint32_t A[32] = {0};
+                for (int o = 0; o < w_; o++) A[31 - o] = words[pos + 8 * o + j];
+                transpose32(A);
+                for (int k = 0; k < 32; k++) {
+                    long i = lo + 32 * j + k;
+                    if (i < hi)
+                        r[i] = (int32_t)(A[k] << (32 - w_)) >> (32 - w_);
+                }
+            }
+            pos += 8L * w_;
         }
         for (int o = 0; o < order; o++) {
             int32_t acc = 0;

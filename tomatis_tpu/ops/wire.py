@@ -11,12 +11,15 @@ cuts the bytes on BOTH directions with a lossless scheme chosen so that
   so the device can decode the host-encoded input with two jnp.cumsum
   calls instead of a sequential IIR (a general LPC would serialize).
 - optional mid/side decorrelation (FLAC-style, integer-exact).
-- per-256-sample-block fixed bit-width storage (signed, two's
-  complement). 256*w bits is always a whole number of 32-bit words, so
-  blocks are word-aligned; the device packs with one sorted-index
-  scatter-add (stream bits partition one-bit-per-sample, so ADD == OR)
-  and unpacks with one paired-word gather per channel - no sequential
-  bit cursor anywhere.
+- per-256-sample-block fixed bit-width storage in BIT-PLANE layout
+  (see below): block b stores w[b] planes of 8 words each, so blocks
+  are word-aligned and the whole pack/unpack is a dense 32x32 bit
+  transpose (5 masked-shift vector ops) plus ONE octet-granularity row
+  gather - no per-sample scatter/gather anywhere. (The first wire
+  format packed sample-major with a per-sample scatter-add; measured
+  on a v5e, that scatter alone cost ~100 ms per 2M-sample chunk - the
+  TPU runs element scatters at ~80M/s - while the bit-plane transform
+  runs at HBM speed.)
 - a raw PCM_24 escape when packing would exceed raw size.
 
 The same format runs in three implementations that must agree bit-for-bit:
@@ -27,15 +30,19 @@ Typical program material packs to ~1.5-2.2 B/sample vs 3 B raw PCM_24 and
 4 B float32, which is what moves the link-bound realtime factor.
 
 Layout (little-endian u32 words):
-    word 0   magic 0x54574331 ('TWC1')
+    word 0   magic 0x54574332 ('TWC2')
     word 1   n samples per channel
     word 2   K = ceil(n / 256) blocks per channel
     word 3   flags = channels | order << 8 | midside << 16 | raw << 17
     word 4   used_words (total length of the stream, in u32 words)
     packed:  ceil(ch*K / 4) width words (u8 per block, channel-major),
              then per-channel bitstreams, channel-major; block b holds
-             256 samples at w[b] bits = 8*w[b] words (w=0: block omitted,
-             all-zero residuals).
+             w[b] PLANES ("octets") of 8 words each (w=0: block omitted,
+             all-zero residuals). Plane o, word j, bit i = bit o of the
+             block's residual sample 32j + (31-i), two's complement
+             truncated to w bits. (The bit-reversed lane order is the
+             natural output of the masked-shift bit transpose; all three
+             implementations share it.)
     raw:     ceil(n*ch*3 / 4) words of interleaved sample-major
              little-endian 24-bit PCM (no width region).
 """
@@ -44,7 +51,7 @@ from __future__ import annotations
 
 import numpy as np
 
-MAGIC = 0x54574331
+MAGIC = 0x54574332
 B = 256               # samples per width block
 _WMAX = 30            # side channel at order 4 needs up to 25+4+1 bits
 
@@ -107,6 +114,48 @@ def _widths_np(r: np.ndarray) -> np.ndarray:
     return np.where(anynz, w, 0).astype(np.uint8)
 
 
+def _bit_transpose32_np(x: np.ndarray) -> np.ndarray:
+    """Masked-shift 32x32 bit transpose over the last axis (len 32, u32).
+
+    Involution. Output y[..., l] bit i == x[..., 31-i] bit (31-l) - the
+    orientation the wire stream layout is defined around."""
+    x = x.astype(np.uint32)
+    m = np.uint32(0x0000FFFF)
+    j = 16
+    while j:
+        shp = x.shape[:-1]
+        y = x.reshape(shp + (32 // (2 * j), 2, j))
+        a = y[..., 0, :]
+        b = y[..., 1, :]
+        t = (a ^ (b >> np.uint32(j))) & m
+        x = np.stack([a ^ t, b ^ (t << np.uint32(j))],
+                     axis=-2).reshape(shp + (32,))
+        j >>= 1
+        m = m ^ (m << np.uint32(j))
+    return x
+
+
+def _planes_fwd_np(z: np.ndarray) -> np.ndarray:
+    """Masked residuals z [T, 256] u32 -> plane octets [T, 30, 8] u32.
+
+    planes[t, o, j] = plane o of samples 32j..32j+31 of block t (bit i =
+    bit o of sample 32j+31-i)."""
+    T = z.shape[0]
+    X = _bit_transpose32_np(z.reshape(T, 8, 32))     # [t, j, l]
+    # plane o lives in transform lane 31-o; reverse lanes, swap (j, o)
+    return np.swapaxes(X[:, :, ::-1], 1, 2)[:, :_WMAX, :]
+
+
+def _planes_inv_np(planes: np.ndarray) -> np.ndarray:
+    """Plane octets [T, 30, 8] u32 -> residual values [T, 256] u32
+    (masked to each block's width; callers sign-extend)."""
+    T = planes.shape[0]
+    Xr = np.zeros((T, 32, 8), np.uint32)
+    Xr[:, :_WMAX] = planes
+    X = np.swapaxes(Xr, 1, 2)[:, :, ::-1]            # [t, j, l]
+    return _bit_transpose32_np(X).reshape(T, 256)
+
+
 # ---------------------------------------------------------------------------
 # numpy encoder / decoder (oracle + host fallback)
 # ---------------------------------------------------------------------------
@@ -148,26 +197,21 @@ def encode_np(v: np.ndarray) -> np.ndarray:
 
     out = np.zeros(total * 4, np.uint8)
     _put_header(out, n, K, ch, (order << 8) | (ms << 16), 0, total)
-    wflat = w.reshape(-1)
+    wflat = w.reshape(-1).astype(np.int64)           # [T = ch*K]
     out[20:20 + wflat.size] = wflat
 
-    words = np.zeros(total + 1, np.uint32)   # +1: hi spill of the last word
-    base = H + 8 * np.concatenate(
-        [[0], np.cumsum(wflat.astype(np.int64))[:-1]])
     pad = K * B - n
     rp = np.pad(r, ((0, 0), (0, pad))).reshape(ch * K, B)
-    wb = wflat.astype(np.uint64)[:, None]                      # [ch*K, 1]
-    z = rp.astype(np.uint32).astype(np.uint64) & ((1 << wb) - 1)
-    i = np.arange(B, dtype=np.uint64)[None, :]
-    bitpos = i * wb
-    widx = (base.astype(np.uint64)[:, None] + (bitpos >> 5)).reshape(-1)
-    sh = (bitpos & 31)
-    lo = ((z << sh) & 0xFFFFFFFF).astype(np.uint32).reshape(-1)
-    hi = (z >> (32 - sh)).astype(np.uint32).reshape(-1)        # sh=0 -> >>32 = 0 (u64)
-    live = np.broadcast_to(wb > 0, z.shape).reshape(-1)
-    np.bitwise_or.at(words, widx[live].astype(np.int64), lo[live])
-    np.bitwise_or.at(words, widx[live].astype(np.int64) + 1, hi[live])
-    out[H * 4:] = words[H:total].view(np.uint8)
+    z = rp.astype(np.uint32) & np.where(
+        wflat > 0, (np.uint64(1) << wflat.astype(np.uint64)) - 1,
+        0).astype(np.uint32)[:, None]
+    planes = _planes_fwd_np(z)                       # [T, 30, 8]
+    obase = np.cumsum(wflat) - wflat                 # octet offset per block
+    S = int(wflat.sum())                             # total stream octets
+    src_t = np.repeat(np.arange(len(wflat)), wflat)
+    src_p = np.arange(S) - np.repeat(obase, wflat)
+    stream = planes[src_t, src_p]                    # [S, 8]
+    out[H * 4:] = stream.reshape(-1).view(np.uint8)
     return out
 
 
@@ -213,29 +257,24 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
     if ms and ch != 2:
         raise ValueError(f"malformed wire buffer: midside with ch={ch}")
     wflat = buf[20:20 + ch * K].astype(np.int64)
-    if (wflat > 30).any():
+    if (wflat > _WMAX).any():
         raise ValueError("malformed wire buffer: width byte > 30")
-    words = np.zeros(used, np.uint32)
-    words[:] = buf[:used * 4].view(np.uint32)
-    base = H + 8 * np.concatenate([[0], np.cumsum(wflat)[:-1]])
-
-    idx = np.arange(K * B)
-    blk = idx // B
-    ii = (idx % B).astype(np.int64)
-    r = np.empty((ch, K * B), np.int32)
-    for c in range(ch):
-        wb = wflat[c * K:(c + 1) * K][blk]
-        bitoff = ii * wb
-        q = base[c * K:(c + 1) * K][blk] + (bitoff >> 5)
-        q = np.minimum(q, used - 1)   # w=0 tail blocks can point past used
-        sh = (bitoff & 31).astype(np.uint64)
-        lo = words[q].astype(np.uint64) >> sh
-        hi = words[np.minimum(q + 1, used - 1)].astype(np.uint64) << (32 - sh)
-        val = (lo | hi) & ((1 << wb.astype(np.uint64)) - 1)
-        sb = np.where(wb > 0, 1 << np.maximum(wb - 1, 0), 0).astype(np.uint64)
-        sv = (val ^ sb).astype(np.int64) - sb.astype(np.int64)
-        r[c] = np.where(wb == 0, 0, sv).astype(np.int32)
-    r = r[:, :n]
+    S = int(wflat.sum())
+    if used != H + 8 * S:
+        raise ValueError(f"malformed wire buffer: used={used} != "
+                         f"H+8*sum(w)={H + 8 * S}")
+    T = ch * K
+    stream = buf[H * 4:(H + 8 * S) * 4].view(np.uint32).reshape(S, 8)
+    planes = np.zeros((T, _WMAX, 8), np.uint32)
+    src_t = np.repeat(np.arange(T), wflat)
+    src_p = np.arange(S) - np.repeat(np.cumsum(wflat) - wflat, wflat)
+    planes[src_t, src_p] = stream
+    z = _planes_inv_np(planes)                       # [T, 256] u32
+    wb = wflat[:, None]
+    sb = np.where(wb > 0, np.uint64(1) << np.maximum(wb - 1, 0)
+                  .astype(np.uint64), 0).astype(np.uint32)
+    sv = (z ^ sb).astype(np.int64) - sb.astype(np.int64)
+    r = np.where(wb == 0, 0, sv).astype(np.int32).reshape(ch, K * B)[:, :n]
     for _ in range(order):
         r = np.cumsum(r, axis=1, dtype=np.int32)
     v = r.T
@@ -248,9 +287,21 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
 # XLA device implementations
 # ---------------------------------------------------------------------------
 
-def _jnp():
+def _bit_transpose32_jnp(x):
+    """Masked-shift 32x32 bit transpose (last axis), traceable u32."""
     import jax.numpy as jnp
-    return jnp
+    m = jnp.uint32(0x0000FFFF)
+    j = 16
+    while j:
+        shp = x.shape[:-1]
+        y = x.reshape(shp + (32 // (2 * j), 2, j))
+        a = y[..., 0, :]
+        b = y[..., 1, :]
+        t = (a ^ (b >> j)) & m
+        x = jnp.stack([a ^ t, b ^ (t << j)], axis=-2).reshape(shp + (32,))
+        j >>= 1
+        m = m ^ (m << j)
+    return x
 
 
 def pack_device(v, n: int, ch: int):
@@ -268,6 +319,8 @@ def pack_device(v, n: int, ch: int):
     RW = raw_words(n, ch)
     M = max_words(n, ch)
     pad = K * B - n
+    T = ch * K
+    S_max = _WMAX * T                                # (M - H) / 8 octets
 
     xT = jnp.transpose(v)                                  # [ch, n]
     variants = [xT]
@@ -314,37 +367,39 @@ def pack_device(v, n: int, ch: int):
     w = jnp.stack(all_w)[bi]                               # [ch, K] (small)
     total = totals[bi].astype(jnp.int32)
 
-    # ---- packed layout: one fused scatter-add ----
-    # Every bit of the stream belongs to exactly one sample, so per-sample
-    # contributions to a word are bit-disjoint and scatter-ADD == OR. Each
-    # sample touches at most two words (lo/hi split at the word boundary);
-    # indices are nondecreasing, which XLA's scatter exploits. This
-    # replaces the round-1 candidate-gather + searchsorted formulation
-    # (measured 10x slower on TPU: ~1.0 s vs ~0.1 s per 2M-sample chunk).
-    wflat = w.reshape(ch * K)
-    base = H + 8 * (jnp.cumsum(wflat) - wflat)             # [ch*K]
-    rp = jnp.pad(r, ((0, 0), (0, pad))).reshape(ch * K, B)
+    # ---- packed layout: bit-plane transform + one octet row gather ----
+    # Per block: 5 masked-shift rounds turn 256 w-bit residuals into w
+    # 8-word planes (dense vector ops); compaction is one row gather at
+    # octet (8-word) granularity driven by a cummax-scan of per-block
+    # offsets. No per-sample scatter (measured ~100 ms/chunk on v5e).
+    wflat = w.reshape(T)
+    rp = jnp.pad(r, ((0, 0), (0, pad))).reshape(T, B)
     z = rp.astype(jnp.uint32) & jnp.where(
         wflat > 0, (jnp.uint32(1) << wflat.astype(jnp.uint32)) - 1,
         0)[:, None]
-    i = jnp.arange(B, dtype=jnp.int32)[None, :]
-    bitpos = i * wflat[:, None]
-    gw = jnp.minimum(base[:, None] + (bitpos >> 5), M - 2)  # z=0 rows: +0
-    sh = (bitpos & 31).astype(jnp.uint32)
-    lo = z << sh
-    hi = jnp.where(sh == 0, 0, z >> (jnp.uint32(32) - sh))
-    body = jnp.zeros(M, jnp.uint32)
-    body = body.at[gw.reshape(-1)].add(
-        lo.reshape(-1), indices_are_sorted=True)
-    body = body.at[(gw + 1).reshape(-1)].add(
-        hi.reshape(-1), indices_are_sorted=True)
+    X = _bit_transpose32_jnp(z.reshape(T, 8, 32))          # [t, j, l]
+    planes = jnp.swapaxes(X[:, :, ::-1], 1, 2)[:, :_WMAX]  # [t, o, j]
+    planes_flat = jnp.concatenate(
+        [planes.reshape(T * _WMAX, 8),
+         jnp.zeros((1, 8), jnp.uint32)])                   # +1: masked rows
+    obase = jnp.cumsum(wflat) - wflat                      # [T]
+    S_tot = jnp.sum(wflat)
+    # slot s belongs to block t(s): idx = s + corr[t(s)] with
+    # corr[t] = 30*t - obase[t], nondecreasing (w <= 30), recovered per
+    # slot by a max-scan over block-start scatters
+    corr = _WMAX * jnp.arange(T, dtype=jnp.int32) - obase
+    marks = jnp.zeros(S_max, jnp.int32).at[
+        jnp.where(wflat > 0, obase, S_max)].max(corr, mode="drop")
+    corr_s = jax.lax.cummax(marks)
+    s = jnp.arange(S_max, dtype=jnp.int32)
+    idx = jnp.where(s < S_tot, s + corr_s, T * _WMAX)
+    stream = planes_flat[idx].reshape(-1)                  # [S_max * 8]
 
     # header + widths (static-length prefix)
-    w8 = jnp.pad(wflat.astype(jnp.uint32), (0, (H - 5) * 4 - ch * K))
+    w8 = jnp.pad(wflat.astype(jnp.uint32), (0, (H - 5) * 4 - T))
     w4 = w8.reshape(-1, 4)
     wwords = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
               | (w4[:, 3] << 24))
-    stream = body[H:]
 
     # ---- raw escape layout ----
     flat = v.reshape(-1)
@@ -381,6 +436,7 @@ def unpack_device(buf, n: int, ch: int):
 
     K = n_blocks(n)
     H = header_words(n, ch)
+    T = ch * K
     words = jax.lax.bitcast_convert_type(
         buf.reshape(-1, 4), jnp.uint32).reshape(-1)
     W = words.size
@@ -390,51 +446,45 @@ def unpack_device(buf, n: int, ch: int):
     raw = (flags >> 17) & 1
 
     def packed_branch(_):
-        t = jnp.arange(ch * K)
+        t = jnp.arange(T)
         wflat = ((words[5 + t // 4] >> (8 * (t % 4).astype(jnp.uint32)))
                  & 255).astype(jnp.int32)
-        base = H + 8 * (jnp.cumsum(wflat) - wflat)
-        idx = jnp.arange(K * B, dtype=jnp.int32)
-        blk0 = idx // B
-        ii = idx % B
-        # fetch word pairs in ONE gather per channel (a sample's bits span
-        # at most two consecutive words)
-        wpair = jnp.stack(
-            [words, jnp.concatenate([words[1:], words[:1]])], 1)  # [W, 2]
-        outs = []
-        for c in range(ch):
-            wb = wflat[c * K + blk0]
-            bitoff = ii * wb
-            q = base[c * K + blk0] + (bitoff >> 5)
-            sh = (bitoff & 31).astype(jnp.uint32)
-            pair = wpair[jnp.clip(q, 0, W - 1)]
-            lo = pair[:, 0] >> sh
-            hi = jnp.where(sh == 0, 0,
-                           pair[:, 1] << (jnp.uint32(32) - sh))
-            mask = jnp.where(wb > 0,
-                             (jnp.uint32(1) << wb.astype(jnp.uint32)) - 1,
-                             0)
-            val = (lo | hi) & mask
-            sb = jnp.where(wb > 0,
-                           jnp.uint32(1) << jnp.maximum(wb - 1, 0)
-                           .astype(jnp.uint32), 0)
-            sv = (val ^ sb).astype(jnp.int32) - sb.astype(jnp.int32)
-            outs.append(jnp.where(wb == 0, 0, sv)[:n])
-        r = jnp.stack(outs)                                # [ch, n]
+        wflat = jnp.minimum(wflat, _WMAX)     # corrupt widths: clamp
+        obase = jnp.cumsum(wflat) - wflat
+        # stream rows (8-word octets) start at word H; valid octets never
+        # cross the row grid (used - H is a multiple of 8)
+        S_cap = max((W - H) // 8, 0)
+        rows = jnp.concatenate(
+            [words[H:H + S_cap * 8].reshape(S_cap, 8),
+             jnp.zeros((1, 8), jnp.uint32)])
+        o = jnp.arange(_WMAX, dtype=jnp.int32)[None, :]
+        valid = o < wflat[:, None]                         # [T, 30]
+        oct_idx = jnp.where(valid, obase[:, None] + o, S_cap)
+        planes = rows[oct_idx]                             # [T, 30, 8]
+        Xr = jnp.concatenate(
+            [planes, jnp.zeros((T, 32 - _WMAX, 8), jnp.uint32)], 1)
+        X = jnp.swapaxes(Xr, 1, 2)[:, :, ::-1]             # [t, j, l]
+        z = _bit_transpose32_jnp(X).reshape(T, B)
+        wb = wflat[:, None]
+        sb = jnp.where(wb > 0,
+                       jnp.uint32(1) << jnp.maximum(wb - 1, 0)
+                       .astype(jnp.uint32), 0)
+        sv = (z ^ sb).astype(jnp.int32) - sb.astype(jnp.int32)
+        r = jnp.where(wb == 0, 0, sv).reshape(ch, K * B)[:, :n]
 
-        def mk(o):
+        def mk(o_):
             def f(x):
-                for _ in range(o):
+                for _ in range(o_):
                     x = jnp.cumsum(x, axis=1, dtype=jnp.int32)
                 return x
             return f
         x = jax.lax.switch(jnp.clip(order, 0, 4),
-                           [mk(o) for o in range(5)], r)
+                           [mk(o_) for o_ in range(5)], r)
         vT = jnp.transpose(x)                              # [n, ch]
         if ch == 2:
-            m, s = vT[:, 0], vT[:, 1]
-            L = m + ((s + (s & 1)) >> 1)
-            vms = jnp.stack([L, L - s], 1)
+            m, sch = vT[:, 0], vT[:, 1]
+            L = m + ((sch + (sch & 1)) >> 1)
+            vms = jnp.stack([L, L - sch], 1)
             vT = jnp.where(ms == 1, vms, vT)
         return vT
 
