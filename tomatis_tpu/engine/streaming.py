@@ -27,7 +27,7 @@ tomatis_tpu.models for the standard / crossfade / EQ controllers.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Iterator
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,7 @@ import numpy as np
 from tomatis_tpu.ops import stft
 from tomatis_tpu.ops import wire as wire_ops
 from tomatis_tpu.ops.dsp import EPS, PEAK_LIMIT, frame_levels_dbfs
+from tomatis_tpu.utils.rolling import RollingReader
 
 FLUSH_THRESHOLD = 48000 * 5  # hard-coded in the reference (src/process_tomatis.py:420)
 
@@ -380,27 +381,18 @@ class ChunkedStftEngine:
 # Host-side stream driver.
 # ---------------------------------------------------------------------------
 
-def _iter_blocks(source, block: int) -> Iterator[np.ndarray]:
-    """Yield float32 [n, C] blocks from an AudioFile reader or an ndarray."""
+def _read_fn(source, int_in: bool):
+    """read(n) callable over an AudioFile reader or an ndarray."""
     if isinstance(source, np.ndarray):
         x = source if source.ndim == 2 else source[:, None]
-        for i in range(0, len(x), block):
-            yield np.asarray(x[i:i + block], np.float32)
-        return
-    while True:
-        x = source.read(block)
-        if len(x) == 0:
-            return
-        yield np.asarray(x, np.float32)
+        cur = [0]
 
-
-def _iter_blocks_int24(source, block: int) -> Iterator[np.ndarray]:
-    """Yield int32 PCM_24-scale blocks (the float-free wire input path)."""
-    while True:
-        x = source.read_int24(block)
-        if len(x) == 0:
-            return
-        yield np.ascontiguousarray(x, np.int32)
+        def read(n):
+            blk = x[cur[0]:cur[0] + n]
+            cur[0] += len(blk)
+            return blk
+        return read
+    return source.read_int24 if int_in else source.read
 
 
 class StreamRunner:
@@ -514,18 +506,16 @@ class StreamRunner:
                   and getattr(source, "int24_readable", False))
         in_dt = np.int32 if int_in else np.float32
 
-        # Rolling input: absolute sample coordinate of pend[0] is in_base.
+        # Rolling input in absolute sample coords (stream starts at -pad).
         in_base = -pad + frame0 * hop
         if in_base > 0:
             if isinstance(source, np.ndarray):
                 source = source[in_base:]
             else:
                 source.seek(in_base)
-            pend = np.zeros((0, C), in_dt)
-        else:
-            pend = np.zeros((-in_base, C), in_dt)
-        blocks = (_iter_blocks_int24(source, eng.emit_len) if int_in
-                  else _iter_blocks(source, eng.emit_len))
+        reader = RollingReader(_read_fn(source, int_in), C, dtype=in_dt,
+                               left_pad=max(0, -in_base), base=in_base,
+                               block=eng.emit_len)
 
         log_keys = self.engine.log_keys
 
@@ -607,25 +597,10 @@ class StreamRunner:
                 frames_consumed=int(snap["frame0"]))
             ckpt.maybe_save(state, force=True)
 
-        def assemble(nf):
-            """Fill pend for an nf-frame chunk and return the fixed-shape
-            input slice (host side)."""
-            nonlocal pend, drained
-            need = (nf - 1) * hop + n_fft
-            while len(pend) < need and not drained:
-                blk = next(blocks, None)
-                if blk is None:
-                    drained = True
-                    break
-                pend = np.concatenate([pend, blk], 0)
-            if len(pend) < need:  # real signal exhausted: zero pad the tail
-                pend = np.concatenate(
-                    [pend, np.zeros((need - len(pend), C), in_dt)], 0)
-            sig = pend[:eng.chunk_input_len]
-            if len(sig) < eng.chunk_input_len:
-                sig = np.concatenate(
-                    [sig, np.zeros((eng.chunk_input_len - len(sig), C),
-                                   in_dt)], 0)
+        def assemble(f0):
+            """Window the input stream at chunk f0 and return the prepared
+            fixed-shape device/host input (host side)."""
+            sig = reader.window(-pad + f0 * hop, eng.chunk_input_len)
             return prepare(sig)
 
         def prepare(sig):
@@ -672,7 +647,7 @@ class StreamRunner:
             chunk_i += 1
             if staged is None:
                 _t = _time.perf_counter()
-                staged = assemble(nf)
+                staged = assemble(frame0)
                 timings["input_host_s"] += _time.perf_counter() - _t
 
             _t = _time.perf_counter()
@@ -692,9 +667,8 @@ class StreamRunner:
             next_frame0 = frame0 + nf
             if next_frame0 < n_frames:
                 _t = _time.perf_counter()
-                keep = max(0, len(pend) - (nf * hop))
-                pend = pend[len(pend) - keep:]
-                staged = assemble(min(F_c, n_frames - next_frame0))
+                reader.advance(-pad + next_frame0 * hop)
+                staged = assemble(next_frame0)
                 timings["input_host_s"] += _time.perf_counter() - _t
             if wire:
                 auxw, pages, out_dev, ctl_carry, out_tail, w_tail = res
@@ -731,7 +705,7 @@ class StreamRunner:
                 save_checkpoint(snapshot)
                 snapshot = None
             inflight = (frame0, nf, packed, out_dev)
-            frame0 += nf  # pend already advanced during pre-staging
+            frame0 += nf  # input already advanced during pre-staging
 
         if inflight is not None:
             consume(inflight)

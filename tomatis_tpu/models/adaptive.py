@@ -27,6 +27,7 @@ from tomatis_tpu.io import audio
 from tomatis_tpu.models.controllers import AlphaGainController
 from tomatis_tpu.ops import dsp, gate as gate_ops, stft
 from tomatis_tpu.ops.dsp import EPS, PEAK_LIMIT
+from tomatis_tpu.utils.rolling import RollingReader
 
 
 @dataclass
@@ -293,37 +294,15 @@ def _stream_levels(fin, total: int, ch: int, p: AdaptiveParams,
         return np.zeros(0, np.float32)
     fin.seek(0)
     levels = np.empty(F, np.float32)
-    pend = np.zeros((pad, ch), np.float32)   # padded stream, pos0 = 0
-    pos0 = 0
-    drained = False
+    # padded attenuated stream in RollingReader coords (0 = first pad zero)
+    reader = RollingReader(fin.read, ch, scale=catt, left_pad=pad,
+                           block=hop * 512)
     need = (frames_per_chunk - 1) * hop + n_fft
-    def fill(n):
-        nonlocal pend, drained
-        while len(pend) < n and not drained:
-            blk = fin.read(hop * 512)
-            if len(blk) == 0:
-                drained = True
-                pend = np.concatenate(
-                    [pend, np.zeros((pad, ch), np.float32)])
-                break
-            pend = np.concatenate(
-                [pend, np.asarray(blk, np.float32) * catt])
-
     for f0 in range(0, F, frames_per_chunk):
         nf = min(frames_per_chunk, F - f0)
         s = (k0 + f0) * hop
-        if s > pos0:
-            # fill BEFORE dropping: when hop does not divide pad, the
-            # first chunk's start k0*hop exceeds the pad-only buffer and
-            # an early slice would misalign the whole stream
-            fill(s - pos0 + need)
-            pend = pend[s - pos0:]
-            pos0 = s
-        fill(need)
-        sig = pend[:need]
-        if len(sig) < need:
-            sig = np.concatenate(
-                [sig, np.zeros((need - len(sig), ch), np.float32)])
+        reader.advance(s)
+        sig = reader.window(s, need)
         levels[f0:f0 + nf] = np.asarray(stft.frame_levels_chunk(
             sig, n_fft, hop, frames_per_chunk))[:nf]
     return levels
@@ -499,31 +478,19 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
             stage.write(np.asarray(out, np.float32))
             abs_written = e
 
-        # rolling input buffer: `pend` holds the padded+attenuated stream
-        # (xp coords) starting at pos0
+        # rolling input: the padded+attenuated stream in xp coords
         if f0_start == 0:
             fin.seek(0)
-            pend = np.zeros((pad, ch), np.float32)
-            pos0 = 0
+            reader = RollingReader(fin.read, ch, scale=catt, left_pad=pad,
+                                   block=hop * 512)
         else:
             pos0 = (k0 + f0_start) * hop
             fin.seek(min(pos0 - pad, total))  # k0*hop >= pad, so >= 0
-            pend = np.zeros((0, ch), np.float32)
-        drained = False
+            reader = RollingReader(fin.read, ch, scale=catt,
+                                   block=hop * 512, base=pos0)
         need = engine.chunk_input_len
         inflight = None
         snap = None
-
-        def read_more():
-            nonlocal pend, drained
-            blk = fin.read(hop * 512)
-            if len(blk) == 0:
-                drained = True
-                pend = np.concatenate(
-                    [pend, np.zeros((pad, ch), np.float32)])
-            else:
-                pend = np.concatenate(
-                    [pend, np.asarray(blk, np.float32) * catt])
 
         def consume(ready):
             c_f0, c_nf, c_packed = ready
@@ -536,23 +503,13 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
         for f0 in range(f0_start, F, frames_per_chunk):
             nf = min(frames_per_chunk, F - f0)
             s = (k0 + f0) * hop
-            drop = s - pos0
-            if drop > 0:
-                while len(pend) < drop and not drained:
-                    read_more()
-                pend = pend[drop:]
-                pos0 = s
+            reader.advance(s)
             if ckpt is not None and f0 > f0_start \
                     and ((f0 - f0_start) // frames_per_chunk) \
                     % ckpt.every == 0:
                 snap = dict(f0=f0, out_tail=np.asarray(out_tail),
                             w_tail=np.asarray(w_tail))
-            while len(pend) < need and not drained:
-                read_more()
-            sig = pend[:need]
-            if len(sig) < need:
-                sig = np.concatenate(
-                    [sig, np.zeros((need - len(sig), ch), np.float32)])
+            sig = reader.window(s, need)
             packed, ctl_carry, out_tail, w_tail = chunk_fn(
                 sig, jnp.int32(nf), ctl_carry, out_tail,
                 w_tail, ctl_params, gain_one)

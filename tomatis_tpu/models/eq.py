@@ -17,6 +17,7 @@ from tomatis_tpu.engine.streaming import (ChunkedStftEngine, _encode_pcm24,
                                           EPS, wire_prepare_input)
 from tomatis_tpu.io import audio
 from tomatis_tpu.models.controllers import StaticGainController
+from tomatis_tpu.utils.rolling import RollingReader
 
 
 # ---------------------------------------------------------------------------
@@ -208,10 +209,12 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
         int_in = (pre_gain == 1.0
                   and getattr(fin, "int24_readable", False))
         in_dt = np.int32 if int_in else np.float32
-        pend = np.zeros((pad_len, ch), in_dt)
-        drained = False
+        read_fn = fin.read_int24 if int_in else fin.read
+        scale = (np.float32(pre_gain)
+                 if not int_in and pre_gain != 1.0 else None)
         peak_seen = 0.0
         inflight = None
+        lead, pos = pad_len, 0
         if resume is not None:
             sc = resume["__meta__"]["scalars"]
             f0_start = int(sc["next_f0"])
@@ -221,9 +224,12 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
             # reposition the padded input stream at sample f0_start*hop
             pos = f0_start * hop
             lead = max(0, pad_len - pos)
-            pend = np.zeros((lead, ch), in_dt)
             if pos > pad_len:
                 fin.seek(pos - pad_len)
+        # padded input stream in RollingReader coords (0 = first pad zero)
+        reader = RollingReader(read_fn, ch, dtype=in_dt, scale=scale,
+                               left_pad=lead, base=pos,
+                               block=engine.emit_len)
 
         def write_piece(piece, pk):
             nonlocal peak_seen
@@ -249,27 +255,10 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 pk = float(np.max(np.abs(piece))) if emit_n else 0.0
             write_piece(piece, pk)
 
-        def assemble(nf):
-            """Fill pend and return the prepared device/host input arg."""
-            nonlocal pend, drained
-            want = (nf - 1) * hop + n_fft
-            while len(pend) < want and not drained:
-                blk = (fin.read_int24(engine.emit_len) if int_in
-                       else fin.read(engine.emit_len))
-                if len(blk) == 0:
-                    drained = True
-                    break
-                if not int_in and pre_gain != 1.0:
-                    blk = blk * np.float32(pre_gain)
-                pend = np.concatenate(
-                    [pend, np.asarray(blk, in_dt)], 0)
-            if len(pend) < want:
-                pend = np.concatenate(
-                    [pend, np.zeros((want - len(pend), ch), in_dt)], 0)
-            sig = pend[:need]
-            if len(sig) < need:
-                sig = np.concatenate(
-                    [sig, np.zeros((need - len(sig), ch), in_dt)], 0)
+        def assemble(f0):
+            """Window the padded stream at chunk f0 and return the
+            prepared device/host input arg."""
+            sig = reader.window(f0 * hop, need)
             if int_in:
                 from tomatis_tpu.engine.streaming import \
                     wire_prepare_input_i32
@@ -280,12 +269,12 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
             return sig_arg
 
         def _stream():
-            nonlocal pend, drained, inflight, ctl_carry, out_tail, w_tail
+            nonlocal inflight, ctl_carry, out_tail, w_tail
             staged = None
             for f0 in range(f0_start, F, frames_per_chunk):
                 nf = min(frames_per_chunk, F - f0)
                 if staged is None:
-                    staged = assemble(nf)
+                    staged = assemble(f0)
                 if ckpt is not None:
                     # pre-dispatch state: resuming at f0 needs the tails as
                     # they are NOW (persisted after chunk f0-1 is written)
@@ -308,9 +297,8 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                     started = engine.fetch_wire_start(*inflight[1])
                 staged = None
                 if f0 + frames_per_chunk < F:
-                    pend = pend[nf * hop:]
-                    staged = assemble(min(frames_per_chunk,
-                                          F - f0 - frames_per_chunk))
+                    reader.advance((f0 + frames_per_chunk) * hop)
+                    staged = assemble(f0 + frames_per_chunk)
                 try:
                     wait_arr.block_until_ready()
                     wait_arr.copy_to_host_async()

@@ -33,6 +33,7 @@ from tomatis_tpu.ops.dsp import EPS
 from tomatis_tpu.parallel.sharded import (make_mesh,
                                           sharded_stream_step,
                                           sharded_xfade_stream_step)
+from tomatis_tpu.utils.rolling import RollingReader
 from tomatis_tpu.utils.stateio import StateCsvWriter
 
 
@@ -145,27 +146,13 @@ def process_sharded(in_path, out_path, p=None,
         in_ty = jnp.zeros((1, tail, ch), jnp.float32)
         in_tw = jnp.zeros((1, tail), jnp.float32)
 
-        pend = np.zeros((pad, ch), np.float32)   # padded input stream
-        drained = False
+        # padded-coordinate input stream (coord 0 = abs -pad)
+        reader = RollingReader(fin.read, ch, left_pad=pad, block=hop * 512)
         need = (F_tot - 1) * hop + n_fft
-
-        def fill(n):
-            nonlocal pend, drained
-            while len(pend) < n and not drained:
-                blk = fin.read(hop * 512)
-                if len(blk) == 0:
-                    drained = True
-                    break
-                pend = np.concatenate(
-                    [pend, np.asarray(blk, np.float32)])
-            if len(pend) < n:
-                pend = np.concatenate(
-                    [pend, np.zeros((n - len(pend), ch), np.float32)])
 
         for f0 in range(0, max(n_frames, 0), F_tot):
             nf = min(F_tot, n_frames - f0)
-            fill(need)
-            sig = pend[:need]
+            sig = reader.window(f0 * hop, need)
             frames = stft.frame_signal(sig, n_fft, hop, F_tot)[None]
             nv = jnp.full((1,), nf, jnp.int32)
             if xf:
@@ -206,7 +193,7 @@ def process_sharded(in_path, out_path, p=None,
             cut_i, out_base = runner._drain(out_pend, [], [], cut_i,
                                             out_base, last, fout.write)
             # pop the consumed input window (keep the n_fft-hop overlap)
-            pend = pend[nf * hop:]
+            reader.advance((f0 + nf) * hop)
 
         fout.close()
         if csvw:
