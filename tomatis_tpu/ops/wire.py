@@ -331,22 +331,33 @@ def pack_device(v, n: int, ch: int):
     def diff(x):
         return x - jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
 
+    # Candidate widths for all (variant, order) pairs, computed in the
+    # BLOCKED layout with a cross-block diff carry: one pad+reshape per
+    # variant instead of one per candidate (10 materialized 16 MB copies
+    # measured ~38 ms of the pack on a v5e; the blocked chain fuses).
+    thresh = jnp.asarray((1 << np.arange(3, _WMAX - 1, dtype=np.int64))
+                         .astype(np.uint32))
+    in_range = (jnp.arange(K * B, dtype=jnp.int32)
+                .reshape(K, B) < n)[None]                  # [1, K, B]
     all_w, all_tot = [], []
     for x0 in variants:
-        r = x0
+        cur = jnp.pad(x0, ((0, 0), (0, pad))).reshape(ch, K, B)
         for o in range(5):
-            rp = jnp.pad(r, ((0, 0), (0, pad))).reshape(ch, K, B)
-            u = (rp ^ (rp >> 31)).astype(jnp.uint32)
+            u = (cur ^ (cur >> 31)).astype(jnp.uint32)
             umax = jnp.max(u, axis=2)                      # [ch, K]
-            thresh = jnp.asarray(
-                (1 << np.arange(3, _WMAX - 1, dtype=np.int64))
-                .astype(np.uint32))
             w = 4 + jnp.sum(umax[:, :, None] >= thresh[None, None, :],
                             axis=2)
-            w = jnp.where(jnp.any(rp != 0, axis=2), w, 0).astype(jnp.int32)
+            w = jnp.where(jnp.any(cur != 0, axis=2), w, 0).astype(jnp.int32)
             all_w.append(w)
             all_tot.append(H + 8 * jnp.sum(w, dtype=jnp.int32))
-            r = diff(r)
+            if o < 4:
+                # blocked first difference: shift within blocks, carry
+                # the previous block's last sample; keep pad-region zeros
+                prev = jnp.concatenate(
+                    [jnp.zeros((ch, 1), cur.dtype), cur[:, :-1, -1]], 1)
+                shifted = jnp.concatenate(
+                    [prev[:, :, None], cur[:, :, :-1]], 2)
+                cur = jnp.where(in_range, cur - shifted, 0)
     totals = jnp.stack(all_tot)
     bi = jnp.argmin(totals)                                # first minimum
     order = (bi % 5).astype(jnp.uint32)
@@ -451,16 +462,25 @@ def unpack_device(buf, n: int, ch: int):
                  & 255).astype(jnp.int32)
         wflat = jnp.minimum(wflat, _WMAX)     # corrupt widths: clamp
         obase = jnp.cumsum(wflat) - wflat
-        # stream rows (8-word octets) start at word H; valid octets never
-        # cross the row grid (used - H is a multiple of 8)
-        S_cap = max((W - H) // 8, 0)
-        rows = jnp.concatenate(
-            [words[H:H + S_cap * 8].reshape(S_cap, 8),
-             jnp.zeros((1, 8), jnp.uint32)])
+        # One 240-word contiguous gather per BLOCK (each block's stream
+        # region is contiguous: 8*w words at H + 8*obase): a 960-byte
+        # slice fills the TPU's 512-byte lane tiles, where 8-word octet
+        # gathers ran at element speed (~80M/s, measured 3x the rest of
+        # the unpack). Over-read into the next blocks' data is masked.
+        blkw = 8 * _WMAX
+        wpad = jnp.concatenate([words, jnp.zeros(blkw, jnp.uint32)])
+        starts = jnp.minimum(H + 8 * obase, W).astype(jnp.int32)
+        win = jax.lax.gather(
+            wpad, starts[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(blkw,), indices_are_sorted=True,
+            mode=jax.lax.GatherScatterMode.CLIP)           # [T, 240]
         o = jnp.arange(_WMAX, dtype=jnp.int32)[None, :]
         valid = o < wflat[:, None]                         # [T, 30]
-        oct_idx = jnp.where(valid, obase[:, None] + o, S_cap)
-        planes = rows[oct_idx]                             # [T, 30, 8]
+        planes = jnp.where(valid[:, :, None],
+                           win.reshape(T, _WMAX, 8), 0)
         Xr = jnp.concatenate(
             [planes, jnp.zeros((T, 32 - _WMAX, 8), jnp.uint32)], 1)
         X = jnp.swapaxes(Xr, 1, 2)[:, :, ::-1]             # [t, j, l]
