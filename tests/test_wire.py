@@ -41,6 +41,15 @@ def _signals():
         amp = 10 ** rng.uniform(0, 7)
         yield f"fuzz{k}", np.clip(amp * rng.standard_normal((nn, cc)),
                                   -8388608, 8388607).astype(np.int32)
+    # exact block-grid boundaries (B=256): the device pack's blocked diff
+    # carries the previous block's last sample across the block edge and
+    # masks the pad region — one-off errors there change the chosen
+    # widths/order and break byte identity with the oracle
+    for nn in (255, 256, 257, 511, 512, 513):
+        big = np.clip(3e6 * rng.standard_normal((nn, 2)),
+                      -8388608, 8388607).astype(np.int32)
+        big[-1] = 8388607          # large step right at the block edge
+        yield f"blockedge{nn}", big
 
 
 @pytest.mark.parametrize("name,v", list(_signals()))
