@@ -474,7 +474,6 @@ class StreamRunner:
         float_refs: list = []  # (abs_start, n, device/host floats) for clamps
         out_base = -pad
         cut_i = 0
-        drained = False
         states_count = np.zeros(3, np.int64)
         self.audio_samples_written = 0
 

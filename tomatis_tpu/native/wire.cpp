@@ -285,8 +285,9 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
 extern "C" {
 
 long twire_max_bytes(long n, int ch) {
-    // packed worst case; raw escape keeps used below raw_words + 1 spill
-    return (header_words(n, ch) + 8L * 30 * ch * n_blocks(n) + 1) * 4;
+    // packed-layout worst case, matching ops/wire.py max_words (the raw
+    // escape keeps used_words <= raw_words, which is always smaller)
+    return (header_words(n, ch) + 8L * 30 * ch * n_blocks(n)) * 4;
 }
 
 long twire_encode_i32(const int32_t* v, long n, int ch, uint8_t* out,

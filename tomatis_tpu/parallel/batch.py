@@ -19,6 +19,7 @@ import numpy as np
 
 from tomatis_tpu.engine.streaming import ChunkedStftEngine, StreamRunner
 from tomatis_tpu.io import audio
+from tomatis_tpu.utils.rolling import RollingReader
 from tomatis_tpu.utils.stateio import StateCsvWriter
 
 
@@ -33,12 +34,10 @@ class _Lane:
         self.eng = runner.engine
         self.plan = runner.plan
         self.reader = None
+        self.rolling = None
         self.writer = None
         self.csvw = None
         self.state_csv_path = state_csv_path
-        self.pend = np.zeros((self.plan.pad, runner.engine.channels),
-                             np.float32)
-        self.drained = False
         self.frame0 = 0
         self.out_pend: list = []
         self.peak_pend: list = []
@@ -55,6 +54,10 @@ class _Lane:
 
     def open(self, sr, ch):
         self.reader = audio.AudioFile(self.in_path, "r")
+        self.rolling = RollingReader(self.reader.read, ch,
+                                     left_pad=self.plan.pad,
+                                     base=-self.plan.pad,
+                                     block=self.eng.emit_len)
         self.writer = audio.AudioFile(self.out_path, "w", samplerate=sr,
                                       channels=ch, subtype="PCM_24")
         if self.state_csv_path:
@@ -74,31 +77,17 @@ class _Lane:
     def next_sig(self):
         """Prepare this lane's fixed-shape input slice; returns (sig, nf)."""
         eng = self.eng
-        hop, n_fft, C = eng.hop, eng.n_fft, eng.channels
         nf = min(eng.frames_per_chunk, self.n_frames - self.frame0)
         if nf <= 0:
-            return (np.zeros((eng.chunk_input_len, C), np.float32), 0)
-        need = (nf - 1) * hop + n_fft
-        while len(self.pend) < need and not self.drained:
-            blk = self.reader.read(eng.emit_len)
-            if len(blk) == 0:
-                self.drained = True
-                break
-            self.pend = np.concatenate([self.pend, blk], 0)
-        if len(self.pend) < need:
-            self.pend = np.concatenate(
-                [self.pend,
-                 np.zeros((need - len(self.pend), C), np.float32)], 0)
-        sig = self.pend[:eng.chunk_input_len]
-        if len(sig) < eng.chunk_input_len:
-            sig = np.concatenate(
-                [sig, np.zeros((eng.chunk_input_len - len(sig), C),
-                               np.float32)], 0)
+            return (np.zeros((eng.chunk_input_len, eng.channels),
+                             np.float32), 0)
+        sig = self.rolling.window(-self.plan.pad + self.frame0 * eng.hop,
+                                  eng.chunk_input_len)
         return sig, nf
 
     def advance(self, nf):
-        self.pend = self.pend[nf * self.eng.hop:]
         self.frame0 += nf
+        self.rolling.advance(-self.plan.pad + self.frame0 * self.eng.hop)
 
     def consume(self, c_frame0, c_nf, packed, out_dev):
         eng, runner = self.eng, self.runner
