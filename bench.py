@@ -72,6 +72,61 @@ def probe_link(mb: float = 8.0) -> dict:
     return {"d2h_mbps": round(d2h, 1), "h2d_mbps": round(h2d, 1)}
 
 
+def link_floor(in_total: int, out_total: int, n_chunks: int,
+               aux_words: int) -> float:
+    """Replay the timed run's host<->device transfer pattern with ZERO
+    compute: per chunk, one bucketed input upload (the wire-compressed
+    h2d), one small aux round trip, then the paged output readback
+    (async fetches, then materialize) — the same sequence the stream
+    driver issues. The wall time of this replay is the honest floor for
+    the measured pipeline on the link as it behaves right now (the probe
+    ceiling is idealized: one big transfer per direction, no latency).
+    Returns seconds."""
+    import jax
+    import jax.numpy as jnp
+    from tomatis_tpu.engine.streaming import WIRE_BUCKET, WIRE_PAGE
+
+    in_chunk = -(-in_total // n_chunks)
+    in_bucket = -(-in_chunk // WIRE_BUCKET) * WIRE_BUCKET
+    n_pages = -(-(-(-out_total // n_chunks)) // WIRE_PAGE)
+    PW = WIRE_PAGE // 4
+
+    sink = jax.jit(lambda x: x.reshape(-1)[:4] + 1.0)
+    make = jax.jit(lambda s: tuple(
+        jnp.arange(PW, dtype=jnp.uint32) + s + i for i in range(n_pages)))
+    make_aux = jax.jit(
+        lambda s: jnp.arange(aux_words, dtype=jnp.float32) + s)
+
+    def run(seed):
+        inflight = None
+        for k in range(n_chunks):
+            arr = np.full(in_bucket, seed + k, np.uint8)   # h2d upload
+            r = sink(arr)
+            aux = make_aux(jnp.float32(seed + k))
+            pages = make(jnp.uint32(seed + k))
+            if inflight is not None:
+                _drain(inflight)
+            np.asarray(r)
+            inflight = (aux, pages)
+        _drain(inflight)
+
+    def _drain(inflight):
+        aux, pages = inflight
+        np.asarray(aux)                    # aux round trip (sync, small)
+        for pg in pages:
+            try:
+                pg.copy_to_host_async()    # paged readback, async
+            except AttributeError:
+                pass
+        for pg in pages:
+            np.asarray(pg)
+
+    run(0)   # warm the three executables + shapes
+    t0 = time.perf_counter()
+    run(1)
+    return time.perf_counter() - t0
+
+
 def device_resident_factor(p, sr: int, frames_per_chunk: int,
                            n_chunks: int = 4) -> float:
     """Per-chip processing rate with inputs pre-resident and outputs left
@@ -240,6 +295,13 @@ def main() -> int:
 
     rtf = audio_sec / best
     wire = best_stats.get("wire", {})
+    floor_x = None
+    if wire.get("in_bytes", 0) and wire.get("out_bytes", 0):
+        n_chunks = -(-best_stats["n_frames"] // args.frames_per_chunk)
+        aux_words = 3 * (args.frames_per_chunk + p.n_fft // p.hop - 1) + 2
+        floor_s = link_floor(wire["in_bytes"], wire["out_bytes"],
+                             n_chunks, aux_words)
+        floor_x = round(audio_sec / floor_s, 1)
     bytes_total = (wire.get("in_bytes", 0)
                    + wire.get("out_bytes", 0)) / audio_sec
     # what the measured link alone would allow if everything else hid
@@ -267,6 +329,7 @@ def main() -> int:
         "link_probe_mbps": link,
         "link_bound_ceiling_x": (round(ceiling, 1)
                                  if ceiling is not None else None),
+        "link_floor_x": floor_x,
         "device_resident_x": (round(resident_x, 1)
                               if resident_x is not None else None),
         "device": str(dev),

@@ -596,39 +596,83 @@ class StreamRunner:
                 frames_consumed=int(snap["frame0"]))
             ckpt.maybe_save(state, force=True)
 
-        def assemble(f0):
-            """Window the input stream at chunk f0 and return the prepared
-            fixed-shape device/host input (host side)."""
-            sig = reader.window(-pad + f0 * hop, eng.chunk_input_len)
-            return prepare(sig)
-
-        def prepare(sig):
-            """Wire-compress the input chunk when it is PCM_24-exact: the
-            C++ codec packs it (~half the float32 bytes), the device
-            unpacks with pure XLA gathers + cumsums — bit-identical to
-            shipping the floats. Non-exact float chunks ship as float32;
-            int24 sources stay integer end to end (no float pass at all)."""
+        def encode_host(sig):
+            """Host half of input staging (runs on the producer thread —
+            file read + C++ wire encode only, NO JAX calls): wire-compress
+            the chunk when it is PCM_24-exact. Returns a tagged item for
+            to_device. Int24 sources stay integer end to end; float
+            sources that are not PCM_24-exact ship raw."""
             if not self.wire_input:
-                return sig
+                return ("raw", sig)
+            from tomatis_tpu.io import wirecodec
             if int_in:
-                arg, nbytes = wire_prepare_input_i32(
-                    sig, eng.chunk_input_len, C)
-                self.wire_stats["in_bytes"] += nbytes
-                return arg
-            arg, nbytes = wire_prepare_input(sig, eng.chunk_input_len, C)
-            if nbytes == 0:
+                return ("wire", wirecodec.encode_i32(sig))
+            packed = wirecodec.encode_f32(sig)
+            if packed is None:
+                return ("raw_inexact", sig)
+            return ("wire", packed)
+
+        def to_device(item):
+            """Device half of input staging (main thread — every JAX
+            dispatch stays on one thread): bucketed on-device unpack of
+            wire items, bit-identical to shipping the floats; raw chunks
+            pass through (transfer implicit in the chunk_fn call)."""
+            kind, val = item
+            if kind == "wire":
+                self.wire_stats["in_bytes"] += len(val)
+                return _bucketed_unpack(val, eng.chunk_input_len, C)
+            if kind == "raw_inexact":
                 self.wire_stats["in_raw_chunks"] += 1
-            else:
-                self.wire_stats["in_bytes"] += nbytes
-            return arg
+            return val
+
+        # Input prefetch thread: the file read + C++ wire encode of chunk
+        # k+1 runs concurrently with chunk k's link transfers (the encode
+        # releases the GIL inside the C call; ~0.1 s per chunk that would
+        # otherwise serialize with the link). The queue holds one chunk of
+        # lookahead; exceptions surface on the main thread at the next get.
+        import queue as _queue
+        import threading as _threading
+
+        stop_evt = _threading.Event()
+        stage_q: _queue.Queue = _queue.Queue(maxsize=2)
+
+        def produce(f0):
+            try:
+                while f0 < n_frames:
+                    sig = reader.window(-pad + f0 * hop,
+                                        eng.chunk_input_len)
+                    item = encode_host(sig)
+                    f0 += min(F_c, n_frames - f0)
+                    if f0 < n_frames:
+                        reader.advance(-pad + f0 * hop)
+                    while not stop_evt.is_set():
+                        try:
+                            stage_q.put(item, timeout=0.2)
+                            break
+                        except _queue.Full:
+                            continue
+                    if stop_evt.is_set():
+                        return
+            except BaseException as e:  # pragma: no cover - I/O failures
+                stage_q.put(e)
+
+        producer = _threading.Thread(target=produce, args=(frame0,),
+                                     daemon=True)
+        producer.start()
+
+        def next_staged():
+            item = stage_q.get()
+            if isinstance(item, BaseException):
+                raise item
+            return to_device(item)
 
         # Software pipeline: dispatch chunk k+1 (async) before materializing
         # chunk k, so device->host readback (the bottleneck over a tunneled
         # TPU) overlaps the next chunk's compute. The next chunk's input is
-        # assembled on host right after dispatch (file read + decode hide
-        # under the device work); the actual transfer stays implicit in the
-        # jit call — explicit jax.device_put takes a much slower RPC path
-        # on tunneled TPUs.
+        # staged to device right after dispatch (its host encode already
+        # ran on the producer thread); the transfer stays implicit in the
+        # jit/unpack call — explicit jax.device_put takes a much slower RPC
+        # path on tunneled TPUs.
         import time as _time
         timings = {"input_host_s": 0.0, "dispatch_compute_s": 0.0,
                    "consume_s": 0.0}
@@ -636,75 +680,81 @@ class StreamRunner:
         chunk_i = 0
         snapshot = None
         staged = None
-        while frame0 < n_frames:
-            nf = min(F_c, n_frames - frame0)
-            take_snap = (ckpt is not None and chunk_i > 0
-                         and chunk_i % ckpt.every == 0)
-            if take_snap:
-                snapshot = capture_snapshot(frame0, ctl_carry, out_tail,
-                                            w_tail)
-            chunk_i += 1
-            if staged is None:
-                _t = _time.perf_counter()
-                staged = assemble(frame0)
-                timings["input_host_s"] += _time.perf_counter() - _t
+        try:
+            while frame0 < n_frames:
+                nf = min(F_c, n_frames - frame0)
+                take_snap = (ckpt is not None and chunk_i > 0
+                             and chunk_i % ckpt.every == 0)
+                if take_snap:
+                    snapshot = capture_snapshot(frame0, ctl_carry, out_tail,
+                                                w_tail)
+                chunk_i += 1
+                if staged is None:
+                    _t = _time.perf_counter()
+                    staged = next_staged()
+                    timings["input_host_s"] += _time.perf_counter() - _t
 
-            _t = _time.perf_counter()
-            res = self.chunk_fn(
-                staged, jnp.int32(nf), ctl_carry, out_tail,
-                w_tail, self.ctl_params, self.gain_f32)
-            timings["dispatch_compute_s"] += _time.perf_counter() - _t
-            # start the previous chunk's readback NOW: the async page
-            # transfer rides the link while we assemble the next input
-            started = None
-            if inflight is not None:
                 _t = _time.perf_counter()
-                started = consume_start(inflight)
-                timings["consume_s"] += _time.perf_counter() - _t
-            # assemble the next chunk's input while the device works
-            staged = None
-            next_frame0 = frame0 + nf
-            if next_frame0 < n_frames:
+                res = self.chunk_fn(
+                    staged, jnp.int32(nf), ctl_carry, out_tail,
+                    w_tail, self.ctl_params, self.gain_f32)
+                timings["dispatch_compute_s"] += _time.perf_counter() - _t
+                # start the previous chunk's readback NOW: the async page
+                # transfer rides the link while we stage the next input
+                started = None
+                if inflight is not None:
+                    _t = _time.perf_counter()
+                    started = consume_start(inflight)
+                    timings["consume_s"] += _time.perf_counter() - _t
+                # stage the next chunk's input while the device works
+                staged = None
+                next_frame0 = frame0 + nf
+                if next_frame0 < n_frames:
+                    _t = _time.perf_counter()
+                    staged = next_staged()
+                    timings["input_host_s"] += _time.perf_counter() - _t
+                if wire:
+                    auxw, pages, out_dev, ctl_carry, out_tail, w_tail = res
+                    packed = (auxw, pages)
+                    wait_arr = auxw
+                elif pcm24:
+                    packed, out_dev, ctl_carry, out_tail, w_tail = res
+                    wait_arr = packed
+                else:
+                    packed, ctl_carry, out_tail, w_tail = res
+                    out_dev = None
+                    wait_arr = packed
                 _t = _time.perf_counter()
-                reader.advance(-pad + next_frame0 * hop)
-                staged = assemble(next_frame0)
-                timings["input_host_s"] += _time.perf_counter() - _t
-            if wire:
-                auxw, pages, out_dev, ctl_carry, out_tail, w_tail = res
-                packed = (auxw, pages)
-                wait_arr = auxw
-            elif pcm24:
-                packed, out_dev, ctl_carry, out_tail, w_tail = res
-                wait_arr = packed
-            else:
-                packed, ctl_carry, out_tail, w_tail = res
-                out_dev = None
-                wait_arr = packed
-            _t = _time.perf_counter()
-            try:
-                # Wait for the (cheap) compute, then start the readback:
-                # issuing copy_to_host_async on a not-yet-computed array
-                # falls into a much slower transfer path on tunneled TPUs.
-                wait_arr.block_until_ready()
-                wait_arr.copy_to_host_async()
-            except AttributeError:
-                pass
-            timings["dispatch_compute_s"] += _time.perf_counter() - _t
+                try:
+                    # Wait for the (cheap) compute, then start the readback:
+                    # issuing copy_to_host_async on a not-yet-computed array
+                    # falls into a much slower transfer path on tunneled TPUs.
+                    wait_arr.block_until_ready()
+                    wait_arr.copy_to_host_async()
+                except AttributeError:
+                    pass
+                timings["dispatch_compute_s"] += _time.perf_counter() - _t
 
-            if inflight is not None:
-                _t = _time.perf_counter()
-                consume(inflight, started)
-                timings["consume_s"] += _time.perf_counter() - _t
-                if on_progress is not None:
-                    # frames fully processed and written so far
-                    on_progress(inflight[0] + inflight[1], n_frames)
-            if snapshot is not None:
-                # everything before snapshot['frame0'] is now consumed and
-                # drained; the saved state resumes exactly there
-                save_checkpoint(snapshot)
-                snapshot = None
-            inflight = (frame0, nf, packed, out_dev)
-            frame0 += nf  # input already advanced during pre-staging
+                if inflight is not None:
+                    _t = _time.perf_counter()
+                    consume(inflight, started)
+                    timings["consume_s"] += _time.perf_counter() - _t
+                    if on_progress is not None:
+                        # frames fully processed and written so far
+                        on_progress(inflight[0] + inflight[1], n_frames)
+                if snapshot is not None:
+                    # everything before snapshot['frame0'] is now consumed and
+                    # drained; the saved state resumes exactly there
+                    save_checkpoint(snapshot)
+                    snapshot = None
+                inflight = (frame0, nf, packed, out_dev)
+                frame0 += nf  # input already advanced during pre-staging
+        finally:
+            # stop a producer that is still blocked on a full queue (an
+            # exception above leaves un-got items); harmless after a
+            # normal exit where the thread has already finished
+            stop_evt.set()
+            producer.join(timeout=5.0)
 
         if inflight is not None:
             consume(inflight)
