@@ -95,7 +95,7 @@ def run(args) -> int:
     if t:
         print(f"stages: input {t.get('input_host_s', 0):.2f}s  "
               f"device {t.get('dispatch_compute_s', 0):.2f}s  "
-              f"readback+write {t.get('consume_s', 0):.2f}s")
+              f"readback {t.get('consume_s', 0):.2f}s")
     return 0
 
 

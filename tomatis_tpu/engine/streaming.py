@@ -528,19 +528,34 @@ class StreamRunner:
             _, _, c_packed, _ = ready
             return eng.fetch_wire_start(c_packed[0], c_packed[1])
 
-        def consume(ready, started=None):
-            """Materialize a dispatched chunk's results and route them."""
-            nonlocal out_base, cut_i
-            c_frame0, c_nf, c_packed, c_out_dev = ready
+        def consume_materialize(ready, started=None):
+            """Main thread: wait out the device->host transfers and return
+            the raw buffer(s) for the host half (all touching of jax
+            arrays stays on the dispatching thread)."""
             if wire:
                 if started is None:
                     started = consume_start(ready)
-                payload, aux, used_bytes = eng.fetch_wire_finish(started)
+                rows, used_bytes, pgs = started
+                buf = np.concatenate([np.asarray(pg) for pg in pgs])
+                return rows, used_bytes, buf
+            return np.asarray(ready[2])
+
+        def consume_host(ready, mat):
+            """Consumer-thread half: decode the payload (C++ wire decode
+            releases the GIL) and route it — CSV rows, pending output,
+            flush-cut drain, file write."""
+            nonlocal out_base, cut_i
+            c_frame0, c_nf, c_packed, c_out_dev = ready
+            if wire:
+                from tomatis_tpu.io import wirecodec
+                aux, used_bytes, buf = mat
+                payload = wirecodec.decode_pcm24(
+                    buf.view(np.uint8), eng.emit_full, C)
                 self.wire_stats["out_bytes"] += used_bytes
             elif pcm24:
-                payload, aux = eng.unpack_pcm24(np.asarray(c_packed))
+                payload, aux = eng.unpack_pcm24(mat)
             else:
-                payload, aux = eng.unpack_f32(np.asarray(c_packed))
+                payload, aux = eng.unpack_f32(mat)
             log = {"levels": aux[0, :c_nf]}
             for i, k in enumerate(log_keys):
                 log[k] = aux[1 + i, :c_nf]
@@ -566,6 +581,11 @@ class StreamRunner:
             cut_i, out_base = self._drain(
                 out_pend, peak_pend, float_refs, cut_i, out_base,
                 False, on_audio)
+
+        def consume(ready, started=None):
+            """Synchronous consume (post-loop final chunk; also the
+            composition the consumer pipeline is equivalent to)."""
+            consume_host(ready, consume_materialize(ready, started))
 
         def capture_snapshot(next_frame0, carry, ot, wt):
             """Pre-dispatch state for chunk `next_frame0` (host copies)."""
@@ -666,6 +686,37 @@ class StreamRunner:
                 raise item
             return to_device(item)
 
+        # Output consumer thread: once the main thread has waited out a
+        # chunk's link transfer, the host-only half (wire decode, CSV
+        # rows, flush-cut drain, file write) runs here, overlapping the
+        # next chunk's transfers. Jobs run strictly in order (single
+        # worker); the checkpoint and final-flush paths join the queue
+        # first, so everything they read is fully drained.
+        cons_q: _queue.Queue = _queue.Queue(maxsize=2)
+        cons_err: list = []
+
+        def consume_worker():
+            while True:
+                job = cons_q.get()
+                try:
+                    if job is None:
+                        return
+                    if not cons_err:
+                        job()
+                except BaseException as e:  # surfaced via check_consumer
+                    cons_err.append(e)
+                finally:
+                    cons_q.task_done()
+
+        consumer = _threading.Thread(target=consume_worker, daemon=True)
+        consumer.start()
+
+        def check_consumer(join=False):
+            if join:
+                cons_q.join()
+            if cons_err:
+                raise cons_err[0]
+
         # Software pipeline: dispatch chunk k+1 (async) before materializing
         # chunk k, so device->host readback (the bottleneck over a tunneled
         # TPU) overlaps the next chunk's compute. The next chunk's input is
@@ -737,24 +788,34 @@ class StreamRunner:
 
                 if inflight is not None:
                     _t = _time.perf_counter()
-                    consume(inflight, started)
+                    mat = consume_materialize(inflight, started)
                     timings["consume_s"] += _time.perf_counter() - _t
-                    if on_progress is not None:
-                        # frames fully processed and written so far
-                        on_progress(inflight[0] + inflight[1], n_frames)
+
+                    def job(iv=inflight, m=mat):
+                        consume_host(iv, m)
+                        if on_progress is not None:
+                            # frames fully processed and written so far
+                            on_progress(iv[0] + iv[1], n_frames)
+                    cons_q.put(job)
+                    check_consumer()
                 if snapshot is not None:
-                    # everything before snapshot['frame0'] is now consumed and
-                    # drained; the saved state resumes exactly there
+                    # wait for the consumer: everything before
+                    # snapshot['frame0'] must be consumed and drained
+                    # before its state is captured
+                    check_consumer(join=True)
                     save_checkpoint(snapshot)
                     snapshot = None
                 inflight = (frame0, nf, packed, out_dev)
                 frame0 += nf  # input already advanced during pre-staging
+            check_consumer(join=True)
         finally:
             # stop a producer that is still blocked on a full queue (an
-            # exception above leaves un-got items); harmless after a
-            # normal exit where the thread has already finished
+            # exception above leaves un-got items) and shut the consumer
+            # down; harmless after a normal exit where both are idle
             stop_evt.set()
             producer.join(timeout=5.0)
+            cons_q.put(None)
+            consumer.join(timeout=5.0)
 
         if inflight is not None:
             consume(inflight)
@@ -784,8 +845,10 @@ class StreamRunner:
             c2_frames=int(states_count[2]),
             c1_ratio=states_count[1] / total_f if total_f else 0.0,
             c2_ratio=states_count[2] / total_f if total_f else 0.0,
-            # per-stage wall time: host input (read/decode/assemble),
-            # device dispatch+compute wait, readback+drain+write
+            # per-stage MAIN-THREAD wall time: input staging (queue wait +
+            # device unpack dispatch), device dispatch+compute wait,
+            # readback link wait (decode/drain/write run on the consumer
+            # thread and overlap the other stages)
             timings={k: round(v, 4) for k, v in timings.items()},
             wire=dict(self.wire_stats),
         )
