@@ -673,8 +673,16 @@ class StreamRunner:
                             continue
                     if stop_evt.is_set():
                         return
-            except BaseException as e:  # pragma: no cover - I/O failures
-                stage_q.put(e)
+            except BaseException as e:
+                # same bounded put as items: a full queue with a main
+                # thread that already errored out must not hang this
+                # thread on the exception hand-off
+                while not stop_evt.is_set():
+                    try:
+                        stage_q.put(e, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
 
         producer = _threading.Thread(target=produce, args=(frame0,),
                                      daemon=True)
