@@ -197,7 +197,7 @@ def main() -> int:
                     help="audio length to process per timed run")
     ap.add_argument("--sr", type=int, default=48000)
     ap.add_argument("--frames_per_chunk", type=int, default=1024)
-    ap.add_argument("--repeats", type=int, default=5,
+    ap.add_argument("--repeats", type=int, default=6,
                     help="best-of-N (the tunneled TPU's transfer "
                          "bandwidth varies heavily between runs)")
     ap.add_argument("--batch", type=int, default=0,

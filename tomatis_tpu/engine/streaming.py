@@ -61,28 +61,6 @@ def _bucketed_unpack(packed: np.ndarray, n: int, ch: int):
     return _UNPACK_INPUT(pb, n, ch)
 
 
-def wire_prepare_input(sig: np.ndarray, n: int, ch: int):
-    """Wire-compress a host->device input chunk when it is PCM_24-exact.
-
-    Returns (arg, packed_bytes): a device f32 array + its wire size, or
-    (sig unchanged, 0) when the chunk is not exactly PCM_24 (float
-    sources) — the caller then ships the floats as before. Bit-identical
-    either way."""
-    from tomatis_tpu.io import wirecodec
-    packed = wirecodec.encode_f32(sig)
-    if packed is None:
-        return sig, 0
-    return _bucketed_unpack(packed, n, ch), len(packed)
-
-
-def wire_prepare_input_i32(sig: np.ndarray, n: int, ch: int):
-    """Wire-compress an int32 PCM_24-scale input chunk (the float-free
-    path). Returns (device f32 array, packed_bytes)."""
-    from tomatis_tpu.io import wirecodec
-    packed = wirecodec.encode_i32(sig)
-    return _bucketed_unpack(packed, n, ch), len(packed)
-
-
 # ---------------------------------------------------------------------------
 # Flush plan: where the reference's streaming write-out cuts its chunks.
 # ---------------------------------------------------------------------------
@@ -184,7 +162,8 @@ class ChunkedStftEngine:
         """Read the (small, already transferred) aux array and issue the
         async fetches of only the pages the packed stream used — call this
         as early as possible so the transfer rides the link while the host
-        does other work, then fetch_wire_finish to materialize."""
+        does other work; materialize with np.asarray on the returned
+        pages, then wirecodec.decode_pcm24."""
         aux_np = np.asarray(auxw_dev)
         rows, used_bytes = self.unpack_wire_aux(aux_np)
         n_p = -(-used_bytes // WIRE_PAGE)
@@ -195,16 +174,6 @@ class ChunkedStftEngine:
             except AttributeError:
                 pass
         return rows, used_bytes, pgs
-
-    def fetch_wire_finish(self, started):
-        """Materialize started pages and decode the PCM_24 payload.
-        Returns (pcm bytes [emit_full*C*3], aux rows [R, W], used_bytes)."""
-        from tomatis_tpu.io import wirecodec
-        rows, used_bytes, pgs = started
-        buf = np.concatenate([np.asarray(pg) for pg in pgs])
-        pcm = wirecodec.decode_pcm24(buf.view(np.uint8), self.emit_full,
-                                     self.channels)
-        return pcm, rows, used_bytes
 
     def unpack_wire_aux(self, aux: np.ndarray):
         """Split the wire-transport aux array into (rows [R, W], used
@@ -648,82 +617,31 @@ class StreamRunner:
         # Input prefetch thread: the file read + C++ wire encode of chunk
         # k+1 runs concurrently with chunk k's link transfers (the encode
         # releases the GIL inside the C call; ~0.1 s per chunk that would
-        # otherwise serialize with the link). The queue holds one chunk of
-        # lookahead; exceptions surface on the main thread at the next get.
-        import queue as _queue
-        import threading as _threading
-
-        stop_evt = _threading.Event()
-        stage_q: _queue.Queue = _queue.Queue(maxsize=2)
+        # otherwise serialize with the link). One chunk of lookahead;
+        # exceptions surface on the main thread at the next get.
+        from tomatis_tpu.utils.pipeline import OrderedWorker, Prefetcher
 
         def produce(f0):
-            try:
-                while f0 < n_frames:
-                    sig = reader.window(-pad + f0 * hop,
-                                        eng.chunk_input_len)
-                    item = encode_host(sig)
-                    f0 += min(F_c, n_frames - f0)
-                    if f0 < n_frames:
-                        reader.advance(-pad + f0 * hop)
-                    while not stop_evt.is_set():
-                        try:
-                            stage_q.put(item, timeout=0.2)
-                            break
-                        except _queue.Full:
-                            continue
-                    if stop_evt.is_set():
-                        return
-            except BaseException as e:
-                # same bounded put as items: a full queue with a main
-                # thread that already errored out must not hang this
-                # thread on the exception hand-off
-                while not stop_evt.is_set():
-                    try:
-                        stage_q.put(e, timeout=0.2)
-                        break
-                    except _queue.Full:
-                        continue
+            while f0 < n_frames:
+                sig = reader.window(-pad + f0 * hop, eng.chunk_input_len)
+                item = encode_host(sig)
+                f0 += min(F_c, n_frames - f0)
+                if f0 < n_frames:
+                    reader.advance(-pad + f0 * hop)
+                yield item
 
-        producer = _threading.Thread(target=produce, args=(frame0,),
-                                     daemon=True)
-        producer.start()
+        prefetch = Prefetcher(produce(frame0))
 
         def next_staged():
-            item = stage_q.get()
-            if isinstance(item, BaseException):
-                raise item
-            return to_device(item)
+            return to_device(prefetch.get())
 
-        # Output consumer thread: once the main thread has waited out a
+        # Output worker thread: once the main thread has waited out a
         # chunk's link transfer, the host-only half (wire decode, CSV
         # rows, flush-cut drain, file write) runs here, overlapping the
-        # next chunk's transfers. Jobs run strictly in order (single
-        # worker); the checkpoint and final-flush paths join the queue
-        # first, so everything they read is fully drained.
-        cons_q: _queue.Queue = _queue.Queue(maxsize=2)
-        cons_err: list = []
-
-        def consume_worker():
-            while True:
-                job = cons_q.get()
-                try:
-                    if job is None:
-                        return
-                    if not cons_err:
-                        job()
-                except BaseException as e:  # surfaced via check_consumer
-                    cons_err.append(e)
-                finally:
-                    cons_q.task_done()
-
-        consumer = _threading.Thread(target=consume_worker, daemon=True)
-        consumer.start()
-
-        def check_consumer(join=False):
-            if join:
-                cons_q.join()
-            if cons_err:
-                raise cons_err[0]
+        # next chunk's transfers. Jobs run strictly in order; the
+        # checkpoint and final-flush paths join the queue first, so
+        # everything they read is fully drained.
+        writer = OrderedWorker()
 
         # Software pipeline: dispatch chunk k+1 (async) before materializing
         # chunk k, so device->host readback (the bottleneck over a tunneled
@@ -804,26 +722,23 @@ class StreamRunner:
                         if on_progress is not None:
                             # frames fully processed and written so far
                             on_progress(iv[0] + iv[1], n_frames)
-                    cons_q.put(job)
-                    check_consumer()
+                    writer.submit(job)
                 if snapshot is not None:
-                    # wait for the consumer: everything before
+                    # wait for the writer: everything before
                     # snapshot['frame0'] must be consumed and drained
                     # before its state is captured
-                    check_consumer(join=True)
+                    writer.check(join=True)
                     save_checkpoint(snapshot)
                     snapshot = None
                 inflight = (frame0, nf, packed, out_dev)
                 frame0 += nf  # input already advanced during pre-staging
-            check_consumer(join=True)
+            writer.check(join=True)
         finally:
-            # stop a producer that is still blocked on a full queue (an
-            # exception above leaves un-got items) and shut the consumer
+            # stop a prefetcher that is still blocked on a full queue (an
+            # exception above leaves un-got items) and shut the writer
             # down; harmless after a normal exit where both are idle
-            stop_evt.set()
-            producer.join(timeout=5.0)
-            cons_q.put(None)
-            consumer.join(timeout=5.0)
+            prefetch.close()
+            writer.close()
 
         if inflight is not None:
             consume(inflight)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tomatis_tpu.engine.streaming import (ChunkedStftEngine, _encode_pcm24,
-                                          EPS, wire_prepare_input)
+                                          EPS)
 from tomatis_tpu.io import audio
 from tomatis_tpu.models.controllers import StaticGainController
 from tomatis_tpu.utils.rolling import RollingReader
@@ -239,42 +239,93 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
             else:
                 fout.write(piece)
 
-        def consume(ready, started=None):
+        def consume_materialize(ready, started=None):
+            """Main thread: wait out the device->host transfers."""
             c_nf, c_packed = ready
-            emit_n = c_nf * hop + (engine.tail_len if c_nf < frames_per_chunk
-                                   else 0)
             if raw:
                 if started is None:
                     started = engine.fetch_wire_start(*c_packed)
-                payload, aux, _ = engine.fetch_wire_finish(started)
+                rows, _used, pgs = started
+                return rows, np.concatenate([np.asarray(pg) for pg in pgs])
+            return np.asarray(c_packed)
+
+        def consume_host(ready, mat):
+            """Worker-thread half: decode + peak track + file write."""
+            c_nf, _ = ready
+            emit_n = c_nf * hop + (engine.tail_len if c_nf < frames_per_chunk
+                                   else 0)
+            if raw:
+                from tomatis_tpu.io import wirecodec
+                aux, buf = mat
+                payload = wirecodec.decode_pcm24(
+                    buf.view(np.uint8), engine.emit_full, ch)
                 piece = payload[:emit_n * ch * 3]
                 pk = float(np.max(aux[-1][:emit_n // hop])) if emit_n else 0.0
             else:
-                payload, aux = engine.unpack_f32(np.asarray(c_packed))
+                payload, aux = engine.unpack_f32(mat)
                 piece = payload[:emit_n]
                 pk = float(np.max(np.abs(piece))) if emit_n else 0.0
             write_piece(piece, pk)
 
-        def assemble(f0):
-            """Window the padded stream at chunk f0 and return the
-            prepared device/host input arg."""
-            sig = reader.window(f0 * hop, need)
+        def consume(ready, started=None):
+            consume_host(ready, consume_materialize(ready, started))
+
+        def encode_host(sig):
+            """Producer-thread half of input staging (no JAX calls):
+            wire-compress when PCM_24-exact; the pre_gain path produces
+            floats and falls back to f32."""
+            from tomatis_tpu.io import wirecodec
             if int_in:
-                from tomatis_tpu.engine.streaming import \
-                    wire_prepare_input_i32
-                return wire_prepare_input_i32(sig, need, ch)[0]
-            # wire-compress the input chunk when PCM_24-exact (the
-            # pre_gain path produces floats and falls back to f32)
-            sig_arg, _ = wire_prepare_input(sig, need, ch)
-            return sig_arg
+                return ("wire", wirecodec.encode_i32(sig))
+            packed = wirecodec.encode_f32(sig)
+            return ("raw", sig) if packed is None else ("wire", packed)
+
+        def to_device(item):
+            kind, val = item
+            if kind == "wire":
+                from tomatis_tpu.engine.streaming import _bucketed_unpack
+                return _bucketed_unpack(val, need, ch)
+            return val
+
+        def produce(f0):
+            for f in range(f0, F, frames_per_chunk):
+                yield encode_host(reader.window(f * hop, need))
+                if f + frames_per_chunk < F:
+                    reader.advance((f + frames_per_chunk) * hop)
 
         def _stream():
+            # file read + wire encode prefetch on a producer thread;
+            # decode + write on an ordered worker (same pipeline as the
+            # engine driver). Checkpointed runs keep the write side
+            # synchronous: maybe_save must observe chunk f0-1 on disk.
+            from tomatis_tpu.utils.pipeline import OrderedWorker, Prefetcher
+            nonlocal inflight, ctl_carry, out_tail, w_tail
+            prefetch = Prefetcher(produce(f0_start))
+            writer_w = OrderedWorker() if ckpt is None else None
+            try:
+                _stream_loop(prefetch, writer_w)
+                if writer_w is not None:
+                    writer_w.check(join=True)
+            finally:
+                prefetch.close()
+                if writer_w is not None:
+                    writer_w.close()
+
+            if inflight is not None:
+                consume(inflight)
+            if F > 0 and F % frames_per_chunk == 0:
+                tail = (np.asarray(out_tail)
+                        / (np.asarray(w_tail)[:, None] + EPS))
+                pk = float(np.max(np.abs(tail))) if tail.size else 0.0
+                write_piece(_encode_pcm24(tail) if raw else tail, pk)
+
+        def _stream_loop(prefetch, writer_w):
             nonlocal inflight, ctl_carry, out_tail, w_tail
             staged = None
             for f0 in range(f0_start, F, frames_per_chunk):
                 nf = min(frames_per_chunk, F - f0)
                 if staged is None:
-                    staged = assemble(f0)
+                    staged = to_device(prefetch.get())
                 if ckpt is not None:
                     # pre-dispatch state: resuming at f0 needs the tails as
                     # they are NOW (persisted after chunk f0-1 is written)
@@ -290,40 +341,39 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 else:
                     packed, ctl_carry, out_tail, w_tail = res
                     wait_arr = packed
-                # start the previous chunk's page readback, then assemble
+                # start the previous chunk's page readback, then stage
                 # the next input while it (and this chunk) runs
                 started = None
                 if inflight is not None and raw:
                     started = engine.fetch_wire_start(*inflight[1])
                 staged = None
                 if f0 + frames_per_chunk < F:
-                    reader.advance((f0 + frames_per_chunk) * hop)
-                    staged = assemble(f0 + frames_per_chunk)
+                    staged = to_device(prefetch.get())
                 try:
                     wait_arr.block_until_ready()
                     wait_arr.copy_to_host_async()
                 except AttributeError:
                     pass
                 if inflight is not None:
-                    consume(inflight, started)
-                    if progress is not None:
-                        progress(f0, F)
-                    if ckpt is not None:
-                        ckpt.maybe_save(dict(
-                            out_tail=snap["out_tail"],
-                            w_tail=snap["w_tail"],
-                            __scalars__=dict(
-                                next_f0=snap["f0"], peak_seen=peak_seen,
-                                audio_samples_written=snap["f0"] * hop)))
+                    mat = consume_materialize(inflight, started)
+                    if writer_w is not None:
+                        def job(iv=inflight, m=mat, f=f0):
+                            consume_host(iv, m)
+                            if progress is not None:
+                                progress(f, F)
+                        writer_w.submit(job)
+                    else:
+                        consume_host(inflight, mat)
+                        if progress is not None:
+                            progress(f0, F)
+                        if ckpt is not None:
+                            ckpt.maybe_save(dict(
+                                out_tail=snap["out_tail"],
+                                w_tail=snap["w_tail"],
+                                __scalars__=dict(
+                                    next_f0=snap["f0"], peak_seen=peak_seen,
+                                    audio_samples_written=snap["f0"] * hop)))
                 inflight = (nf, packed)
-
-            if inflight is not None:
-                consume(inflight)
-            if F > 0 and F % frames_per_chunk == 0:
-                tail = (np.asarray(out_tail)
-                        / (np.asarray(w_tail)[:, None] + EPS))
-                pk = float(np.max(np.abs(tail))) if tail.size else 0.0
-                write_piece(_encode_pcm24(tail) if raw else tail, pk)
 
         # fout must close (fixing the WAV header) even if the run dies
         # mid-stream — resume parses the frame count from that header
