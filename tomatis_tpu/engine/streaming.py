@@ -61,6 +61,37 @@ def _bucketed_unpack(packed: np.ndarray, n: int, ch: int):
     return _UNPACK_INPUT(pb, n, ch)
 
 
+def stage_encode(sig: np.ndarray, int_in: bool, wire_input: bool = True):
+    """Host half of input staging (safe on a producer thread — file-read
+    products + C++ wire encode only, NO JAX calls): wire-compress the
+    chunk when it is PCM_24-exact. Int24 sources stay integer end to
+    end; float sources that are not PCM_24-exact ship raw. Returns a
+    tagged item for stage_to_device."""
+    if not wire_input:
+        return ("raw", sig)
+    from tomatis_tpu.io import wirecodec
+    if int_in:
+        return ("wire", wirecodec.encode_i32(sig))
+    packed = wirecodec.encode_f32(sig)
+    return ("raw_inexact", sig) if packed is None else ("wire", packed)
+
+
+def stage_to_device(item, n: int, ch: int, stats: dict | None = None):
+    """Device half of input staging (call from the dispatching thread —
+    keeps every JAX dispatch on one thread): bucketed on-device unpack
+    of wire items, bit-identical to shipping the floats; raw chunks pass
+    through (transfer implicit in the chunk_fn call). stats, when given,
+    accumulates in_bytes / in_raw_chunks."""
+    kind, val = item
+    if kind == "wire":
+        if stats is not None:
+            stats["in_bytes"] += len(val)
+        return _bucketed_unpack(val, n, ch)
+    if kind == "raw_inexact" and stats is not None:
+        stats["in_raw_chunks"] += 1
+    return val
+
+
 # ---------------------------------------------------------------------------
 # Flush plan: where the reference's streaming write-out cuts its chunks.
 # ---------------------------------------------------------------------------
@@ -418,7 +449,12 @@ class StreamRunner:
         stream state every N chunks. resume_state: a state dict previously
         returned by ckpt.load(); the caller must position its sinks at
         resume_state meta['scalars'] offsets (audio_samples_written,
-        frames_consumed) before calling."""
+        frames_consumed) before calling.
+
+        The sinks (on_audio, on_frames, on_progress) are invoked in
+        stream order but from a background worker thread — keep them
+        thread-compatible (file/CSV writers are; thread-affine GUI or
+        signal work is not). A sink exception fails the run."""
         eng, plan = self.engine, self.plan
         n_fft, hop, F_c = eng.n_fft, eng.hop, eng.frames_per_chunk
         C = eng.channels
@@ -585,63 +621,37 @@ class StreamRunner:
                 frames_consumed=int(snap["frame0"]))
             ckpt.maybe_save(state, force=True)
 
-        def encode_host(sig):
-            """Host half of input staging (runs on the producer thread —
-            file read + C++ wire encode only, NO JAX calls): wire-compress
-            the chunk when it is PCM_24-exact. Returns a tagged item for
-            to_device. Int24 sources stay integer end to end; float
-            sources that are not PCM_24-exact ship raw."""
-            if not self.wire_input:
-                return ("raw", sig)
-            from tomatis_tpu.io import wirecodec
-            if int_in:
-                return ("wire", wirecodec.encode_i32(sig))
-            packed = wirecodec.encode_f32(sig)
-            if packed is None:
-                return ("raw_inexact", sig)
-            return ("wire", packed)
-
-        def to_device(item):
-            """Device half of input staging (main thread — every JAX
-            dispatch stays on one thread): bucketed on-device unpack of
-            wire items, bit-identical to shipping the floats; raw chunks
-            pass through (transfer implicit in the chunk_fn call)."""
-            kind, val = item
-            if kind == "wire":
-                self.wire_stats["in_bytes"] += len(val)
-                return _bucketed_unpack(val, eng.chunk_input_len, C)
-            if kind == "raw_inexact":
-                self.wire_stats["in_raw_chunks"] += 1
-            return val
-
         # Input prefetch thread: the file read + C++ wire encode of chunk
         # k+1 runs concurrently with chunk k's link transfers (the encode
         # releases the GIL inside the C call; ~0.1 s per chunk that would
         # otherwise serialize with the link). One chunk of lookahead;
         # exceptions surface on the main thread at the next get.
+        # Output worker thread: once the main thread has waited out a
+        # chunk's link transfer, the host-only half (wire decode, CSV
+        # rows, flush-cut drain, file write) runs here, overlapping the
+        # next chunk's transfers — note on_frames/on_audio/on_progress
+        # therefore run on the worker thread. Jobs run strictly in
+        # order; the checkpoint and final-flush paths join the queue
+        # first, so everything they read is fully drained. (Worker
+        # first: a failed Prefetcher start then leaks only an idle
+        # daemon, not a spinning producer holding the input file.)
         from tomatis_tpu.utils.pipeline import OrderedWorker, Prefetcher
 
         def produce(f0):
             while f0 < n_frames:
                 sig = reader.window(-pad + f0 * hop, eng.chunk_input_len)
-                item = encode_host(sig)
+                item = stage_encode(sig, int_in, self.wire_input)
                 f0 += min(F_c, n_frames - f0)
                 if f0 < n_frames:
                     reader.advance(-pad + f0 * hop)
                 yield item
 
+        writer = OrderedWorker()
         prefetch = Prefetcher(produce(frame0))
 
         def next_staged():
-            return to_device(prefetch.get())
-
-        # Output worker thread: once the main thread has waited out a
-        # chunk's link transfer, the host-only half (wire decode, CSV
-        # rows, flush-cut drain, file write) runs here, overlapping the
-        # next chunk's transfers. Jobs run strictly in order; the
-        # checkpoint and final-flush paths join the queue first, so
-        # everything they read is fully drained.
-        writer = OrderedWorker()
+            return stage_to_device(prefetch.get(), eng.chunk_input_len, C,
+                                   self.wire_stats)
 
         # Software pipeline: dispatch chunk k+1 (async) before materializing
         # chunk k, so device->host readback (the bottleneck over a tunneled

@@ -142,6 +142,10 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
     the standard processor): the tiny stream state (OLA tails, peak, next
     chunk index) persists every checkpoint_every chunks; re-running the
     same call resumes. Non-WAV outputs stage through a .part WAV.
+
+    progress, when given, is invoked in stream order but (on
+    non-checkpointed runs) from a background worker thread — keep it
+    thread-compatible. A progress exception fails the run.
     """
     with audio.AudioFile(in_path, "r") as fin:
         sr, ch, total = fin.samplerate, fin.channels, fin.frames
@@ -270,38 +274,29 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
         def consume(ready, started=None):
             consume_host(ready, consume_materialize(ready, started))
 
-        def encode_host(sig):
-            """Producer-thread half of input staging (no JAX calls):
-            wire-compress when PCM_24-exact; the pre_gain path produces
-            floats and falls back to f32."""
-            from tomatis_tpu.io import wirecodec
-            if int_in:
-                return ("wire", wirecodec.encode_i32(sig))
-            packed = wirecodec.encode_f32(sig)
-            return ("raw", sig) if packed is None else ("wire", packed)
-
-        def to_device(item):
-            kind, val = item
-            if kind == "wire":
-                from tomatis_tpu.engine.streaming import _bucketed_unpack
-                return _bucketed_unpack(val, need, ch)
-            return val
-
         def produce(f0):
+            from tomatis_tpu.engine.streaming import stage_encode
             for f in range(f0, F, frames_per_chunk):
-                yield encode_host(reader.window(f * hop, need))
+                # the pre_gain path produces floats; stage_encode falls
+                # back to a raw f32 item for non-PCM_24-exact chunks
+                yield stage_encode(reader.window(f * hop, need), int_in)
                 if f + frames_per_chunk < F:
                     reader.advance((f + frames_per_chunk) * hop)
+
+        def to_device(item):
+            from tomatis_tpu.engine.streaming import stage_to_device
+            return stage_to_device(item, need, ch)
 
         def _stream():
             # file read + wire encode prefetch on a producer thread;
             # decode + write on an ordered worker (same pipeline as the
-            # engine driver). Checkpointed runs keep the write side
-            # synchronous: maybe_save must observe chunk f0-1 on disk.
+            # engine driver; `progress` then runs on the worker thread).
+            # Checkpointed runs keep the write side synchronous:
+            # maybe_save must observe chunk f0-1 on disk.
             from tomatis_tpu.utils.pipeline import OrderedWorker, Prefetcher
             nonlocal inflight, ctl_carry, out_tail, w_tail
-            prefetch = Prefetcher(produce(f0_start))
             writer_w = OrderedWorker() if ckpt is None else None
+            prefetch = Prefetcher(produce(f0_start))
             try:
                 _stream_loop(prefetch, writer_w)
                 if writer_w is not None:

@@ -54,12 +54,15 @@ class Prefetcher:
 
     def get(self):
         """Next item, in order. Re-raises the generator's exception at
-        its stream position; raises StopIteration past the end."""
+        its stream position; raises StopIteration past the end. Both
+        terminal states are sticky — a later get() raises again instead
+        of blocking on the dead producer."""
         item = self._q.get()
         if item is self._DONE:
-            self._q.put(self._DONE)   # keep raising for later calls
+            self._q.put(self._DONE)
             raise StopIteration
         if isinstance(item, BaseException):
+            self._q.put(item)
             raise item
         return item
 
