@@ -86,9 +86,12 @@ def link_floor(in_total: int, out_total: int, n_chunks: int,
     import jax.numpy as jnp
     from tomatis_tpu.engine.streaming import WIRE_BUCKET, WIRE_PAGE
 
-    in_chunk = -(-in_total // n_chunks)
-    in_bucket = -(-in_chunk // WIRE_BUCKET) * WIRE_BUCKET
-    n_pages = -(-(-(-out_total // n_chunks)) // WIRE_PAGE)
+    def ceil_div(a, b):
+        return -(-a // b)
+
+    in_bucket = ceil_div(ceil_div(in_total, n_chunks), WIRE_BUCKET) \
+        * WIRE_BUCKET
+    n_pages = ceil_div(ceil_div(out_total, n_chunks), WIRE_PAGE)
     PW = WIRE_PAGE // 4
 
     sink = jax.jit(lambda x: x.reshape(-1)[:4] + 1.0)

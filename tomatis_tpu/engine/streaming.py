@@ -550,7 +550,7 @@ class StreamRunner:
             releases the GIL) and route it — CSV rows, pending output,
             flush-cut drain, file write."""
             nonlocal out_base, cut_i
-            c_frame0, c_nf, c_packed, c_out_dev = ready
+            c_frame0, c_nf, _c_packed, c_out_dev = ready
             if wire:
                 from tomatis_tpu.io import wirecodec
                 aux, used_bytes, buf = mat

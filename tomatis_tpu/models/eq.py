@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tomatis_tpu.engine.streaming import (ChunkedStftEngine, _encode_pcm24,
-                                          EPS)
+                                          EPS, stage_encode, stage_to_device)
 from tomatis_tpu.io import audio
 from tomatis_tpu.models.controllers import StaticGainController
 from tomatis_tpu.utils.rolling import RollingReader
@@ -275,7 +275,6 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
             consume_host(ready, consume_materialize(ready, started))
 
         def produce(f0):
-            from tomatis_tpu.engine.streaming import stage_encode
             for f in range(f0, F, frames_per_chunk):
                 # the pre_gain path produces floats; stage_encode falls
                 # back to a raw f32 item for non-PCM_24-exact chunks
@@ -284,7 +283,6 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                     reader.advance((f + frames_per_chunk) * hop)
 
         def to_device(item):
-            from tomatis_tpu.engine.streaming import stage_to_device
             return stage_to_device(item, need, ch)
 
         def _stream():
