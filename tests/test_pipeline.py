@@ -107,3 +107,33 @@ def test_apply_eq_progress_error_propagates(tmp_path):
     while time.time() < deadline and threading.active_count() > baseline:
         time.sleep(0.05)
     assert threading.active_count() <= baseline, threading.enumerate()
+
+
+def test_stage_encode_to_device_contract():
+    """The tagged staging items and their stats accounting."""
+    from tomatis_tpu.engine.streaming import stage_encode, stage_to_device
+
+    n, ch = 512, 2
+    exact = (np.arange(n * ch, dtype=np.float32).reshape(n, ch)
+             / 8388608.0)
+    inexact = exact + np.float32(1e-9)
+    ints = np.arange(n * ch, dtype=np.int32).reshape(n, ch) - 500
+
+    stats = {"in_bytes": 0, "in_raw_chunks": 0}
+    kind, _ = stage_encode(exact, int_in=False)
+    assert kind == "wire"
+    kind, val = stage_encode(inexact, int_in=False)
+    assert kind == "raw_inexact"
+    out = stage_to_device((kind, val), n, ch, stats)
+    assert out is val and stats["in_raw_chunks"] == 1
+
+    kind, val = stage_encode(ints, int_in=True)
+    assert kind == "wire"
+    dev = stage_to_device((kind, val), n, ch, stats)
+    assert stats["in_bytes"] == len(val) > 0
+    np.testing.assert_array_equal(
+        np.rint(np.asarray(dev) * 8388608.0).astype(np.int32), ints)
+
+    # wire_input=False bypasses encoding entirely
+    kind, val = stage_encode(exact, int_in=False, wire_input=False)
+    assert kind == "raw" and val is exact
