@@ -157,3 +157,24 @@ def test_batch_rejects_mismatched_csv_list(tmp_path):
                        (tmp_path / "c.flac", tmp_path / "d.flac")],
                       StandardParams(require_48k_stereo=False),
                       state_csv_paths=[tmp_path / "one.csv"])
+
+
+def test_batch_wire_float_fallback_matches_single(tmp_path):
+    """A FLOAT-subtype input whose samples are not PCM_24-exact forces the
+    wire input staging to fall back to raw floats for the whole chunk;
+    output must still match the single-file processor exactly."""
+    p = StandardParams(require_48k_stereo=False)
+    x = _sig(2.0, 3) + np.float32(1e-9)     # not PCM_24-representable
+    ip = tmp_path / "f.wav"
+    audio.write(ip, x, SR, subtype="FLOAT")
+    ip2 = tmp_path / "g.flac"               # PCM_24-exact second lane
+    audio.write(ip2, _sig(1.5, 4), SR, subtype="PCM_24")
+    jobs = [(ip, tmp_path / "f_out.flac"), (ip2, tmp_path / "g_out.flac")]
+    stats = process_batch(jobs, p, frames_per_chunk=16)
+    assert all(s["failed"] is None for s in stats)
+    for src, out in jobs:
+        ref = tmp_path / (src.stem + "_ref.flac")
+        process(src, ref, p, frames_per_chunk=16)
+        y_ref, _ = audio.read(ref)
+        y_bat, _ = audio.read(out)
+        np.testing.assert_array_equal(y_bat, y_ref)

@@ -17,10 +17,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tomatis_tpu.engine.streaming import ChunkedStftEngine, StreamRunner
+from tomatis_tpu.engine.streaming import (ChunkedStftEngine, StreamRunner,
+                                          WIRE_BUCKET, WIRE_PAGE,
+                                          stage_encode)
 from tomatis_tpu.io import audio
+from tomatis_tpu.ops import wire as wire_ops
 from tomatis_tpu.utils.rolling import RollingReader
 from tomatis_tpu.utils.stateio import StateCsvWriter
+
+# vmapped device-side input unpack for wire-compressed lanes; jit caches
+# one trace per (bucket, n, ch)
+_VUNPACK = jax.jit(jax.vmap(wire_ops.unpack_device, in_axes=(0, None, None)),
+                   static_argnums=(1, 2))
+
+# (chunk_fn, padded lane count, device tuple) -> jitted vmapped step. A
+# fresh jax.jit wrapper per process_batch call would re-trace and re-load
+# the (large) executable every call — the repeat cost dominates on a
+# tunneled TPU even with the persistent compile cache.
+_VCHUNK_CACHE: dict = {}
 
 
 class _Lane:
@@ -89,11 +103,11 @@ class _Lane:
         self.frame0 += nf
         self.rolling.advance(-self.plan.pad + self.frame0 * self.eng.hop)
 
-    def consume(self, c_frame0, c_nf, packed, out_dev):
+    def consume(self, c_frame0, c_nf, payload, aux, out_dev):
+        """Route one chunk's already-decoded PCM bytes + aux rows."""
         eng, runner = self.eng, self.runner
         hop = eng.hop
         pad = self.plan.pad
-        payload, aux = eng.unpack_pcm24(packed)
         log = {"levels": aux[0, :c_nf]}
         for i, k in enumerate(eng.log_keys):
             log[k] = aux[1 + i, :c_nf]
@@ -196,29 +210,41 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
 
     engine = ChunkedStftEngine(p.n_fft, p.hop, ch, frames_per_chunk)
     controller = build_controller(p, sr)
-    chunk_fn = engine.make_chunk_fn(controller, transport="pcm24")
+    # single-device: wire transport (lossless link compression both ways,
+    # the same scheme as the streaming engine — the batch is as link-bound
+    # as a single file). Sharded lanes keep the simpler pcm24 transport.
+    wire = mesh_devs is None
+    chunk_fn = engine.make_chunk_fn(controller,
+                                    transport="wire" if wire else "pcm24")
     ctl_params = controller.params()
     gain_f32 = jnp.float32(10.0 ** (p.output_gain_db / 20.0))
     # lanes share parameters; only the data axes are batched
-    vmapped = jax.vmap(chunk_fn, in_axes=(0, 0, 0, 0, 0, None, None))
     Bp = B  # padded lane count (idle rows make the axis shardable)
     if mesh_devs is not None:
-        # shard_map (not bare GSPMD sharding): every device runs the plain
-        # single-chip program on its block of lanes — no partitioned FFT
-        # (which XLA:CPU also can't lay out), no cross-device collectives
-        from jax import shard_map
-        from jax.sharding import Mesh, PartitionSpec
         D = len(mesh_devs)
         Bp = -(-B // D) * D
-        mesh = Mesh(np.array(mesh_devs), ("data",))
-        dp = PartitionSpec("data")
-        rp = PartitionSpec()
-        vchunk = jax.jit(shard_map(
-            vmapped, mesh=mesh,
-            in_specs=(dp, dp, dp, dp, dp, rp, rp),
-            out_specs=dp, check_vma=False))
-    else:
-        vchunk = jax.jit(vmapped)
+    vkey = (chunk_fn, Bp, tuple(d.id for d in mesh_devs)
+            if mesh_devs is not None else None)
+    vchunk = _VCHUNK_CACHE.get(vkey)
+    if vchunk is None:
+        vmapped = jax.vmap(chunk_fn, in_axes=(0, 0, 0, 0, 0, None, None))
+        if mesh_devs is not None:
+            # shard_map (not bare GSPMD sharding): every device runs the
+            # plain single-chip program on its block of lanes — no
+            # partitioned FFT (which XLA:CPU also can't lay out), no
+            # cross-device collectives
+            from jax import shard_map
+            from jax.sharding import Mesh, PartitionSpec
+            mesh = Mesh(np.array(mesh_devs), ("data",))
+            dp = PartitionSpec("data")
+            rp = PartitionSpec()
+            vchunk = jax.jit(shard_map(
+                vmapped, mesh=mesh,
+                in_specs=(dp, dp, dp, dp, dp, rp, rp),
+                out_specs=dp, check_vma=False))
+        else:
+            vchunk = jax.jit(vmapped)
+        _VCHUNK_CACHE[vkey] = vchunk
 
     lanes = []
     for (in_path, out_path), m, csvp in zip(jobs, metas, csvs):
@@ -242,6 +268,9 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             except Exception as e:
                 lane.fail(e)
         lanes.append(lane)
+
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=min(8, max(1, B)))
 
     carries = [controller.init_carry() for _ in range(Bp)]
     tails = [engine.zero_tails() for _ in range(Bp)]
@@ -271,23 +300,45 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             active = active or nf > 0
         if not active:
             break
-        res = vchunk(jnp.asarray(sigs), jnp.asarray(nfs), carry_b,
+        sig_arg = jnp.asarray(sigs)
+        if wire:
+            # wire-compress each lane's input on host; one vmapped unpack
+            # restores all lanes on device. Any non-PCM_24-exact lane
+            # (float sources) falls the whole chunk back to raw floats.
+            # The C++ encode releases the GIL — lanes encode in parallel.
+            items = list(pool.map(
+                lambda i: stage_encode(sigs[i], False), range(Bp)))
+            if all(k == "wire" for k, _ in items):
+                bucket = max(-(-len(v) // WIRE_BUCKET) * WIRE_BUCKET
+                             for _, v in items)
+                pb = np.zeros((Bp, bucket), np.uint8)
+                for i, (_, v) in enumerate(items):
+                    pb[i, :len(v)] = v
+                sig_arg = _VUNPACK(pb, engine.chunk_input_len, ch)
+        res = vchunk(sig_arg, jnp.asarray(nfs), carry_b,
                      out_tail_b, w_tail_b, ctl_params, gain_f32)
-        packed, out_dev, carry_b, out_tail_b, w_tail_b = res
+        if wire:
+            auxw, pages, out_dev, carry_b, out_tail_b, w_tail_b = res
+            packed = (auxw, pages)
+            wait_arr = auxw
+        else:
+            packed, out_dev, carry_b, out_tail_b, w_tail_b = res
+            wait_arr = packed
         try:
-            packed.block_until_ready()
-            packed.copy_to_host_async()
+            wait_arr.block_until_ready()
+            wait_arr.copy_to_host_async()
         except AttributeError:
             pass
         if inflight is not None:
-            _consume_all(lanes, *inflight)
+            _consume_all(lanes, *inflight, engine, wire, pool)
         frame0s = [ln.frame0 for ln in lanes]
         for i, lane in enumerate(lanes):
             if not (lane.done or lane.failed) and nfs[i] > 0:
                 lane.advance(int(nfs[i]))
         inflight = (frame0s, nfs, packed, out_dev)
     if inflight is not None:
-        _consume_all(lanes, *inflight)
+        _consume_all(lanes, *inflight, engine, wire, pool)
+    pool.shutdown(wait=False)
 
     out_tail_np = np.asarray(out_tail_b)
     w_tail_np = np.asarray(w_tail_b)
@@ -301,12 +352,58 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     return [lane.stats() for lane in lanes]
 
 
-def _consume_all(lanes, frame0s, nfs, packed, out_dev):
+def _consume_all(lanes, frame0s, nfs, packed, out_dev, eng, wire,
+                 pool=None):
+    if wire:
+        _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool)
+        return
     packed_np = np.asarray(packed)
     for i, lane in enumerate(lanes):
         if lane.failed or int(nfs[i]) <= 0:
             continue
         try:
-            lane.consume(frame0s[i], int(nfs[i]), packed_np[i], out_dev[i])
+            payload, aux = eng.unpack_pcm24(packed_np[i])
+            lane.consume(frame0s[i], int(nfs[i]), payload, aux, out_dev[i])
+        except Exception as e:
+            lane.fail(e)
+
+
+def _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool=None):
+    """Wire-transport batch readback: fetch the aux block, then only the
+    leading pages every active lane's stream fits in (page p row i is
+    lane i's words [p*PW, (p+1)*PW)); decode lanes on host — in parallel
+    when a pool is given (the C++ decode releases the GIL)."""
+    from tomatis_tpu.io import wirecodec
+    auxw, pages = packed
+    aux_np = np.asarray(auxw)
+    used = {}
+    rows = {}
+    for i, lane in enumerate(lanes):
+        if lane.failed or int(nfs[i]) <= 0:
+            continue
+        rows[i], used[i] = eng.unpack_wire_aux(aux_np[i])
+    n_p = max((-(-u // WIRE_PAGE) for u in used.values()), default=0)
+    pgs = pages[:n_p]
+    for pg in pgs:
+        try:
+            pg.copy_to_host_async()
+        except AttributeError:
+            pass
+    host_pages = [np.asarray(pg) for pg in pgs]
+
+    def decode_one(i):
+        buf = (np.concatenate([hp[i] for hp in host_pages])
+               if host_pages else np.zeros(0, np.uint32))
+        return wirecodec.decode_pcm24(buf.view(np.uint8), eng.emit_full,
+                                      eng.channels)
+
+    futs = {i: pool.submit(decode_one, i) for i in rows} if pool else None
+    for i, lane in enumerate(lanes):
+        if i not in rows:
+            continue
+        try:
+            payload = futs[i].result() if futs else decode_one(i)
+            lane.consume(frame0s[i], int(nfs[i]), payload, rows[i],
+                         out_dev[i])
         except Exception as e:
             lane.fail(e)
