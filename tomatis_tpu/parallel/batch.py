@@ -283,62 +283,64 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     w_tail_b = jnp.stack([t[1] for t in tails])
 
     inflight = None
-    while True:
-        sigs = np.zeros((Bp, engine.chunk_input_len, ch), np.float32)
-        nfs = np.zeros(Bp, np.int32)
-        active = False
-        for i, lane in enumerate(lanes):
-            if lane.done or lane.failed:
-                continue
+    try:
+        while True:
+            sigs = np.zeros((Bp, engine.chunk_input_len, ch), np.float32)
+            nfs = np.zeros(Bp, np.int32)
+            active = False
+            for i, lane in enumerate(lanes):
+                if lane.done or lane.failed:
+                    continue
+                try:
+                    sig, nf = lane.next_sig()
+                except Exception as e:
+                    lane.fail(e)
+                    continue
+                sigs[i] = sig
+                nfs[i] = nf
+                active = active or nf > 0
+            if not active:
+                break
+            sig_arg = jnp.asarray(sigs)
+            if wire:
+                # wire-compress each lane's input on host; one vmapped unpack
+                # restores all lanes on device. Any non-PCM_24-exact lane
+                # (float sources) falls the whole chunk back to raw floats.
+                # The C++ encode releases the GIL — lanes encode in parallel.
+                items = list(pool.map(
+                    lambda i: stage_encode(sigs[i], False), range(Bp)))
+                if all(k == "wire" for k, _ in items):
+                    bucket = max(-(-len(v) // WIRE_BUCKET) * WIRE_BUCKET
+                                 for _, v in items)
+                    pb = np.zeros((Bp, bucket), np.uint8)
+                    for i, (_, v) in enumerate(items):
+                        pb[i, :len(v)] = v
+                    sig_arg = _VUNPACK(pb, engine.chunk_input_len, ch)
+            res = vchunk(sig_arg, jnp.asarray(nfs), carry_b,
+                         out_tail_b, w_tail_b, ctl_params, gain_f32)
+            if wire:
+                auxw, pages, out_dev, carry_b, out_tail_b, w_tail_b = res
+                packed = (auxw, pages)
+                wait_arr = auxw
+            else:
+                packed, out_dev, carry_b, out_tail_b, w_tail_b = res
+                wait_arr = packed
             try:
-                sig, nf = lane.next_sig()
-            except Exception as e:
-                lane.fail(e)
-                continue
-            sigs[i] = sig
-            nfs[i] = nf
-            active = active or nf > 0
-        if not active:
-            break
-        sig_arg = jnp.asarray(sigs)
-        if wire:
-            # wire-compress each lane's input on host; one vmapped unpack
-            # restores all lanes on device. Any non-PCM_24-exact lane
-            # (float sources) falls the whole chunk back to raw floats.
-            # The C++ encode releases the GIL — lanes encode in parallel.
-            items = list(pool.map(
-                lambda i: stage_encode(sigs[i], False), range(Bp)))
-            if all(k == "wire" for k, _ in items):
-                bucket = max(-(-len(v) // WIRE_BUCKET) * WIRE_BUCKET
-                             for _, v in items)
-                pb = np.zeros((Bp, bucket), np.uint8)
-                for i, (_, v) in enumerate(items):
-                    pb[i, :len(v)] = v
-                sig_arg = _VUNPACK(pb, engine.chunk_input_len, ch)
-        res = vchunk(sig_arg, jnp.asarray(nfs), carry_b,
-                     out_tail_b, w_tail_b, ctl_params, gain_f32)
-        if wire:
-            auxw, pages, out_dev, carry_b, out_tail_b, w_tail_b = res
-            packed = (auxw, pages)
-            wait_arr = auxw
-        else:
-            packed, out_dev, carry_b, out_tail_b, w_tail_b = res
-            wait_arr = packed
-        try:
-            wait_arr.block_until_ready()
-            wait_arr.copy_to_host_async()
-        except AttributeError:
-            pass
+                wait_arr.block_until_ready()
+                wait_arr.copy_to_host_async()
+            except AttributeError:
+                pass
+            if inflight is not None:
+                _consume_all(lanes, *inflight, engine, wire, pool)
+            frame0s = [ln.frame0 for ln in lanes]
+            for i, lane in enumerate(lanes):
+                if not (lane.done or lane.failed) and nfs[i] > 0:
+                    lane.advance(int(nfs[i]))
+            inflight = (frame0s, nfs, packed, out_dev)
         if inflight is not None:
             _consume_all(lanes, *inflight, engine, wire, pool)
-        frame0s = [ln.frame0 for ln in lanes]
-        for i, lane in enumerate(lanes):
-            if not (lane.done or lane.failed) and nfs[i] > 0:
-                lane.advance(int(nfs[i]))
-        inflight = (frame0s, nfs, packed, out_dev)
-    if inflight is not None:
-        _consume_all(lanes, *inflight, engine, wire, pool)
-    pool.shutdown(wait=False)
+    finally:
+        pool.shutdown(wait=False)
 
     out_tail_np = np.asarray(out_tail_b)
     w_tail_np = np.asarray(w_tail_b)
