@@ -178,3 +178,21 @@ def test_batch_wire_float_fallback_matches_single(tmp_path):
         y_ref, _ = audio.read(ref)
         y_bat, _ = audio.read(out)
         np.testing.assert_array_equal(y_bat, y_ref)
+
+
+def test_batch_reuses_jitted_step_across_calls(tmp_path):
+    """Repeated process_batch calls with the same configuration must reuse
+    one jitted vmapped step — a fresh jax.jit wrapper per call re-traces
+    and re-loads the executable every invocation (measured dominating the
+    per-call cost on a tunneled TPU)."""
+    from tomatis_tpu.parallel import batch as B
+    p = StandardParams(require_48k_stereo=False)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, _sig(1.0, 1), SR, subtype="PCM_24")
+    before = dict(B._VCHUNK_CACHE)
+    process_batch([(ip, tmp_path / "o1.flac")], p, frames_per_chunk=16)
+    grew = len(B._VCHUNK_CACHE) - len(before)
+    assert grew <= 1   # at most one new entry for this config
+    n_after_first = len(B._VCHUNK_CACHE)
+    process_batch([(ip, tmp_path / "o2.flac")], p, frames_per_chunk=16)
+    assert len(B._VCHUNK_CACHE) == n_after_first   # second call reused it
