@@ -55,3 +55,20 @@ def test_pcm24_transport_output_gain(tmp_path):
     y_file, _ = audio.read(op)
     y_ref, _, _ = refdsp.process_standard_loop(x, sr, output_gain_db=6.0)
     assert np.max(np.abs(y_file - y_ref)) < 3e-4
+
+
+def test_process_transport_param(tmp_path):
+    """process(transport=...) forces the link transport; wire and pcm24
+    must be byte-identical, f32 within 1 PCM_24 LSB of them."""
+    sr = 48000
+    x = _signal(2.0)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, x, sr, subtype="FLOAT")
+    p = StandardParams(require_48k_stereo=False)
+    outs = {}
+    for tr in ("wire", "pcm24", "f32"):
+        op = tmp_path / f"out_{tr}.wav"
+        process(ip, op, p, frames_per_chunk=64, transport=tr)
+        outs[tr], _ = audio.read(op)
+    np.testing.assert_array_equal(outs["wire"], outs["pcm24"])
+    assert np.max(np.abs(outs["f32"] - outs["pcm24"])) <= 1.5 / 8388608.0

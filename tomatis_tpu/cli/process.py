@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--progress", action="store_true",
                     help="print per-chunk progress (ref prints every "
                          "1000 frames)")
+    ap.add_argument("--transport", default="auto",
+                    choices=["auto", "wire", "pcm24", "f32"],
+                    help="host<->device link transport: wire = lossless "
+                         "compression both ways (thin links), pcm24 = "
+                         "device-packed bytes without the codec (PCIe "
+                         "hosts), f32 = raw floats; auto picks wire")
     add_engine_flags(ap)
     return ap
 
@@ -76,7 +82,8 @@ def run(args) -> int:
     kw = dict(state_csv_path=args.state_csv,
               frames_per_chunk=args.frames_per_chunk,
               checkpoint_path=args.checkpoint,
-              checkpoint_every=args.checkpoint_every, progress=prog)
+              checkpoint_every=args.checkpoint_every, progress=prog,
+              transport=args.transport)
     if args.profile_dir:
         import jax
         with jax.profiler.trace(args.profile_dir):

@@ -89,7 +89,7 @@ def process_array(x: np.ndarray, sr: int, p: StandardParams | None = None,
 def process(in_path, out_path, p: StandardParams | None = None,
             state_csv_path=None, frames_per_chunk: int = 1024,
             checkpoint_path=None, checkpoint_every: int = 8,
-            progress=None) -> dict:
+            progress=None, transport: str = "auto") -> dict:
     """File-to-file processing with reference CLI semantics.
 
     - validates 48 kHz stereo when p.require_48k_stereo (ref :234-237)
@@ -151,11 +151,21 @@ def process(in_path, out_path, p: StandardParams | None = None,
                 fout = audio.AudioFile(actual_out, "w", samplerate=sr,
                                        channels=ch, subtype="PCM_24")
 
-        # Device-side PCM_24 packing: 4x less d2h traffic, byte-identical
-        # file payload (the clamped-flush path deviates <= 1 LSB).
+        # Transport over the host<->device link ("auto" = wire when the
+        # output container takes raw PCM_24 bytes): "wire" compresses
+        # both directions losslessly (best over thin links), "pcm24"
+        # packs device-side without the codec (best on PCIe-attached
+        # hosts where the link is free and host cores are scarce),
+        # "f32" ships floats (debug). All are byte-identical to <=1 LSB.
         raw = fout.supports_raw
+        if transport == "auto":
+            transport = "wire" if raw else "f32"
+        elif transport in ("wire", "pcm24") and not raw:
+            transport = "f32"
+        elif transport not in ("wire", "pcm24", "f32"):
+            raise ValueError(f"unknown transport {transport!r}")
         runner = make_runner(p, sr, ch, total, frames_per_chunk,
-                             transport="wire" if raw else "f32")
+                             transport=transport)
         resume_frame = None
         if resume_state is not None:
             resume_frame = resume_state["__meta__"]["scalars"][
@@ -163,9 +173,11 @@ def process(in_path, out_path, p: StandardParams | None = None,
         csvw = StateCsvWriter(state_csv_path, sr, total,
                               resume_at_frame=resume_frame) \
             if state_csv_path else None
+        byte_payload = transport in ("wire", "pcm24")
         try:
             stats = runner.run(fin,
-                               on_audio=fout.write_raw if raw else fout.write,
+                               on_audio=(fout.write_raw if byte_payload
+                                         else fout.write),
                                on_frames=csvw.on_frames if csvw else None,
                                ckpt=ckpt, resume_state=resume_state,
                                on_progress=progress)
