@@ -106,3 +106,25 @@ def test_alpha_ramp_duration():
     frac = np.flatnonzero((alphas > 0) & (alphas < 1))
     xf = p.xfade_frames(sr)
     assert xf - 1 <= len(frac) <= xf  # ramp occupies the crossfade window
+
+
+def test_xfade_transport_param(tmp_path):
+    """process(transport=...) on the crossfade processor: wire and pcm24
+    byte-identical, f32 within one PCM_24 LSB."""
+    import numpy as np
+    from tomatis_tpu.io import audio
+    from tomatis_tpu.models.xfade import XfadeParams, process
+    sr = 48000
+    t = np.arange(2 * sr) / sr
+    env = np.where((t > 0.6) & (t < 1.4), 0.08, 0.003)
+    x = (env * np.sin(2 * np.pi * 900 * t)).astype(np.float32)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, np.stack([x, x], 1), sr, subtype="FLOAT")
+    p = XfadeParams(require_48k_stereo=False)
+    outs = {}
+    for tr in ("wire", "pcm24", "f32"):
+        op = tmp_path / f"o_{tr}.wav"
+        process(ip, op, p, frames_per_chunk=32, transport=tr)
+        outs[tr], _ = audio.read(op)
+    np.testing.assert_array_equal(outs["wire"], outs["pcm24"])
+    assert np.max(np.abs(outs["f32"] - outs["pcm24"])) <= 1.5 / 8388608.0

@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint_every", type=int, default=8)
     ap.add_argument("--progress", action="store_true",
                     help="print per-chunk progress")
+    ap.add_argument("--transport", default="auto",
+                    choices=["auto", "wire", "pcm24", "f32"],
+                    help="host<->device link transport (see process)")
     add_engine_flags(ap)
     return ap
 
@@ -56,7 +59,7 @@ def run(args) -> int:
                     frames_per_chunk=args.frames_per_chunk,
                     checkpoint_path=args.checkpoint,
                     checkpoint_every=args.checkpoint_every,
-                    progress=prog)
+                    progress=prog, transport=args.transport)
     n = max(1, stats["n_frames"])
     print(f"threshold: {stats['threshold_dbfs']:.1f} dBFS, "
           f"xfade: {stats['xfade_frames']} frames")

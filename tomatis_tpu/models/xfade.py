@@ -86,9 +86,11 @@ def process_array(x: np.ndarray, sr: int, p: XfadeParams | None = None,
 def process(in_path, out_path, p: XfadeParams | None = None,
             state_csv_path=None, frames_per_chunk: int = 1024,
             checkpoint_path=None, checkpoint_every: int = 8,
-            progress=None) -> dict:
+            progress=None, transport: str = "auto") -> dict:
     """File-to-file crossfade processing; checkpoint_path enables the same
-    chunk-granular crash recovery as the standard processor."""
+    chunk-granular crash recovery as the standard processor. transport as
+    in models.standard.process ("auto" = wire when the output takes raw
+    PCM_24 bytes)."""
     import os
     p = p or XfadeParams()
     with audio.AudioFile(in_path, "r") as fin:
@@ -132,8 +134,14 @@ def process(in_path, out_path, p: XfadeParams | None = None,
                 fout = audio.AudioFile(actual_out, "w", samplerate=sr,
                                        channels=ch, subtype="PCM_24")
         raw = fout.supports_raw
+        if transport == "auto":
+            transport = "wire" if raw else "f32"
+        elif transport in ("wire", "pcm24") and not raw:
+            transport = "f32"
+        elif transport not in ("wire", "pcm24", "f32"):
+            raise ValueError(f"unknown transport {transport!r}")
         runner = make_runner(p, sr, ch, total, frames_per_chunk,
-                             transport="wire" if raw else "f32")
+                             transport=transport)
         resume_frame = None
         if resume_state is not None:
             resume_frame = resume_state["__meta__"]["scalars"][
@@ -142,9 +150,11 @@ def process(in_path, out_path, p: XfadeParams | None = None,
                               level_fmt="%.2f", alpha_fmt="%.3f",
                               resume_at_frame=resume_frame) \
             if state_csv_path else None
+        byte_payload = transport in ("wire", "pcm24")
         try:
             stats = runner.run(fin,
-                               on_audio=fout.write_raw if raw else fout.write,
+                               on_audio=(fout.write_raw if byte_payload
+                                         else fout.write),
                                on_frames=csvw.on_frames if csvw else None,
                                ckpt=ckpt, resume_state=resume_state,
                                on_progress=progress)
