@@ -169,3 +169,29 @@ def test_xfade_resume(tmp_path, monkeypatch):
     a, _ = audio.read(ref)
     b, _ = audio.read(out)
     np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_rejects_transport_change(tmp_path, monkeypatch):
+    """The persisted pending output is PCM bytes under wire/pcm24 but
+    float samples under f32 — resuming under a different transport must
+    be refused, not silently misinterpreted."""
+    sr = 48000
+    x = _signal(4.0)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    ck = tmp_path / "ck.npz"
+    p = StandardParams(require_48k_stereo=False)
+
+    from tomatis_tpu.engine import streaming as S
+
+    def bomb(self, *a, **k):
+        raise _Bomb()
+
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_pcm24", bomb)
+    with pytest.raises(_Bomb):
+        process(ip, tmp_path / "o.flac", p, frames_per_chunk=8,
+                checkpoint_path=ck, checkpoint_every=2, transport="wire")
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="different parameters"):
+        process(ip, tmp_path / "o.flac", p, frames_per_chunk=8,
+                checkpoint_path=ck, checkpoint_every=2, transport="f32")

@@ -72,3 +72,32 @@ def test_process_transport_param(tmp_path):
         outs[tr], _ = audio.read(op)
     np.testing.assert_array_equal(outs["wire"], outs["pcm24"])
     assert np.max(np.abs(outs["f32"] - outs["pcm24"])) <= 1.5 / 8388608.0
+
+
+def test_invalid_transport_rejected_before_output_touch(tmp_path):
+    """A bad transport name must raise before the output file is opened
+    (opening would truncate a pre-existing output)."""
+    import pytest
+    ip = tmp_path / "in.wav"
+    audio.write(ip, _signal(0.5), 48000, subtype="FLOAT")
+    op = tmp_path / "out.wav"
+    op.write_bytes(b"precious bytes")
+    p = StandardParams(require_48k_stereo=False)
+    with pytest.raises(ValueError, match="transport"):
+        process(ip, op, p, transport="bogus")
+    assert op.read_bytes() == b"precious bytes"
+
+
+def test_pcm24_transport_skips_input_codec(tmp_path):
+    """--transport pcm24/f32 exist to bypass the wire codec; the input
+    side must not wire-encode either."""
+    sr = 48000
+    ip = tmp_path / "in.wav"
+    audio.write(ip, _signal(1.0), sr, subtype="PCM_24")
+    p = StandardParams(require_48k_stereo=False)
+    for tr, expect_wire in (("pcm24", False), ("f32", False),
+                            ("wire", True)):
+        stats = process(ip, tmp_path / f"o_{tr}.wav", p,
+                        frames_per_chunk=16, transport=tr)
+        has_wire_in = stats["wire"]["in_bytes"] > 0
+        assert has_wire_in == expect_wire, (tr, stats["wire"])

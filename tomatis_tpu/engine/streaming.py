@@ -61,6 +61,25 @@ def _bucketed_unpack(packed: np.ndarray, n: int, ch: int):
     return _UNPACK_INPUT(pb, n, ch)
 
 
+def resolve_transport(transport: str, supports_raw: bool):
+    """Resolve a user-facing transport choice against the sink.
+
+    transport: "auto" | "wire" | "pcm24" | "f32". Returns
+    (resolved transport, byte_payload) where byte_payload says the sink
+    receives raw PCM_24 bytes (write_raw) rather than float samples.
+    "auto" picks wire on a raw-capable sink, f32 otherwise; explicitly
+    requesting a byte transport on a sink that cannot take raw PCM_24
+    is an error, not a silent downgrade."""
+    if transport not in ("auto", "wire", "pcm24", "f32"):
+        raise ValueError(f"unknown transport {transport!r}")
+    if transport == "auto":
+        transport = "wire" if supports_raw else "f32"
+    elif transport in ("wire", "pcm24") and not supports_raw:
+        raise ValueError(f"transport {transport!r} requires a sink that "
+                         "accepts raw PCM_24 bytes")
+    return transport, transport in ("wire", "pcm24")
+
+
 def stage_encode(sig: np.ndarray, int_in: bool, wire_input: bool = True):
     """Host half of input staging (safe on a producer thread — file-read
     products + C++ wire encode only, NO JAX calls): wire-compress the

@@ -10,7 +10,8 @@ from dataclasses import dataclass, asdict
 
 import numpy as np
 
-from tomatis_tpu.engine.streaming import ChunkedStftEngine, StreamRunner
+from tomatis_tpu.engine.streaming import (ChunkedStftEngine, StreamRunner,
+                                          resolve_transport)
 from tomatis_tpu.io import audio
 from tomatis_tpu.models.controllers import GateSelectController
 from tomatis_tpu.ops import dsp, gate as gate_ops, stft
@@ -65,8 +66,11 @@ def make_runner(p: StandardParams, sr: int, channels: int, total: int,
                 frames_per_chunk: int = 1024,
                 transport: str = "f32") -> StreamRunner:
     engine = ChunkedStftEngine(p.n_fft, p.hop, channels, frames_per_chunk)
+    # wire_input follows the transport: pcm24/f32 exist to bypass the
+    # codec (PCIe hosts / debug), so they ship the input uncompressed too
     return StreamRunner(engine, build_controller(p, sr), total,
-                        output_gain_db=p.output_gain_db, transport=transport)
+                        output_gain_db=p.output_gain_db, transport=transport,
+                        wire_input=(transport == "wire"))
 
 
 def process_array(x: np.ndarray, sr: int, p: StandardParams | None = None,
@@ -105,6 +109,10 @@ def process(in_path, out_path, p: StandardParams | None = None,
     import time
     t_start = time.perf_counter()
     p = p or StandardParams()
+    if transport not in ("auto", "wire", "pcm24", "f32"):
+        # validate before any file is opened — a bad value must not
+        # truncate an existing output
+        raise ValueError(f"unknown transport {transport!r}")
     with audio.AudioFile(in_path, "r") as fin:
         sr, ch, total = fin.samplerate, fin.channels, fin.frames
         if p.require_48k_stereo:
@@ -119,8 +127,12 @@ def process(in_path, out_path, p: StandardParams | None = None,
         if checkpoint_path:
             from tomatis_tpu.engine.checkpoint import CheckpointManager
             from tomatis_tpu.io.wav import WavWriter
+            # transport is part of the fingerprint: the persisted pending
+            # output is PCM bytes under wire/pcm24 but float samples under
+            # f32 — resuming across transports must be refused
             config = dict(asdict(p), sr=sr, ch=ch, total=total,
-                          frames_per_chunk=frames_per_chunk, model="standard")
+                          frames_per_chunk=frames_per_chunk,
+                          model="standard", transport=transport)
             ckpt = CheckpointManager(checkpoint_path, config,
                                      checkpoint_every)
             resume_state = ckpt.load()
@@ -157,24 +169,19 @@ def process(in_path, out_path, p: StandardParams | None = None,
         # packs device-side without the codec (best on PCIe-attached
         # hosts where the link is free and host cores are scarce),
         # "f32" ships floats (debug). All are byte-identical to <=1 LSB.
-        raw = fout.supports_raw
-        if transport == "auto":
-            transport = "wire" if raw else "f32"
-        elif transport in ("wire", "pcm24") and not raw:
-            transport = "f32"
-        elif transport not in ("wire", "pcm24", "f32"):
-            raise ValueError(f"unknown transport {transport!r}")
-        runner = make_runner(p, sr, ch, total, frames_per_chunk,
-                             transport=transport)
-        resume_frame = None
-        if resume_state is not None:
-            resume_frame = resume_state["__meta__"]["scalars"][
-                "frames_consumed"]
-        csvw = StateCsvWriter(state_csv_path, sr, total,
-                              resume_at_frame=resume_frame) \
-            if state_csv_path else None
-        byte_payload = transport in ("wire", "pcm24")
+        csvw = None
         try:
+            transport, byte_payload = resolve_transport(
+                transport, fout.supports_raw)
+            runner = make_runner(p, sr, ch, total, frames_per_chunk,
+                                 transport=transport)
+            resume_frame = None
+            if resume_state is not None:
+                resume_frame = resume_state["__meta__"]["scalars"][
+                    "frames_consumed"]
+            csvw = StateCsvWriter(state_csv_path, sr, total,
+                                  resume_at_frame=resume_frame) \
+                if state_csv_path else None
             stats = runner.run(fin,
                                on_audio=(fout.write_raw if byte_payload
                                          else fout.write),

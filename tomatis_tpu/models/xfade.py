@@ -9,7 +9,8 @@ from dataclasses import dataclass, asdict
 
 import numpy as np
 
-from tomatis_tpu.engine.streaming import ChunkedStftEngine, StreamRunner
+from tomatis_tpu.engine.streaming import (ChunkedStftEngine, StreamRunner,
+                                          resolve_transport)
 from tomatis_tpu.io import audio
 from tomatis_tpu.models.controllers import GateXfadeController
 from tomatis_tpu.ops import dsp, gate as gate_ops, stft
@@ -66,8 +67,10 @@ def make_runner(p: XfadeParams, sr: int, channels: int, total: int,
                 frames_per_chunk: int = 1024,
                 transport: str = "f32") -> StreamRunner:
     engine = ChunkedStftEngine(p.n_fft, p.hop, channels, frames_per_chunk)
+    # wire_input follows the transport, as in models.standard.make_runner
     return StreamRunner(engine, build_controller(p, sr), total,
-                        transport=transport)
+                        transport=transport,
+                        wire_input=(transport == "wire"))
 
 
 def process_array(x: np.ndarray, sr: int, p: XfadeParams | None = None,
@@ -93,6 +96,9 @@ def process(in_path, out_path, p: XfadeParams | None = None,
     PCM_24 bytes)."""
     import os
     p = p or XfadeParams()
+    if transport not in ("auto", "wire", "pcm24", "f32"):
+        # validate before any file is opened (see models.standard.process)
+        raise ValueError(f"unknown transport {transport!r}")
     with audio.AudioFile(in_path, "r") as fin:
         sr, ch, total = fin.samplerate, fin.channels, fin.frames
         if p.require_48k_stereo:
@@ -107,8 +113,11 @@ def process(in_path, out_path, p: XfadeParams | None = None,
             from tomatis_tpu.engine.checkpoint import CheckpointManager
             from tomatis_tpu.io.wav import WavWriter
             from tomatis_tpu.models.standard import _RawWav
+            # transport in the fingerprint: pending-output state formats
+            # differ per transport (see models.standard.process)
             config = dict(asdict(p), sr=sr, ch=ch, total=total,
-                          frames_per_chunk=frames_per_chunk, model="xfade")
+                          frames_per_chunk=frames_per_chunk, model="xfade",
+                          transport=transport)
             ckpt = CheckpointManager(checkpoint_path, config,
                                      checkpoint_every)
             resume_state = ckpt.load()
@@ -133,25 +142,20 @@ def process(in_path, out_path, p: XfadeParams | None = None,
                 actual_out = out_path.rsplit(".", 1)[0] + ".wav"
                 fout = audio.AudioFile(actual_out, "w", samplerate=sr,
                                        channels=ch, subtype="PCM_24")
-        raw = fout.supports_raw
-        if transport == "auto":
-            transport = "wire" if raw else "f32"
-        elif transport in ("wire", "pcm24") and not raw:
-            transport = "f32"
-        elif transport not in ("wire", "pcm24", "f32"):
-            raise ValueError(f"unknown transport {transport!r}")
-        runner = make_runner(p, sr, ch, total, frames_per_chunk,
-                             transport=transport)
-        resume_frame = None
-        if resume_state is not None:
-            resume_frame = resume_state["__meta__"]["scalars"][
-                "frames_consumed"]
-        csvw = StateCsvWriter(state_csv_path, sr, total, with_alpha=True,
-                              level_fmt="%.2f", alpha_fmt="%.3f",
-                              resume_at_frame=resume_frame) \
-            if state_csv_path else None
-        byte_payload = transport in ("wire", "pcm24")
+        csvw = None
         try:
+            transport, byte_payload = resolve_transport(
+                transport, fout.supports_raw)
+            runner = make_runner(p, sr, ch, total, frames_per_chunk,
+                                 transport=transport)
+            resume_frame = None
+            if resume_state is not None:
+                resume_frame = resume_state["__meta__"]["scalars"][
+                    "frames_consumed"]
+            csvw = StateCsvWriter(state_csv_path, sr, total, with_alpha=True,
+                                  level_fmt="%.2f", alpha_fmt="%.3f",
+                                  resume_at_frame=resume_frame) \
+                if state_csv_path else None
             stats = runner.run(fin,
                                on_audio=(fout.write_raw if byte_payload
                                          else fout.write),
