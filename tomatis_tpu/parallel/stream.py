@@ -150,54 +150,58 @@ def process_sharded(in_path, out_path, p=None,
         reader = RollingReader(fin.read, ch, left_pad=pad, block=hop * 512)
         need = (F_tot - 1) * hop + n_fft
 
-        for f0 in range(0, max(n_frames, 0), F_tot):
-            nf = min(F_tot, n_frames - f0)
-            sig = reader.window(f0 * hop, need)
-            frames = stft.frame_signal(sig, n_fft, hop, F_tot)[None]
-            nv = jnp.full((1,), nf, jnp.int32)
-            if xf:
-                (emit, levels, states, alpha, carry, alpha_c,
-                 oty, otw) = step(frames, carry, alpha_c, nv, in_ty, in_tw)
-                alpha_np = np.asarray(alpha[0])[:nf]
-            else:
-                emit, levels, states, carry, oty, otw = step(
-                    frames, carry, nv, in_ty, in_tw)
-                alpha_np = None
-            emit_np = np.asarray(emit[0])
-            lv = np.asarray(levels[0])[:nf]
-            st = np.asarray(states[0])[:nf].astype(np.int32)
-            states_count[1] += int(np.sum(st == 1))
-            states_count[2] += int(np.sum(st == 2))
-            if csvw is not None:
-                starts = -pad + (f0 + np.arange(nf)) * hop
-                log = {"levels": lv, "states": st}
-                if alpha_np is not None:
-                    log["alpha"] = alpha_np
-                csvw.on_frames(f0, starts, log)
-            last = f0 + nf >= n_frames
-            if not last:
-                out_pend.append(emit_np)
-                in_ty = oty[:, -tail:]
-                in_tw = otw[:, -tail:]
-            else:
-                wanted = nf * hop + tail
-                if wanted <= F_tot * hop:
-                    out_pend.append(emit_np[:wanted])
+        try:
+            for f0 in range(0, max(n_frames, 0), F_tot):
+                nf = min(F_tot, n_frames - f0)
+                sig = reader.window(f0 * hop, need)
+                frames = stft.frame_signal(sig, n_fft, hop, F_tot)[None]
+                nv = jnp.full((1,), nf, jnp.int32)
+                if xf:
+                    (emit, levels, states, alpha, carry, alpha_c,
+                     oty, otw) = step(frames, carry, alpha_c, nv, in_ty, in_tw)
+                    alpha_np = np.asarray(alpha[0])[:nf]
                 else:
-                    t_y = np.asarray(oty[0, -tail:])
-                    t_w = np.asarray(otw[0, -tail:])
+                    emit, levels, states, carry, oty, otw = step(
+                        frames, carry, nv, in_ty, in_tw)
+                    alpha_np = None
+                emit_np = np.asarray(emit[0])
+                lv = np.asarray(levels[0])[:nf]
+                st = np.asarray(states[0])[:nf].astype(np.int32)
+                states_count[1] += int(np.sum(st == 1))
+                states_count[2] += int(np.sum(st == 2))
+                if csvw is not None:
+                    starts = -pad + (f0 + np.arange(nf)) * hop
+                    log = {"levels": lv, "states": st}
+                    if alpha_np is not None:
+                        log["alpha"] = alpha_np
+                    csvw.on_frames(f0, starts, log)
+                last = f0 + nf >= n_frames
+                if not last:
                     out_pend.append(emit_np)
-                    out_pend.append(
-                        (t_y / (t_w[:, None] + EPS))
-                        [:wanted - F_tot * hop])
-            cut_i, out_base = runner._drain(out_pend, [], [], cut_i,
-                                            out_base, last, fout.write)
-            # pop the consumed input window (keep the n_fft-hop overlap)
-            reader.advance((f0 + nf) * hop)
+                    in_ty = oty[:, -tail:]
+                    in_tw = otw[:, -tail:]
+                else:
+                    wanted = nf * hop + tail
+                    if wanted <= F_tot * hop:
+                        out_pend.append(emit_np[:wanted])
+                    else:
+                        t_y = np.asarray(oty[0, -tail:])
+                        t_w = np.asarray(otw[0, -tail:])
+                        out_pend.append(emit_np)
+                        out_pend.append(
+                            (t_y / (t_w[:, None] + EPS))
+                            [:wanted - F_tot * hop])
+                cut_i, out_base = runner._drain(out_pend, [], [], cut_i,
+                                                out_base, last, fout.write)
+                # pop the consumed input window (keep the n_fft-hop overlap)
+                reader.advance((f0 + nf) * hop)
 
-        fout.close()
-        if csvw:
-            csvw.close()
+        finally:
+            # close the sink even when a step fails mid-stream
+            # (the WAV header length is fixed on close)
+            fout.close()
+            if csvw:
+                csvw.close()
 
     wall = time.perf_counter() - t_start
     total_f = int(states_count[1] + states_count[2])
