@@ -114,3 +114,23 @@ def test_output_parity_small_fft():
     y, stats = process_array(x, 48000, p, frames_per_chunk=64)
     y_ref, _, _ = refdsp.process_standard_loop(x, 48000, n_fft=1024, hop=512)
     assert np.max(np.abs(y - y_ref)) < 2e-4
+
+
+def test_silence_and_fullscale_inputs():
+    """Digital silence must come out as exact silence (no NaN/Inf from the
+    eps-guarded level math or the OLA normalizer); sustained full-scale
+    square must survive the +-15 dB tilt via the per-flush clamp."""
+    sr = 48000
+    zeros = np.zeros((sr * 2, 2), np.float32)
+    y, stats = process_array(zeros, sr, StandardParams(require_48k_stereo=False),
+                             frames_per_chunk=16)
+    assert np.all(np.isfinite(y)) and np.max(np.abs(y)) == 0.0
+    assert stats["c2_frames"] == 0      # silence is all C1
+
+    square = np.sign(np.sin(2 * np.pi * 500 *
+                            np.arange(sr * 6) / sr)).astype(np.float32)
+    x = np.stack([square, square], 1)
+    y, _ = process_array(x, sr, StandardParams(require_48k_stereo=False),
+                         frames_per_chunk=64)
+    assert np.all(np.isfinite(y))
+    assert np.max(np.abs(y)) <= 0.999 + 1e-6   # per-flush clamp engaged
