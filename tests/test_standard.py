@@ -134,3 +134,25 @@ def test_silence_and_fullscale_inputs():
                          frames_per_chunk=64)
     assert np.all(np.isfinite(y))
     assert np.max(np.abs(y)) <= 0.999 + 1e-6   # per-flush clamp engaged
+
+
+def test_mono_file_end_to_end(tmp_path):
+    """--allow_any_rate lifts the stereo requirement; a mono file must
+    round-trip with the correct length and realized tilt."""
+    sr = 48000
+    t = np.arange(2 * sr) / sr
+    x = (0.05 * (np.sin(2 * np.pi * 4000 * t))).astype(np.float32)[:, None]
+    ip = tmp_path / "mono.wav"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    op = tmp_path / "mono_out.wav"
+    stats = process(ip, op, StandardParams(require_48k_stereo=False),
+                    frames_per_chunk=16)
+    y, _ = audio.read(op)
+    assert y.shape == x.shape
+    # constant -30 dBFS level > Ton -38.5 after up-delay -> mostly C2:
+    # 4 kHz sits on the +15 dB plateau; expect clear boost mid-file
+    s0, s1 = sr // 2, 3 * sr // 2
+    gain = 20 * np.log10(np.sqrt(np.mean(y[s0:s1] ** 2))
+                         / np.sqrt(np.mean(x[s0:s1] ** 2)))
+    assert stats["c2_frames"] > stats["c1_frames"]
+    assert 13.0 < gain < 15.5, gain
