@@ -196,3 +196,20 @@ def test_batch_reuses_jitted_step_across_calls(tmp_path):
     n_after_first = len(B._VCHUNK_CACHE)
     process_batch([(ip, tmp_path / "o2.flac")], p, frames_per_chunk=16)
     assert len(B._VCHUNK_CACHE) == n_after_first   # second call reused it
+
+
+def test_zero_length_file_lane(tmp_path):
+    """A valid zero-frame input must produce an empty output, not a
+    numpy error (flush_plan used to emit a spurious cut for the bare
+    pad region)."""
+    p = StandardParams(require_48k_stereo=False)
+    ez = tmp_path / "empty.wav"
+    audio.write(ez, np.zeros((0, 2), np.float32), SR, subtype="PCM_24")
+    ok = tmp_path / "ok.flac"
+    audio.write(ok, _sig(1.0, 2), SR, subtype="PCM_24")
+    stats = process_batch([(ez, tmp_path / "eo.wav"),
+                           (ok, tmp_path / "oo.flac")], p,
+                          frames_per_chunk=16)
+    assert [s["failed"] for s in stats] == [None, None], stats
+    y, _ = audio.read(tmp_path / "eo.wav")
+    assert len(y) == 0

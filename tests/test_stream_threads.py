@@ -104,3 +104,19 @@ def test_run_after_failure_is_reusable():
     y = np.concatenate([o.reshape(-1, 2) for o in outs])
     assert len(y) == len(sig)
     assert stats["n_frames"] > 0
+
+
+def test_engine_rejects_log_keys_rebinding():
+    """One engine serves one controller type: the aux unpack layout
+    follows LOG_KEYS, so rebinding must fail loudly (it used to silently
+    misalign the rows)."""
+    from tomatis_tpu.engine.streaming import ChunkedStftEngine
+    from tomatis_tpu.models.controllers import StaticGainController
+    from tomatis_tpu.models.standard import StandardParams, build_controller
+
+    p = StandardParams(require_48k_stereo=False)
+    eng = ChunkedStftEngine(p.n_fft, p.hop, 2, frames_per_chunk=8)
+    eng.make_chunk_fn(build_controller(p, SR))          # LOG_KEYS=('states',)
+    gains = np.ones(p.n_fft // 2 + 1, np.float32)
+    with pytest.raises(ValueError, match="LOG_KEYS"):
+        eng.make_chunk_fn(StaticGainController(gains))  # LOG_KEYS=()

@@ -142,6 +142,10 @@ def flush_plan(total: int, n_fft: int, hop: int,
     pad = n_fft // 2
     pad_end = stft.pad_end(total, n_fft, hop)
     n_frames = (pad + total + pad_end - n_fft) // hop + 1
+    if n_frames <= 0:
+        # empty stream: no frames, no cuts (the end-coverage append below
+        # would otherwise emit a spurious cut for the bare pad region)
+        return FlushPlan([], pad, pad_end, 0, total)
     cuts = []
     out_base = -pad
     for j in range(n_frames):
@@ -297,6 +301,17 @@ class ChunkedStftEngine:
             # they differ visibly on window-edge samples at stream bounds.
             raise ValueError(norm)
         log_keys = tuple(getattr(controller, "LOG_KEYS", ()))
+        if getattr(self, "_log_keys_bound", False) \
+                and self.log_keys != log_keys:
+            # the aux unpack layout (unpack_pcm24 / unpack_wire_aux)
+            # follows self.log_keys; rebinding one engine to controllers
+            # with different log rows would silently misalign it — fail
+            # loudly, one engine per controller type
+            raise ValueError(
+                f"engine already bound to LOG_KEYS {self.log_keys}; "
+                f"controller wants {log_keys} — use a separate "
+                "ChunkedStftEngine per controller type")
+        self._log_keys_bound = True
         self.log_keys = log_keys
         self.transport = transport
         key = (self.n_fft, self.hop, self.channels, self.frames_per_chunk,
@@ -819,7 +834,7 @@ class StreamRunner:
             avail = sum(len(a) for a in out_pend) // unit
             if not final and avail < (start - out_base) + n:
                 break
-            buf = np.concatenate(out_pend, 0) if len(out_pend) != 1 \
+            buf = np.concatenate(out_pend, 0) if len(out_pend) > 1 \
                 else (out_pend[0] if out_pend else
                       np.zeros(0, np.uint8 if pcm24 else np.float32))
             rel = start - out_base

@@ -339,18 +339,24 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             inflight = (frame0s, nfs, packed, out_dev)
         if inflight is not None:
             _consume_all(lanes, *inflight, engine, wire, pool)
+
+        out_tail_np = np.asarray(out_tail_b)
+        w_tail_np = np.asarray(w_tail_b)
+        for i, lane in enumerate(lanes):
+            if lane.failed or lane.done:
+                continue
+            try:
+                lane.finish(out_tail_np[i], w_tail_np[i])
+            except Exception as e:
+                lane.fail(e)
     finally:
         pool.shutdown(wait=False)
-
-    out_tail_np = np.asarray(out_tail_b)
-    w_tail_np = np.asarray(w_tail_b)
-    for i, lane in enumerate(lanes):
-        if lane.failed or lane.done:
-            continue
-        try:
-            lane.finish(out_tail_np[i], w_tail_np[i])
-        except Exception as e:
-            lane.fail(e)
+        # an exception escaping the dispatch loop must not leave lane
+        # sinks open (WAV headers are patched and FLAC streams finalized
+        # on close); normal exits have already finished every lane
+        for lane in lanes:
+            if not lane.done:
+                lane.fail("batch run aborted")
     return [lane.stats() for lane in lanes]
 
 

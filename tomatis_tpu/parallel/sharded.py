@@ -206,7 +206,6 @@ def sharded_xfade_step(mesh: Mesh, n_fft: int, hop: int,
     win2 = win * win
     g1_db = jnp.asarray(g1_db, jnp.float32)
     g2_db = jnp.asarray(g2_db, jnp.float32)
-    tail = n_fft - hop
     n_seq = mesh.shape["seq"]
     F_loc = frames_per_shard
 
@@ -262,7 +261,6 @@ def sharded_adaptive_step(mesh: Mesh, n_fft: int, hop: int,
     win2 = win * win
     g1_db = jnp.asarray(g1_db, jnp.float32)
     g2_db = jnp.asarray(g2_db, jnp.float32)
-    tail = n_fft - hop
     n_seq = mesh.shape["seq"]
     F_loc = frames_per_shard
 
@@ -322,7 +320,6 @@ def sharded_process_step(mesh: Mesh, n_fft: int, hop: int,
     win2 = win * win
     table = jnp.stack([jnp.asarray(g1_lin, jnp.float32),
                        jnp.asarray(g2_lin, jnp.float32)])
-    tail = n_fft - hop
     n_seq = mesh.shape["seq"]
     F_loc = frames_per_shard
 
@@ -379,7 +376,6 @@ def sharded_stream_step(mesh: Mesh, n_fft: int, hop: int,
     win2 = win * win
     table = jnp.stack([jnp.asarray(g1_lin, jnp.float32),
                        jnp.asarray(g2_lin, jnp.float32)])
-    tail = n_fft - hop
     n_seq = mesh.shape["seq"]
     F_loc = frames_per_shard
 
@@ -433,7 +429,6 @@ def sharded_xfade_stream_step(mesh: Mesh, n_fft: int, hop: int,
     win2 = win * win
     g1_db = jnp.asarray(g1_db, jnp.float32)
     g2_db = jnp.asarray(g2_db, jnp.float32)
-    tail = n_fft - hop
     n_seq = mesh.shape["seq"]
     F_loc = frames_per_shard
 
