@@ -104,7 +104,12 @@ class _Lane:
         self.rolling.advance(-self.plan.pad + self.frame0 * self.eng.hop)
 
     def consume(self, c_frame0, c_nf, payload, aux, out_dev):
-        """Route one chunk's already-decoded PCM bytes + aux rows."""
+        """Route one chunk's already-decoded PCM bytes + aux rows.
+
+        Mirrors StreamRunner.consume_host (engine/streaming.py) over
+        per-lane state; the engine version closes over its run()-local
+        sinks, so sharing the body needs a sink-state object — keep the
+        two in sync until that refactor."""
         eng, runner = self.eng, self.runner
         hop = eng.hop
         pad = self.plan.pad
