@@ -42,10 +42,11 @@ FLUSH_THRESHOLD = 48000 * 5  # hard-coded in the reference (src/process_tomatis.
 
 # wire transport: device->host page size (bytes) and host->device input
 # bucket granularity (bytes). Pages let the host fetch exactly
-# ceil(used/PAGE) fixed-shape arrays of a variable-size packed stream
-# (measured: N async page fetches run at full link bandwidth); buckets
-# bound the number of input-unpack executable shapes.
-WIRE_PAGE = 256 * 1024
+# ceil(used/PAGE) fixed-shape arrays of a variable-size packed stream;
+# buckets bound the number of input-unpack executable shapes. 1 MB pages
+# measured ~15% faster than 256 KB on the tunneled link (fewer fetch
+# round trips) at ~4% average over-fetch on multi-MB chunk streams.
+WIRE_PAGE = 1024 * 1024
 WIRE_BUCKET = 256 * 1024
 
 # Shared input-unpack executable; jit caches one trace per (bucket, n, ch).
@@ -621,11 +622,6 @@ class StreamRunner:
                 out_pend, peak_pend, float_refs, cut_i, out_base,
                 False, on_audio)
 
-        def consume(ready, started=None):
-            """Synchronous consume (post-loop final chunk; also the
-            composition the consumer pipeline is equivalent to)."""
-            consume_host(ready, consume_materialize(ready, started))
-
         def capture_snapshot(next_frame0, carry, ot, wt):
             """Pre-dispatch state for chunk `next_frame0` (host copies)."""
             leaves, _ = jax.tree_util.tree_flatten(carry)
@@ -687,53 +683,103 @@ class StreamRunner:
             return stage_to_device(prefetch.get(), eng.chunk_input_len, C,
                                    self.wire_stats)
 
-        # Software pipeline: dispatch chunk k+1 (async) before materializing
-        # chunk k, so device->host readback (the bottleneck over a tunneled
-        # TPU) overlaps the next chunk's compute. The next chunk's input is
-        # staged to device right after dispatch (its host encode already
-        # ran on the producer thread); the transfer stays implicit in the
-        # jit/unpack call — explicit jax.device_put takes a much slower RPC
-        # path on tunneled TPUs.
+        # Software pipeline, depth 3: each chunk's device round trip gets a
+        # full loop iteration of slack at every sync point, so the main
+        # thread only ever waits for transfers that have already had one
+        # iteration (~one chunk of link time) to complete. Per iteration k:
+        #   dispatch chunk k                (async; input staged last iter)
+        #   S1 on chunk k-1: wait compute, start the aux/payload readback
+        #   S2 on chunk k-2: read aux, issue the paged stream fetches
+        #   stage input k+1                 (h2d rides the link async)
+        #   S3 on chunk k-3: materialize pages (long since arrived), hand
+        #                    the host half to the ordered writer thread
+        # The input transfer stays implicit in the jit/unpack call —
+        # explicit jax.device_put takes a much slower RPC path on tunneled
+        # TPUs — and the device executes in dispatch order, so chunk k's
+        # compute is enqueued before chunk k+1's input unpack.
+        import os as _os
         import time as _time
         timings = {"input_host_s": 0.0, "dispatch_compute_s": 0.0,
                    "consume_s": 0.0}
-        inflight = None
+        detail = [] if _os.environ.get("TOMATIS_TIMING_DETAIL") else None
+        inflight: list = []   # chunks between dispatch and writer handoff
         chunk_i = 0
-        snapshot = None
         staged = None
+
+        def s1_wait_copy(ck):
+            """Wait for the (cheap) compute, then start the readback:
+            issuing copy_to_host_async on a not-yet-computed array falls
+            into a much slower transfer path on tunneled TPUs."""
+            try:
+                ck["wait_arr"].block_until_ready()
+                ck["wait_arr"].copy_to_host_async()
+            except AttributeError:
+                pass
+            ck["stage"] = 1
+
+        def s2_start(ck):
+            ck["started"] = consume_start(ck["ready"])
+            ck["stage"] = 2
+
+        def s3_finish(ck):
+            mat = consume_materialize(ck["ready"], ck["started"])
+            ck["stage"] = 3
+
+            def job(iv=ck["ready"], m=mat):
+                consume_host(iv, m)
+                if on_progress is not None:
+                    # frames fully processed and written so far
+                    on_progress(iv[0] + iv[1], n_frames)
+            writer.submit(job)
+
+        def advance(ck, to_stage):
+            for s, fn in ((1, s1_wait_copy), (2, s2_start), (3, s3_finish)):
+                if s > to_stage:
+                    break
+                if ck["stage"] < s:
+                    fn(ck)
+
+        def drain_inflight():
+            """Run every in-flight chunk to completion, in stream order —
+            stage by stage, so all page fetches are issued before any
+            materialize blocks."""
+            for stage in (1, 2, 3):
+                for ck in inflight:
+                    advance(ck, stage)
+            del inflight[:]
+
         try:
             while frame0 < n_frames:
                 nf = min(F_c, n_frames - frame0)
                 take_snap = (ckpt is not None and chunk_i > 0
                              and chunk_i % ckpt.every == 0)
                 if take_snap:
-                    snapshot = capture_snapshot(frame0, ctl_carry, out_tail,
-                                                w_tail)
+                    # checkpoint boundary: everything before this chunk
+                    # must be consumed and drained before its state is
+                    # captured, so the pipeline stalls here (checkpoints
+                    # are many chunks apart)
+                    _t = _time.perf_counter()
+                    drain_inflight()
+                    timings["consume_s"] += _time.perf_counter() - _t
+                    writer.check(join=True)
+                    save_checkpoint(capture_snapshot(
+                        frame0, ctl_carry, out_tail, w_tail))
                 chunk_i += 1
+                _d = {} if detail is not None else None
                 if staged is None:
                     _t = _time.perf_counter()
                     staged = next_staged()
                     timings["input_host_s"] += _time.perf_counter() - _t
+                    if _d is not None:
+                        _d["stage_first"] = _time.perf_counter() - _t
 
                 _t = _time.perf_counter()
                 res = self.chunk_fn(
                     staged, jnp.int32(nf), ctl_carry, out_tail,
                     w_tail, self.ctl_params, self.gain_f32)
                 timings["dispatch_compute_s"] += _time.perf_counter() - _t
-                # start the previous chunk's readback NOW: the async page
-                # transfer rides the link while we stage the next input
-                started = None
-                if inflight is not None:
-                    _t = _time.perf_counter()
-                    started = consume_start(inflight)
-                    timings["consume_s"] += _time.perf_counter() - _t
-                # stage the next chunk's input while the device works
-                staged = None
-                next_frame0 = frame0 + nf
-                if next_frame0 < n_frames:
-                    _t = _time.perf_counter()
-                    staged = next_staged()
-                    timings["input_host_s"] += _time.perf_counter() - _t
+                if _d is not None:
+                    _d["dispatch"] = _time.perf_counter() - _t
                 if wire:
                     auxw, pages, out_dev, ctl_carry, out_tail, w_tail = res
                     packed = (auxw, pages)
@@ -745,37 +791,43 @@ class StreamRunner:
                     packed, ctl_carry, out_tail, w_tail = res
                     out_dev = None
                     wait_arr = packed
+                inflight.append(dict(
+                    ready=(frame0, nf, packed, out_dev), wait_arr=wait_arr,
+                    started=None, stage=0))
+                frame0 += nf
+
+                # promote older chunks one pipeline stage each (oldest
+                # first, capped at S2 — S3 is the retire step below)
                 _t = _time.perf_counter()
-                try:
-                    # Wait for the (cheap) compute, then start the readback:
-                    # issuing copy_to_host_async on a not-yet-computed array
-                    # falls into a much slower transfer path on tunneled TPUs.
-                    wait_arr.block_until_ready()
-                    wait_arr.copy_to_host_async()
-                except AttributeError:
-                    pass
+                m = len(inflight) - 1
+                for i, ck in enumerate(inflight[:-1]):
+                    advance(ck, min(2, m - i))
                 timings["dispatch_compute_s"] += _time.perf_counter() - _t
+                if _d is not None:
+                    _d["promote"] = _time.perf_counter() - _t
 
-                if inflight is not None:
+                # stage the next chunk's input while the link drains
+                staged = None
+                if frame0 < n_frames:
                     _t = _time.perf_counter()
-                    mat = consume_materialize(inflight, started)
-                    timings["consume_s"] += _time.perf_counter() - _t
+                    staged = next_staged()
+                    timings["input_host_s"] += _time.perf_counter() - _t
+                    if _d is not None:
+                        _d["stage_next"] = _time.perf_counter() - _t
 
-                    def job(iv=inflight, m=mat):
-                        consume_host(iv, m)
-                        if on_progress is not None:
-                            # frames fully processed and written so far
-                            on_progress(iv[0] + iv[1], n_frames)
-                    writer.submit(job)
-                if snapshot is not None:
-                    # wait for the writer: everything before
-                    # snapshot['frame0'] must be consumed and drained
-                    # before its state is captured
-                    writer.check(join=True)
-                    save_checkpoint(snapshot)
-                    snapshot = None
-                inflight = (frame0, nf, packed, out_dev)
-                frame0 += nf  # input already advanced during pre-staging
+                # retire the chunk whose pages have had a full iteration
+                if len(inflight) > 3:
+                    _t = _time.perf_counter()
+                    s3_finish(inflight.pop(0))
+                    timings["consume_s"] += _time.perf_counter() - _t
+                    if _d is not None:
+                        _d["retire"] = _time.perf_counter() - _t
+
+                if detail is not None:
+                    detail.append(_d)
+            _t = _time.perf_counter()
+            drain_inflight()
+            timings["consume_s"] += _time.perf_counter() - _t
             writer.check(join=True)
         finally:
             # stop a prefetcher that is still blocked on a full queue (an
@@ -783,11 +835,6 @@ class StreamRunner:
             # down; harmless after a normal exit where both are idle
             prefetch.close()
             writer.close()
-
-        if inflight is not None:
-            consume(inflight)
-            if on_progress is not None:
-                on_progress(inflight[0] + inflight[1], n_frames)
         # Final: if the last chunk was full, its tail is still in the carry.
         if n_frames % F_c == 0 and n_frames > 0:
             tail_np = np.asarray(out_tail) / (np.asarray(w_tail)[:, None] + EPS)
@@ -819,6 +866,9 @@ class StreamRunner:
             timings={k: round(v, 4) for k, v in timings.items()},
             wire=dict(self.wire_stats),
         )
+        if detail is not None:
+            self.stats["chunk_timings"] = [
+                {k: round(v, 4) for k, v in d.items()} for d in detail]
         return self.stats
 
     def _drain(self, out_pend, peak_pend, float_refs, cut_i, out_base,
