@@ -52,6 +52,15 @@ def test_verify_v2_on_adaptive_output(tmp_path):
     assert sp["c1_slope_rmse"] < 2.0 and sp["c2_slope_rmse"] < 2.0
     assert res["checks"]["tilt_index"]["ti_effect"] > 5.0
     assert (tmp_path / "v2_report.txt").exists()
+    assert (tmp_path / "v2_spectrum.csv").exists()
+    # plot artifacts (ref verify_tomatis_15db_v2.py:740-809), written
+    # whenever matplotlib is importable
+    try:
+        import matplotlib  # noqa: F401
+        assert (tmp_path / "v2_spectrum.png").exists()
+        assert (tmp_path / "v2_tilt_index.png").exists()
+    except ImportError:
+        pass
 
 
 def test_tilt_amplitude_measures_pm15(tmp_path):

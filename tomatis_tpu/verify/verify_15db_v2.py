@@ -240,10 +240,52 @@ def verify_v2(in_path, out_path, hyst_db=1.0, up_delay_ms=0.0,
 
     if out_prefix:
         _write_report_v2(f"{out_prefix}_report.txt", results)
-        from tomatis_tpu.verify.verify_15db import _write_spectrum_csv
+        from tomatis_tpu.verify.verify_15db import (_plot_spectrum,
+                                                    _write_spectrum_csv)
         _write_spectrum_csv(f"{out_prefix}_spectrum.csv", freqs, c1_db,
                             c2_db, c1_theory, c2_theory)
+        _plot_spectrum(f"{out_prefix}_spectrum.png", freqs, c1_db, c2_db,
+                       c1_theory, c2_theory, fc, gain_limit, n1, n2)
+        _plot_ti_v2(f"{out_prefix}_tilt_index.png", ti, ti_stats)
     return results
+
+
+def _plot_ti_v2(path, ti, ti_stats):
+    """Two-panel TI figure — input-vs-output and C1-vs-C2 histograms with
+    the separation in the title (ref src/verify_tomatis_15db_v2.py:785-809;
+    v1 draws a single combined panel)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+    ax = axes[0]
+    for key, color in [("input", "gray"), ("output", "b")]:
+        if len(ti[key]):
+            ax.hist(ti[key], bins=50, alpha=0.5, label=key.capitalize(),
+                    color=color)
+    ax.set_xlabel("Tilt Index (dB)")
+    ax.set_ylabel("Count")
+    ax.set_title("Tilt Index: Input vs Output")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    ax = axes[1]
+    for key, color in [("c1", "b"), ("c2", "r")]:
+        if len(ti[key]):
+            ax.hist(ti[key], bins=50, alpha=0.5, color=color,
+                    label=f"{key.upper()} "
+                          f"(mean={ti_stats.get(key + '_mean', 0):.1f})")
+    ax.set_xlabel("Tilt Index (dB)")
+    ax.set_ylabel("Count")
+    ax.set_title("Tilt Index: C1 vs C2 "
+                 f"(separation={ti_stats.get('ti_effect', 0):.1f} dB)")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    plt.tight_layout()
+    plt.savefig(path, dpi=150)
+    plt.close(fig)
 
 
 def _write_report_v2(path, results):
