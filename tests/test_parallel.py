@@ -262,6 +262,50 @@ def test_process_sharded_xfade_matches_single_device(tmp_path):
         assert abs(float(ca[4]) - float(cb[4])) <= 0.001   # alpha %.3f
 
 
+def test_process_sharded_adaptive_matches_single_device(tmp_path):
+    """The CLI-reachable sharded adaptive path (auto threshold + min-hold
+    block scan + snap-first alpha + pre-atten/peak-protect passes) must
+    match the single-device adaptive processor within 1 PCM_24 LSB (the
+    alpha block scan reassociates f32 clip-affine maps), with an
+    identical state CSV."""
+    from tomatis_tpu.io import audio
+    from tomatis_tpu.models.adaptive import AdaptiveParams, process
+    from tomatis_tpu.parallel.stream import process_sharded_adaptive
+
+    rng = np.random.default_rng(11)
+    sr = 48000
+    t = np.arange(int(6.7 * sr)) / sr
+    env = 0.002 + 0.06 * (np.sin(2 * np.pi * 0.45 * t) > 0)
+    x = env * (np.sin(2 * np.pi * 600 * t)
+               + 0.35 * np.sin(2 * np.pi * 2800 * t)
+               + 0.02 * rng.standard_normal(t.size))
+    sig = np.stack([x, 0.9 * x], 1).astype(np.float32)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, sig, sr, subtype="PCM_24")
+    p = AdaptiveParams(n_fft=1024, hop=512, min_hold_ms=80.0,
+                       xfade_ms=120.0)
+
+    ref = tmp_path / "ref.flac"
+    ri = process(ip, ref, p, state_csv_path=tmp_path / "ref.csv",
+                 frames_per_chunk=64)
+    shd = tmp_path / "shd.flac"
+    st = process_sharded_adaptive(ip, shd, p, frames_per_shard=21,
+                                  state_csv_path=tmp_path / "shd.csv")
+    assert st["mesh"]["seq"] == 8 and st["variant"] == "adaptive"
+    assert st["optimal_threshold"] == ri["optimal_threshold"]
+    assert st["atten_db"] == ri["atten_db"]
+    assert st["switch_count"] == ri["switch_count"]
+    y_ref, _ = audio.read(ref)
+    y_shd, _ = audio.read(shd)
+    d = np.abs(np.rint(y_shd * 8388608).astype(np.int64)
+               - np.rint(y_ref * 8388608).astype(np.int64))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 0.01
+    assert open(tmp_path / "shd.csv").read() == \
+        open(tmp_path / "ref.csv").read()
+    assert 0.0 < st["c2_ratio"] < 1.0 and st["switch_count"] > 0
+
+
 def test_process_sharded_rejects_data_gt_1(tmp_path):
     """data > 1 used to crash deep inside shard_map ('axis sizes not
     evenly divisible'); it must be rejected up front with a clear error."""

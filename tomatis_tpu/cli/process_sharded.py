@@ -40,17 +40,62 @@ def build_parser() -> argparse.ArgumentParser:
                          "across FILES use process-batch instead")
     ap.add_argument("--frames_per_shard", type=int, default=256,
                     help="frames per device per super-chunk")
-    ap.add_argument("--variant", choices=("standard", "xfade"),
+    ap.add_argument("--variant", choices=("standard", "xfade", "adaptive"),
                     default="standard",
                     help="processor variant (xfade adds the rate-limited "
-                         "alpha ramp with dB-domain gain blending)")
-    ap.add_argument("--xfade_ms", type=float, default=0.0,
-                    help="crossfade transition (ms, xfade variant)")
+                         "alpha ramp with dB-domain gain blending; adaptive "
+                         "adds auto threshold, min-hold gate, pre-atten "
+                         "and global peak protect)")
+    ap.add_argument("--xfade_ms", type=float, default=None,
+                    help="crossfade transition (ms); default 0 for the "
+                         "xfade variant, 500 for adaptive (the reference "
+                         "CLIs' respective defaults)")
+    ap.add_argument("--target_c2", type=float, default=0.5,
+                    help="adaptive: target C2 ratio for the threshold "
+                         "search")
+    ap.add_argument("--min_hold_ms", type=float, default=250.0,
+                    help="adaptive: minimum state hold (ms)")
+    ap.add_argument("--headroom_margin", type=float, default=2.0,
+                    help="adaptive: pre-attenuation margin (dB)")
     return ap
 
 
 def run(args) -> int:
-    from tomatis_tpu.parallel.stream import process_sharded
+    from tomatis_tpu.parallel.stream import (process_sharded,
+                                             process_sharded_adaptive)
+    if args.variant == "adaptive":
+        from tomatis_tpu.models.adaptive import AdaptiveParams
+        if args.output_gain_db:
+            print("[ERR] --output_gain_db is not supported by the adaptive "
+                  "variant (reference parity: src/process_tomatis_adaptive"
+                  ".py applies pre-attenuation/restore instead)")
+            return 2
+        p = AdaptiveParams(
+            fc=args.fc, slope=args.slope,
+            c1_low=args.c1_low, c1_high=args.c1_high,
+            c2_low=args.c2_low, c2_high=args.c2_high,
+            target_c2=args.target_c2, hyst_db=args.hyst_db,
+            min_hold_ms=args.min_hold_ms,
+            xfade_ms=500.0 if args.xfade_ms is None else args.xfade_ms,
+            headroom_margin=args.headroom_margin,
+            n_fft=args.n_fft, hop=args.hop)
+        stats = process_sharded_adaptive(
+            args.input, args.output, p, n_devices=args.devices,
+            frames_per_shard=args.frames_per_shard,
+            state_csv_path=args.state_csv)
+        m = stats["mesh"]
+        print(f"mesh: data={m['data']} seq={m['seq']}  "
+              f"frames/shard: {stats['frames_per_shard']}")
+        print(f"auto threshold: {stats['optimal_threshold']:.1f} dBFS  "
+              f"(target C2 {args.target_c2 * 100:.0f}%)")
+        print(f"pre-attenuation: {stats['atten_db']:.1f} dB")
+        print(f"frames: {stats['n_frames']}  "
+              f"C2 ratio: {stats['c2_ratio'] * 100:.1f}%  "
+              f"switches: {stats['switch_count']}")
+        print(f"output: {stats['out_path']} ({stats['total']} samples)")
+        print(f"wall: {stats['wall_seconds']:.2f}s "
+              f"({stats['realtime_factor']:.1f}x realtime)")
+        return 0
     if args.variant == "xfade":
         from tomatis_tpu.models.xfade import XfadeParams
         if args.output_gain_db:
@@ -65,7 +110,8 @@ def run(args) -> int:
         p = XfadeParams(
             gate_ui=args.gate_ui, gate_scale=args.gate_scale,
             gate_offset=args.gate_offset, hysteresis_db=args.hyst_db,
-            up_delay_ms=args.up_delay_ms, xfade_ms=args.xfade_ms,
+            up_delay_ms=args.up_delay_ms,
+            xfade_ms=0.0 if args.xfade_ms is None else args.xfade_ms,
             fc=args.fc, slope=args.slope,
             c1_low=args.c1_low, c1_high=args.c1_high,
             c2_low=args.c2_low, c2_high=args.c2_high,

@@ -303,6 +303,71 @@ def sharded_adaptive_step(mesh: Mesh, n_fft: int, hop: int,
     return jax.jit(sharded)
 
 
+def sharded_adaptive_stream_step(mesh: Mesh, n_fft: int, hop: int,
+                                 frames_per_shard: int, channels: int,
+                                 ton: float, toff: float,
+                                 min_hold_frames: int, alpha_step: float,
+                                 g1_db, g2_db, window=None):
+    """sharded_adaptive_step with OLA tail carry across super-chunks (the
+    adaptive variant of the file->file sharded CLI path). Threshold search
+    and the headroom/peak-protect passes stay host-side exactly as in
+    models/adaptive.py; this shards the streaming STFT pass.
+
+    fn(frames [B, F, C, n_fft], s0 [B], alpha0 [B], n_valid [B],
+       in_tail_y [B, tail, C], in_tail_w [B, tail]) ->
+        (emit [B, F*hop, C], levels [B, F], states [B, F], alpha [B, F],
+         gate_carry [B], alpha_carry [B],
+         out_tail_y [B, n_seq*tail, C], out_tail_w [B, n_seq*tail])
+    with only the last tail block of out_tail_* meaningful (see
+    sharded_stream_step). Stream start: s0 = min_hold_frames (the gate may
+    switch on frame 0), alpha0 = -1.0 (snap-first sentinel)."""
+    win = jnp.asarray(window if window is not None
+                      else stft.hann_symmetric(n_fft))
+    win2 = win * win
+    g1_db = jnp.asarray(g1_db, jnp.float32)
+    g2_db = jnp.asarray(g2_db, jnp.float32)
+    n_seq = mesh.shape["seq"]
+    F_loc = frames_per_shard
+
+    def per_file(frames, s0, alpha0, n_valid, in_ty, in_tw):
+        seq_i = jax.lax.axis_index("seq")
+        f0 = seq_i * F_loc
+        valid = (f0 + jnp.arange(F_loc)) < n_valid
+        levels = frame_levels_dbfs(jnp.transpose(frames, (0, 2, 1)))
+        states, gate_carry = _sharded_gate_minhold(
+            levels, ton, toff, min_hold_frames, s0, valid)
+        targets = (states == 2).astype(jnp.float32)
+        t0 = jax.lax.all_gather(targets[0], "seq")[0]
+        a0 = jnp.where(alpha0 < 0, t0, alpha0)
+        alpha, alpha_carry = _sharded_alpha_ramp(
+            targets, jnp.float32(alpha_step), a0, valid)
+        mixed_db = ((1.0 - alpha)[:, None] * g1_db[None, :]
+                    + alpha[:, None] * g2_db[None, :])
+        gains = 10.0 ** (mixed_db / 20.0)
+        y = stft.apply_gain_bank(frames, win, gains.astype(jnp.float32))
+        mask = valid.astype(jnp.float32)
+        y = y * mask[:, None, None]
+        emit, t_y, t_w = _ola_halo_emit(y, win2, mask, hop, F_loc, n_seq,
+                                        in_ty, in_tw, norm="floor8")
+        return (emit, levels, states, alpha, gate_carry, alpha_carry,
+                t_y, t_w)
+
+    def step(frames, s0, alpha0, n_valid, in_ty, in_tw):
+        return jax.vmap(per_file)(frames, s0, alpha0, n_valid, in_ty,
+                                  in_tw)
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data", "seq", None, None), P("data"), P("data"),
+                  P("data"), P("data"), P("data")),
+        out_specs=(P("data", "seq", None), P("data", "seq"),
+                   P("data", "seq"), P("data", "seq"), P("data"),
+                   P("data"), P("data", "seq", None), P("data", "seq")),
+        check_vma=False)
+
+    return jax.jit(sharded)
+
+
 def sharded_process_step(mesh: Mesh, n_fft: int, hop: int,
                          frames_per_shard: int, channels: int,
                          ton: float, toff: float, delay_frames: int,

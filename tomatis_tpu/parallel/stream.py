@@ -29,8 +29,9 @@ from tomatis_tpu.io import audio
 from tomatis_tpu.models import standard as _standard
 from tomatis_tpu.models import xfade as _xfade
 from tomatis_tpu.ops import dsp, gate as gate_ops, stft
-from tomatis_tpu.ops.dsp import EPS
+from tomatis_tpu.ops.dsp import EPS, PEAK_LIMIT
 from tomatis_tpu.parallel.sharded import (make_mesh,
+                                          sharded_adaptive_stream_step,
                                           sharded_stream_step,
                                           sharded_xfade_stream_step)
 from tomatis_tpu.utils.rolling import RollingReader
@@ -214,4 +215,205 @@ def process_sharded(in_path, out_path, p=None,
         variant=variant, sr=sr, channels=ch, total=total,
         out_path=actual_out, threshold_dbfs=p.threshold_dbfs(),
         wall_seconds=wall,
+        realtime_factor=(total / sr) / wall if wall > 0 else 0.0)
+
+
+def process_sharded_adaptive(in_path, out_path, p=None,
+                             n_devices: int | None = None,
+                             frames_per_shard: int = 256,
+                             state_csv_path=None) -> dict:
+    """Adaptive processing of ONE file sharded over a ('data', 'seq') mesh.
+
+    The three-pass structure of models.adaptive.process is kept exactly —
+    global peak -> pre-attenuation, streamed levels -> threshold search ->
+    host gate/alpha (state CSV), then the heavy STFT pass runs as sharded
+    super-chunks (min-hold gate + snap-first alpha recomputed on-device as
+    block scans, bit-equal to the host pass), staged to a float WAV and
+    finalized with the global peak protect (ref
+    src/process_tomatis_adaptive.py:201-345). Output matches the
+    single-device adaptive processor within 1 PCM_24 LSB (the alpha block
+    scan reassociates f32 clip-affine maps)."""
+    import os
+    from dataclasses import asdict
+
+    from tomatis_tpu.io.wav import WavWriter
+    from tomatis_tpu.models import adaptive as _adaptive
+    from tomatis_tpu.ops import gate as gate_ops_  # local alias
+
+    t_start = time.perf_counter()
+    p = p or _adaptive.AdaptiveParams()
+    mesh = make_mesh(n_devices=n_devices, data=1)
+    n_seq = mesh.shape["seq"]
+    n_fft, hop = p.n_fft, p.hop
+    pad = n_fft // 2
+    tail = n_fft - hop
+    F_tot = frames_per_shard * n_seq
+    out_path = str(out_path)
+
+    with audio.AudioFile(in_path, "r") as fin:
+        sr, ch, total = fin.samplerate, fin.channels, fin.frames
+        min_hold = p.min_hold_frames(sr)
+        xfade = p.xfade_frames(sr)
+
+        # ---- pass 1: global input peak -> pre-attenuation ----
+        peak_in = 0.0
+        while True:
+            blk = fin.read(sr * 30)
+            if len(blk) == 0:
+                break
+            if blk.size:
+                peak_in = max(peak_in, float(np.max(np.abs(blk))))
+        input_peak_dbfs = 20.0 * np.log10(peak_in + EPS)
+        max_gain = max(abs(p.c1_low), abs(p.c2_high))
+        atten_db = max(0.0, input_peak_dbfs + max_gain + p.headroom_margin)
+        catt = np.float32(10.0 ** (-atten_db / 20.0))
+        restore = np.float32(10.0 ** (atten_db / 20.0)) if atten_db > 0 \
+            else np.float32(1.0)
+
+        k0, F = _adaptive.frame_window(total, n_fft, hop)
+        if F == 0:
+            fin.seek(0)
+            x, _ = audio.read(in_path)
+            audio.write(out_path, x, sr, subtype="PCM_24")
+            if state_csv_path:
+                _adaptive._write_state_csv(
+                    state_csv_path, dict(n_frames=0, levels=[], states=[],
+                                         alpha=[]), hop, sr)
+            return dict(n_frames=0, optimal_threshold=0.0, c2_ratio=0.0,
+                        switch_count=0, switches_per_min=0.0,
+                        short_run_ratio=0.0, atten_db=atten_db,
+                        min_hold_frames=min_hold, xfade_frames=xfade,
+                        mesh=dict(mesh.shape),
+                        frames_per_shard=frames_per_shard,
+                        variant="adaptive", params=asdict(p), sr=sr,
+                        total=total, out_path=out_path,
+                        wall_seconds=time.perf_counter() - t_start,
+                        realtime_factor=0.0)
+
+        # ---- pass 2: levels -> threshold -> host gate/alpha (CSV) ----
+        levels = _adaptive._stream_levels(fin, total, ch, p, catt)
+        valid = levels > p.silence_threshold
+        optimal_t = _adaptive.find_optimal_threshold(
+            levels, valid, p.hyst_db, min_hold, p.target_c2)
+        states_j, _ = gate_ops_.gate_minhold(
+            jnp.asarray(levels), optimal_t + p.hyst_db / 2.0,
+            optimal_t - p.hyst_db / 2.0, min_hold)
+        states = np.asarray(states_j)
+        run_stats = gate_ops_.state_run_stats(states)
+        short_runs = int(np.sum(run_stats["run_lengths"] < min_hold))
+        n_runs = len(run_stats["run_lengths"])
+        targets = (states == 2).astype(np.float32)
+        astep = 1.0 / xfade if xfade > 0 else 1.0
+        alpha = np.asarray(gate_ops_.alpha_ramp_snap_first(
+            jnp.asarray(targets), astep))
+        if state_csv_path:
+            _adaptive._write_state_csv(
+                state_csv_path,
+                dict(n_frames=F, levels=levels, states=states, alpha=alpha),
+                hop, sr)
+
+        # ---- pass 3: sharded streaming STFT -> float staging + peak ----
+        freqs = stft.rfft_freqs(n_fft, sr)
+        g1_db = dsp.build_tilt_gain_db(freqs, p.fc, p.slope, p.c1_low,
+                                       p.c1_high)
+        g2_db = dsp.build_tilt_gain_db(freqs, p.fc, p.slope, p.c2_low,
+                                       p.c2_high)
+        step = sharded_adaptive_stream_step(
+            mesh, n_fft, hop, frames_per_shard, ch,
+            ton=optimal_t + p.hyst_db / 2.0,
+            toff=optimal_t - p.hyst_db / 2.0,
+            min_hold_frames=min_hold, alpha_step=astep,
+            g1_db=np.asarray(g1_db), g2_db=np.asarray(g2_db))
+        base = k0 * hop - pad
+
+        stage_path = out_path + ".stage.wav"
+        stage = WavWriter(stage_path, sr, ch, "FLOAT")
+        abs_written = 0
+        peak = 0.0
+
+        def emit_piece(stream_lo, piece):
+            """Crop to [0, total), restore attenuation, track the global
+            peak, append to staging (= models/adaptive.py emit_piece)."""
+            nonlocal abs_written, peak
+            a0 = base + stream_lo
+            s = max(0, a0)
+            e = min(total, a0 + len(piece))
+            if e <= s:
+                return
+            if s > abs_written:
+                stage.write(np.zeros((s - abs_written, ch), np.float32))
+                abs_written = s
+            out = piece[s - a0:e - a0] * restore
+            pk = float(np.max(np.abs(out))) if out.size else 0.0
+            peak = max(peak, pk)
+            stage.write(np.asarray(out, np.float32))
+            abs_written = e
+
+        fin.seek(0)
+        reader = RollingReader(fin.read, ch, scale=catt, left_pad=pad,
+                               block=hop * 512)
+        need = (F_tot - 1) * hop + n_fft
+        carry = jnp.full((1,), min_hold, jnp.int32)   # h = H: may switch
+        alpha_c = jnp.full((1,), -1.0, jnp.float32)   # snap-first sentinel
+        in_ty = jnp.zeros((1, tail, ch), jnp.float32)
+        in_tw = jnp.zeros((1, tail), jnp.float32)
+        try:
+            for f0 in range(0, F, F_tot):
+                nf = min(F_tot, F - f0)
+                s = (k0 + f0) * hop
+                reader.advance(s)
+                sig = reader.window(s, need)
+                frames = stft.frame_signal(sig, n_fft, hop, F_tot)[None]
+                nv = jnp.full((1,), nf, jnp.int32)
+                (emit, _lv, _st, _al, carry, alpha_c, oty, otw) = step(
+                    frames, carry, alpha_c, nv, in_ty, in_tw)
+                emit_np = np.asarray(emit[0])
+                last = f0 + nf >= F
+                if not last:
+                    emit_piece(f0 * hop, emit_np)
+                    in_ty = oty[:, -tail:]
+                    in_tw = otw[:, -tail:]
+                else:
+                    wanted = nf * hop + tail
+                    if wanted <= F_tot * hop:
+                        emit_piece(f0 * hop, emit_np[:wanted])
+                    else:
+                        t_y = np.asarray(oty[0, -tail:])
+                        t_w = np.asarray(otw[0, -tail:])
+                        emit_piece(f0 * hop, emit_np)
+                        emit_piece(f0 * hop + F_tot * hop,
+                                   (t_y / np.maximum(t_w[:, None], 1e-8))
+                                   [:wanted - F_tot * hop])
+            if abs_written < total:   # uncovered tail region stays zero
+                stage.write(np.zeros((total - abs_written, ch), np.float32))
+                abs_written = total
+        finally:
+            stage.close()
+
+        # ---- finalize: global peak protect + quantize to PCM_24 ----
+        scale = np.float32(PEAK_LIMIT / peak) if peak > PEAK_LIMIT \
+            else np.float32(1.0)
+        with audio.AudioFile(stage_path, "r") as fst, \
+                audio.AudioFile(out_path, "w", samplerate=sr, channels=ch,
+                                subtype="PCM_24") as fo:
+            while True:
+                blk = fst.read(sr * 30)
+                if len(blk) == 0:
+                    break
+                fo.write(blk * scale if scale != 1.0 else blk)
+        os.remove(stage_path)
+
+    wall = time.perf_counter() - t_start
+    return dict(
+        n_frames=F,
+        optimal_threshold=float(optimal_t),
+        c2_ratio=run_stats["c2_ratio"],
+        switch_count=run_stats["switch_count"],
+        switches_per_min=(run_stats["switch_count"] / (total / sr / 60.0)
+                          if total > 0 else 0.0),
+        short_run_ratio=short_runs / n_runs if n_runs else 0.0,
+        atten_db=atten_db, min_hold_frames=min_hold, xfade_frames=xfade,
+        mesh=dict(mesh.shape), frames_per_shard=frames_per_shard,
+        variant="adaptive", params=asdict(p), sr=sr, channels=ch,
+        total=total, out_path=out_path, wall_seconds=wall,
         realtime_factor=(total / sr) / wall if wall > 0 else 0.0)
