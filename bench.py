@@ -17,12 +17,15 @@ comparison.) Per-stage timings and link byte counts ride along in the JSON
 so a slow number is diagnosable from the artifact alone: on a tunneled TPU
 the pipeline is link-bound and the tunnel's bandwidth varies hour to hour.
 
-Parity: after the timed runs, a short deterministic file is processed by
-the SAME device executable and compared sample-by-sample against the NumPy
-float64 reference oracle (tests/oracle/refdsp.py) — the only check that
-runs on the real device rather than the CPU test backend, so a
-device-only numeric bug cannot ship invisibly. parity_ok / parity_max_err
-are recorded in the JSON line.
+Parity: after the timed runs, short deterministic inputs run through
+EVERY device executable family — standard, crossfade, adaptive, EQ
+applier, batch lanes, Pallas OLA — and are compared against the float64 /
+loop oracles of the test suite (tests/oracle/refdsp.py and the per-model
+oracles in tests/). These are the only checks that run on the real device
+rather than the CPU test backend, so a device-only numeric bug in any
+executable fails the bench artifact by name. The batch sub-benchmark
+(BASELINE config 5's shape: N files as vmapped lanes) reports aggregate
+audio-sec/sec alongside the single-file headline.
 """
 from __future__ import annotations
 
@@ -194,19 +197,140 @@ def parity_check(p, tmp, sr, frames_per_chunk):
     return err < 2e-4 + 1.5 / 8388608.0, err
 
 
+def parity_all(p, tmp, frames_per_chunk) -> dict:
+    """Short deterministic inputs through EVERY device executable family
+    — standard, crossfade, adaptive, EQ applier, batch lanes, Pallas OLA
+    — against the float64/loop oracles the test suite uses. This is the
+    only place those executables run on the real device rather than the
+    CPU test backend, so a device-only numeric bug in any of them fails
+    the bench artifact by name. Runs at sr=48000 (the oracles' rate);
+    each path reports its max abs error and a pass flag."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests import test_adaptive, test_eq, test_xfade
+    from tomatis_tpu.io import audio
+    sr = 48000
+    out = {}
+
+    ok, err = parity_check(p, tmp, sr, frames_per_chunk)
+    out["standard"] = {"max_err": round(err, 8), "ok": bool(ok)}
+
+    from tomatis_tpu.models import xfade as xfm
+    x = test_xfade._signal(3.0)
+    px = xfm.XfadeParams(gate_ui=60.0, xfade_ms=120.0,
+                         require_48k_stereo=False)
+    y, _ = xfm.process_array(x, sr, px, frames_per_chunk=64)
+    y_ref, _, _ = test_xfade._oracle_xfade(x, sr, px)
+    e = float(np.max(np.abs(y - y_ref)))
+    out["xfade"] = {"max_err": round(e, 8), "ok": e < 2e-4}
+
+    from tomatis_tpu.models import adaptive as adm
+    xa = test_adaptive._signal(4.0)
+    ya, _ = adm.process_array(xa, sr, adm.AdaptiveParams(),
+                              frames_per_chunk=64)
+    ya_ref = test_adaptive._oracle_adaptive(xa, sr, adm.AdaptiveParams())[0]
+    e = float(np.max(np.abs(ya - ya_ref)[64:-64]))  # see test_adaptive
+    out["adaptive"] = {"max_err": round(e, 8), "ok": e < 3e-4}
+
+    from tomatis_tpu.models import eq as eqm
+    xe = test_eq._tone(2.0, amp=0.04)
+    ipe = os.path.join(tmp, "parity_eq_in.wav")
+    ope = os.path.join(tmp, "parity_eq_out.wav")
+    csvp = os.path.join(tmp, "parity_eq.csv")
+    audio.write(ipe, xe, sr, subtype="FLOAT")
+    test_eq._write_eq_csv(csvp, [50, 500, 2000, 8000, 20000],
+                          [3, 2, -1, -4, -6])
+    res = eqm.apply_eq(ipe, ope, csvp, frames_per_chunk=64)
+    ye, _ = audio.read(res["out_path"])
+    g = eqm.build_gain_per_bin(sr, 4096, *eqm.load_eq_csv(csvp))
+    ye_ref = np.clip(test_eq._oracle_apply(xe, g, 4096, 2048, 2048),
+                     -1.0, 8388607 / 8388608.0)
+    e = float(np.max(np.abs(ye - ye_ref)[2048:-2048]))
+    out["eq"] = {"max_err": round(e, 8), "ok": e < 3e-4}
+
+    # batch lanes must reproduce the single-file engine bit-for-bit
+    from tomatis_tpu.models.standard import process
+    from tomatis_tpu.parallel.batch import process_batch
+    jobs = []
+    singles = []
+    for i in range(2):
+        bx = synth(6.0, sr, seed=400 + i)
+        bi = os.path.join(tmp, f"parity_b{i}.wav")
+        audio.write(bi, bx, sr, subtype="PCM_24")
+        so = os.path.join(tmp, f"parity_b{i}_single.wav")
+        process(bi, so, p, frames_per_chunk=frames_per_chunk)
+        jobs.append((bi, os.path.join(tmp, f"parity_b{i}_batch.wav")))
+        singles.append(so)
+    process_batch(jobs, p, frames_per_chunk=frames_per_chunk)
+    dmax = 0
+    for (bi, bo), so in zip(jobs, singles):
+        yb, _ = audio.read(bo)
+        ys, _ = audio.read(so)
+        dmax = max(dmax, int(np.max(np.abs(
+            np.rint(yb * 8388608).astype(np.int64)
+            - np.rint(ys * 8388608).astype(np.int64)))))
+    out["batch_lanes"] = {"max_lsb": dmax, "ok": dmax <= 1}
+
+    from tomatis_tpu.ops import stft
+    from tomatis_tpu.ops.pallas_ola import (overlap_add_pallas,
+                                            pallas_available)
+    if pallas_available():
+        import jax.numpy as jnp
+        rng = np.random.default_rng(7)
+        yo = rng.standard_normal((64, 2, p.n_fft)).astype(np.float32)
+        ref = np.asarray(stft.overlap_add(jnp.asarray(yo), p.hop))
+        got = np.asarray(overlap_add_pallas(jnp.asarray(yo), p.hop))
+        e = float(np.max(np.abs(got[:len(ref)] - ref)))
+        out["pallas_ola"] = {"max_err": round(e, 8), "ok": e < 1e-5}
+    return out
+
+
+def bench_batch(p, tmp, args) -> dict:
+    """BASELINE config 5's shape on one chip: N files as vmapped lanes in
+    one device dispatch; aggregate audio-sec per wall-sec, best of
+    `repeats` runs (first run warms the vmapped executable)."""
+    from tomatis_tpu.io import audio
+    from tomatis_tpu.parallel.batch import process_batch
+    n = args.batch
+    secs = args.seconds / n
+    jobs = []
+    for i in range(n):
+        jp = os.path.join(tmp, f"bin_{i}.wav")
+        audio.write(jp, synth(secs, args.sr, seed=700 + i), args.sr,
+                    subtype="PCM_24")
+        jobs.append((jp, os.path.join(tmp, f"bout_{i}.wav")))
+    best = None
+    runs = []
+    for _ in range(max(2, args.repeats // 2)):
+        t0 = time.perf_counter()
+        res = process_batch(jobs, p, frames_per_chunk=args.frames_per_chunk)
+        dt = time.perf_counter() - t0
+        runs.append(round(secs * n / dt, 1))
+        if best is None or dt < best:
+            best = dt
+    ok = sum(1 for r in res if isinstance(r, dict))
+    return {
+        "value": round(secs * n / best, 1),
+        "unit": "x_realtime_aggregate",
+        "lanes": n, "files_ok": ok,
+        "audio_seconds": secs * n, "wall_seconds": round(best, 3),
+        "all_runs_x": runs[1:],   # run 0 includes the vmapped compile
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=240.0,
                     help="audio length to process per timed run")
     ap.add_argument("--sr", type=int, default=48000)
     ap.add_argument("--frames_per_chunk", type=int, default=1024)
-    ap.add_argument("--repeats", type=int, default=6,
+    ap.add_argument("--repeats", type=int, default=8,
                     help="best-of-N (the tunneled TPU's transfer "
                          "bandwidth varies heavily between runs)")
-    ap.add_argument("--batch", type=int, default=0,
-                    help="N>0: BASELINE config-5 shape — N files processed "
-                         "as vmapped lanes in one device dispatch; reports "
-                         "aggregate audio-sec/sec")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="lane count of the batch sub-benchmark (BASELINE "
+                         "config-5 shape: N files as vmapped lanes in one "
+                         "device dispatch, aggregate audio-sec/sec rides "
+                         "the JSON as 'batch'); 0 disables")
     ap.add_argument("--no_parity", action="store_true")
     ap.add_argument("--no_resident", action="store_true",
                     help="skip the device-resident measurement (stages "
@@ -228,44 +352,15 @@ def main() -> int:
     out_path = os.path.join(tmp, "out.wav")
     audio.write(in_path, x, args.sr, subtype="PCM_24")
 
-    if args.batch > 0:
-        from tomatis_tpu.parallel.batch import process_batch
-        jobs = []
-        for i in range(args.batch):
-            jp = os.path.join(tmp, f"in_{i}.wav")
-            audio.write(jp, synth(args.seconds, args.sr, seed=i), args.sr,
-                        subtype="PCM_24")
-            jobs.append((jp, os.path.join(tmp, f"out_{i}.wav")))
-        # warm-up: compile the vmapped executable at the same lane count
-        wp = os.path.join(tmp, "bw.wav")
-        audio.write(wp, synth(30.0, args.sr, seed=99), args.sr,
-                    subtype="PCM_24")
-        process_batch([(wp, os.path.join(tmp, f"bwo_{i}.wav"))
-                       for i in range(args.batch)], p,
-                      frames_per_chunk=args.frames_per_chunk)
-        best = None
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            res = process_batch(jobs, p,
-                                frames_per_chunk=args.frames_per_chunk)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        ok = [r for r in res if isinstance(r, dict)]
-        agg_audio = audio_sec * args.batch
-        rtf = agg_audio / best
-        print(json.dumps({
-            "metric": "batch_realtime_factor", "value": round(rtf, 1),
-            "unit": "x_realtime_aggregate",
-            "vs_baseline": round(rtf / 18.0, 2),
-            "batch": args.batch, "files_ok": len(ok),
-            "audio_seconds": agg_audio, "wall_seconds": round(best, 3),
-            "device": str(dev),
-        }))
-        return 0
-
     # Warm-up: compile the chunk executable on a short file with the same
     # chunk shape (a cold XLA compile over the tunnel takes minutes; the
-    # persistent compile cache makes reruns start in seconds).
+    # persistent compile cache makes reruns start in seconds — record
+    # whether the cache had entries so round deltas are attributable).
+    cache_dir = os.environ.get(
+        "TOMATIS_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tomatis_tpu",
+                     "xla_cache"))
+    cache_primed = os.path.isdir(cache_dir) and bool(os.listdir(cache_dir))
     warm_path = os.path.join(tmp, "warm.wav")
     audio.write(warm_path, synth(30.0, args.sr, seed=1), args.sr,
                 subtype="PCM_24")
@@ -285,11 +380,16 @@ def main() -> int:
         runs.append(round(audio_sec / dt, 1))
         if best is None or dt < best:
             best, best_stats = dt, stats
+    steady = sorted(runs[len(runs) // 2:])   # second half: warmed, steady
+    steady_median = steady[len(steady) // 2]
 
-    parity_ok, parity_err = (None, None)
+    batch = None
+    if args.batch > 0:
+        batch = bench_batch(p, tmp, args)
+
+    parity = None
     if not args.no_parity:
-        parity_ok, parity_err = parity_check(p, tmp, args.sr,
-                                             args.frames_per_chunk)
+        parity = parity_all(p, tmp, args.frames_per_chunk)
     resident_x = (None if args.no_resident else
                   device_resident_factor(p, args.sr,
                                          args.frames_per_chunk))
@@ -317,13 +417,18 @@ def main() -> int:
         "value": round(rtf, 1),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 18.0, 2),
-        "parity_ok": parity_ok,
-        "parity_max_err": (round(parity_err, 8)
-                           if parity_err is not None else None),
+        "parity_ok": (None if parity is None
+                      else all(v["ok"] for v in parity.values())),
+        "parity_max_err": (None if parity is None
+                           else parity["standard"]["max_err"]),
+        "parity": parity,
+        "batch": batch,
         "audio_seconds": audio_sec,
         "wall_seconds": round(best, 3),
         "all_runs_x": runs,
+        "steady_median_x": steady_median,
         "warmup_seconds": round(warmup_s, 1),
+        "compile_cache_primed": cache_primed,
         "timings": best_stats.get("timings", {}),
         "link_bytes_per_audio_sec": {
             "in": int(wire.get("in_bytes", 0) / audio_sec),

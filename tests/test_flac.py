@@ -202,3 +202,81 @@ def test_unknown_length_flac(tmp_path):
         f.seek(5000)
         z = f.read(100)
         np.testing.assert_allclose(z, y[5000:5100], atol=1e-9)
+
+
+def test_pure_decoder_matches_native(tmp_path):
+    """The pure-Python fallback decoder must reproduce the native decode
+    bit-for-bit on our encoder's output (LPC subframes, stereo modes)."""
+    from tomatis_tpu.io import flac as flac_mod
+    from tomatis_tpu.io.flac_py import PureFlacReader
+    cases = [
+        ("lpc.flac", _sig(n=30000), "PCM_24"),
+        ("silence.flac", np.zeros((8000, 2), np.float32), "PCM_24"),
+        ("mono16.flac", _sig(n=9000, ch=1), "PCM_16"),
+    ]
+    for name, x, subtype in cases:
+        p = tmp_path / name
+        audio.write(p, x, 48000, subtype=subtype)
+        nat = flac_mod.FlacReader(p)
+        assert isinstance(nat, flac_mod._NativeFlacReader)
+        pure = PureFlacReader(p)
+        assert (pure.samplerate, pure.channels, pure.frames) \
+            == (nat.samplerate, nat.channels, nat.frames)
+        yn = nat.read_int24(-1)
+        yp = pure.read_int24(-1)
+        np.testing.assert_array_equal(yp, yn)
+        nat.close(); pure.close()
+
+
+def test_pure_decoder_spec_frames(tmp_path):
+    """Pure decoder vs the bit-level spec builder (fixed subframes,
+    left/side stereo) — an encoder-independent cross check."""
+    from tests import test_flac_spec as spec
+    from tomatis_tpu.io.flac_py import PureFlacReader
+    B = 96
+    rng = np.random.default_rng(11)
+    L = np.cumsum(rng.integers(-700, 700, B)) + 2000
+    R = (0.7 * L).astype(np.int64)
+
+    def f(bw, cbps):
+        spec.sub_fixed(bw, L, 2, cbps[0], k=8)
+        spec.sub_fixed(bw, L - R, 1, cbps[1], k=7)
+    blob = (b"fLaC" + spec.streaminfo(48000, 2, 24, B, B)
+            + spec.frame(0, B, 24, 8, f))     # left/side
+    p = tmp_path / "spec.flac"
+    p.write_bytes(blob)
+    r = PureFlacReader(p)
+    y = r.read_int_raw(-1)
+    np.testing.assert_array_equal(y, np.stack([L, R], 1).astype(np.int32))
+
+
+def test_pure_decoder_seek_and_partial_reads(tmp_path):
+    from tomatis_tpu.io.flac_py import PureFlacReader
+    x = _sig(n=20000)
+    p = tmp_path / "s.flac"
+    audio.write(p, x, 48000, subtype="PCM_24")
+    r = PureFlacReader(p)
+    whole = r.read(-1)
+    r.seek(7013)
+    piece = r.read(400)
+    np.testing.assert_array_equal(piece, whole[7013:7413])
+    assert r.tell() == 7413
+    r.seek(0)
+    np.testing.assert_array_equal(r.read(100), whole[:100])
+
+
+def test_flac_reader_falls_back_without_native(tmp_path, monkeypatch):
+    """With native builds unavailable (TOMATIS_NO_NATIVE, fresh cache) the
+    FlacReader factory must hand back the pure decoder transparently."""
+    from tomatis_tpu.io import flac as flac_mod
+    from tomatis_tpu.io.flac_py import PureFlacReader
+    from tomatis_tpu.native import build
+    x = _sig(n=6000)
+    p = tmp_path / "f.flac"
+    audio.write(p, x, 48000, subtype="PCM_24")
+    monkeypatch.setenv("TOMATIS_NO_NATIVE", "1")
+    monkeypatch.setattr(build, "_CACHE", {})
+    r = flac_mod.FlacReader(p)
+    assert isinstance(r, PureFlacReader)
+    y = r.read(-1)
+    assert np.max(np.abs(y - x)) <= 2 ** -23 + 1e-7

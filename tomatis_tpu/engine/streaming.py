@@ -570,8 +570,14 @@ class StreamRunner:
 
         def consume_materialize(ready, started=None):
             """Main thread: wait out the device->host transfers and return
-            the raw buffer(s) for the host half (all touching of jax
-            arrays stays on the dispatching thread)."""
+            the raw buffer(s) for the host half. All DISPATCH of jax
+            work stays on this thread; the bulk transfers are waited out
+            here too. (The consumer thread may still READ device arrays
+            on the rare clamped-flush path — consume_host keeps the
+            pre-quantization float refs, and a triggered clamp calls
+            np.asarray on them from the worker; that read takes the
+            slower second-thread transfer path, an accepted cost for a
+            path that almost never runs.)"""
             if wire:
                 if started is None:
                     started = consume_start(ready)

@@ -47,7 +47,19 @@ def _lib():
     return lib
 
 
-class FlacReader:
+def FlacReader(path):
+    """Open a FLAC file for reading: native codec when buildable, else
+    the pure-Python fallback decoder (io.flac_py) — same surface, so
+    machines without g++ can still read FLAC (write falls back to WAV
+    at the model layer, see models/standard.py)."""
+    try:
+        return _NativeFlacReader(path)
+    except (RuntimeError, OSError):
+        from tomatis_tpu.io.flac_py import PureFlacReader
+        return PureFlacReader(path)
+
+
+class _NativeFlacReader:
     def __init__(self, path):
         self._lib = _lib()
         info = _FlacInfoC()

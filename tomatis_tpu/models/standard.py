@@ -109,10 +109,13 @@ def process(in_path, out_path, p: StandardParams | None = None,
     import time
     t_start = time.perf_counter()
     p = p or StandardParams()
-    if transport not in ("auto", "wire", "pcm24", "f32"):
-        # validate before any file is opened — a bad value must not
-        # truncate an existing output
-        raise ValueError(f"unknown transport {transport!r}")
+    # Resolve the transport BEFORE any file is opened: a rejected value
+    # must not truncate an existing output. Every sink this function
+    # creates is PCM_24 (WAV or FLAC, including the checkpoint staging
+    # WAV), and both containers accept raw PCM_24 bytes, so the sink is
+    # always raw-capable; the assert below guards that invariant if a
+    # non-raw subtype is ever introduced here.
+    transport, byte_payload = resolve_transport(transport, True)
     with audio.AudioFile(in_path, "r") as fin:
         sr, ch, total = fin.samplerate, fin.channels, fin.frames
         if p.require_48k_stereo:
@@ -127,9 +130,12 @@ def process(in_path, out_path, p: StandardParams | None = None,
         if checkpoint_path:
             from tomatis_tpu.engine.checkpoint import CheckpointManager
             from tomatis_tpu.io.wav import WavWriter
-            # transport is part of the fingerprint: the persisted pending
-            # output is PCM bytes under wire/pcm24 but float samples under
-            # f32 — resuming across transports must be refused
+            # the RESOLVED transport is part of the fingerprint: the
+            # persisted pending output is PCM bytes under wire/pcm24 but
+            # float samples under f32 — resuming across payload formats
+            # must be refused, while an --transport auto checkpoint stays
+            # resumable with an explicit --transport wire (same resolved
+            # value)
             config = dict(asdict(p), sr=sr, ch=ch, total=total,
                           frames_per_chunk=frames_per_chunk,
                           model="standard", transport=transport)
@@ -158,8 +164,16 @@ def process(in_path, out_path, p: StandardParams | None = None,
                 fout = audio.AudioFile(out_path, "w", samplerate=sr,
                                        channels=ch, subtype="PCM_24")
                 actual_out = out_path
-            except Exception:
+            except Exception as enc_err:
+                # graceful degradation when the requested container cannot
+                # be encoded (e.g. FLAC without g++ for the native codec):
+                # fall back to WAV with a conversion hint, like the
+                # reference (ref src/process_tomatis.py:241-251,471-474)
                 actual_out = out_path.rsplit(".", 1)[0] + ".wav"
+                print(f"[WARN] cannot encode {out_path!r} ({enc_err}); "
+                      f"writing WAV instead: {actual_out}\n"
+                      f"       convert later with e.g. "
+                      f"`ffmpeg -i {actual_out} {out_path}`")
                 fout = audio.AudioFile(actual_out, "w", samplerate=sr,
                                        channels=ch, subtype="PCM_24")
 
@@ -171,8 +185,7 @@ def process(in_path, out_path, p: StandardParams | None = None,
         # "f32" ships floats (debug). All are byte-identical to <=1 LSB.
         csvw = None
         try:
-            transport, byte_payload = resolve_transport(
-                transport, fout.supports_raw)
+            assert fout.supports_raw, "process() sinks must take raw PCM_24"
             runner = make_runner(p, sr, ch, total, frames_per_chunk,
                                  transport=transport)
             resume_frame = None

@@ -96,9 +96,10 @@ def process(in_path, out_path, p: XfadeParams | None = None,
     PCM_24 bytes)."""
     import os
     p = p or XfadeParams()
-    if transport not in ("auto", "wire", "pcm24", "f32"):
-        # validate before any file is opened (see models.standard.process)
-        raise ValueError(f"unknown transport {transport!r}")
+    # resolve BEFORE any file is opened — a rejected transport must not
+    # truncate an existing output; every sink here is raw-capable PCM_24
+    # (see models.standard.process)
+    transport, byte_payload = resolve_transport(transport, True)
     with audio.AudioFile(in_path, "r") as fin:
         sr, ch, total = fin.samplerate, fin.channels, fin.frames
         if p.require_48k_stereo:
@@ -113,8 +114,8 @@ def process(in_path, out_path, p: XfadeParams | None = None,
             from tomatis_tpu.engine.checkpoint import CheckpointManager
             from tomatis_tpu.io.wav import WavWriter
             from tomatis_tpu.models.standard import _RawWav
-            # transport in the fingerprint: pending-output state formats
-            # differ per transport (see models.standard.process)
+            # RESOLVED transport in the fingerprint: pending-output state
+            # formats differ per transport (see models.standard.process)
             config = dict(asdict(p), sr=sr, ch=ch, total=total,
                           frames_per_chunk=frames_per_chunk, model="xfade",
                           transport=transport)
@@ -138,14 +139,20 @@ def process(in_path, out_path, p: XfadeParams | None = None,
                 fout = audio.AudioFile(out_path, "w", samplerate=sr,
                                        channels=ch, subtype="PCM_24")
                 actual_out = out_path
-            except Exception:
+            except Exception as enc_err:
+                # WAV fallback with a conversion hint, as in
+                # models.standard.process (ref src/process_tomatis.py:
+                # 241-251,471-474)
                 actual_out = out_path.rsplit(".", 1)[0] + ".wav"
+                print(f"[WARN] cannot encode {out_path!r} ({enc_err}); "
+                      f"writing WAV instead: {actual_out}\n"
+                      f"       convert later with e.g. "
+                      f"`ffmpeg -i {actual_out} {out_path}`")
                 fout = audio.AudioFile(actual_out, "w", samplerate=sr,
                                        channels=ch, subtype="PCM_24")
         csvw = None
         try:
-            transport, byte_payload = resolve_transport(
-                transport, fout.supports_raw)
+            assert fout.supports_raw, "process() sinks must take raw PCM_24"
             runner = make_runner(p, sr, ch, total, frames_per_chunk,
                                  transport=transport)
             resume_frame = None

@@ -21,7 +21,15 @@ def _compile(src: str, out: str):
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = ["g++", "-std=c++17", "-O3", "-funroll-loops", "-shared", "-fPIC",
            src, "-o", out]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+    except FileNotFoundError:
+        raise RuntimeError(
+            "native build needs a C++ compiler but g++ was not found. "
+            "Install g++ (e.g. `apt install g++`) or stay on the pure "
+            "fallbacks: FLAC decode and the wire codec degrade "
+            "automatically; FLAC *encode* has no pure path — write .wav "
+            "instead (the processors fall back to .wav on their own).")
     if proc.returncode != 0:
         raise RuntimeError(
             f"native build failed: {' '.join(cmd)}\n{proc.stderr}")
@@ -32,6 +40,10 @@ def load_library(name: str) -> ctypes.CDLL:
     with _LOCK:
         if name in _CACHE:
             return _CACHE[name]
+        if os.environ.get("TOMATIS_NO_NATIVE"):
+            # test/ops hook: behave exactly like a machine without g++
+            raise RuntimeError(
+                "native components disabled by TOMATIS_NO_NATIVE")
         src = os.path.join(_HERE, f"{name}.cpp")
         so = os.path.join(_BUILD_DIR, f"lib{name}.so")
         if (not os.path.exists(so)

@@ -394,7 +394,12 @@ def _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool=None):
     for i, lane in enumerate(lanes):
         if lane.failed or int(nfs[i]) <= 0:
             continue
-        rows[i], used[i] = eng.unpack_wire_aux(aux_np[i])
+        try:
+            rows[i], used[i] = eng.unpack_wire_aux(aux_np[i])
+        except Exception as e:
+            # a malformed aux block fails ITS lane, not the whole batch —
+            # same per-lane isolation as the decode/consume paths below
+            lane.fail(e)
     n_p = max((-(-u // WIRE_PAGE) for u in used.values()), default=0)
     pgs = pages[:n_p]
     for pg in pgs:
