@@ -21,8 +21,10 @@
 
 namespace {
 
-constexpr uint32_t MAGIC = 0x54574332u;
+constexpr uint32_t MAGIC = 0x54574333u;
 constexpr int B = 256;
+constexpr int KMAX = 24;     // rice remainder width cap
+constexpr int UWMAX = 64;    // rice unary region cap (words)
 
 // Hacker's-Delight 32x32 bit-matrix transpose: out[l] bit i ==
 // in[31-i] bit (31-l) -- the orientation the TWC2 stream layout is
@@ -40,7 +42,7 @@ inline void transpose32(uint32_t A[32]) {
 
 inline long n_blocks(long n) { return (n + B - 1) / B; }
 inline long header_words(long n, int ch) {
-    return 5 + (ch * n_blocks(n) + 3) / 4;
+    return 5 + (2 * ch * n_blocks(n) + 3) / 4;
 }
 inline long raw_words(long n, int ch) { return 5 + (n * ch * 3 + 3) / 4; }
 
@@ -94,6 +96,32 @@ void diff_inplace(int32_t* r, long n) {
     }
 }
 
+// Per-block mode decision (the format's deterministic k scan, see
+// ops/wire.py): residuals r[0..cnt) (pad positions are implicit zeros),
+// max-width w. Returns true when rice wins, filling k/uw.
+bool rice_plan(const int32_t* r, long cnt, int w, int* k_out, int* uw_out) {
+    if (w == 0) return false;
+    uint64_t qs[KMAX + 1] = {0};
+    int kmax = w - 1 < KMAX ? w - 1 : KMAX;
+    for (long i = 0; i < cnt; i++) {
+        uint32_t zz = ((uint32_t)r[i] << 1) ^ (uint32_t)(r[i] >> 31);
+        for (int k = 0; k <= kmax; k++) qs[k] += zz >> k;
+    }
+    long best = 8L * w;
+    int bk = -1, buw = 0;
+    for (int k = 0; k <= kmax; k++) {   // ascending: first strict minimum
+        uint64_t U = (uint64_t)B + qs[k];
+        if (U > 8u * B) continue;
+        long uw = (long)((U + 31) / 32);
+        long cost = 8L * k + uw;
+        if (cost < best) { best = cost; bk = k; buw = (int)uw; }
+    }
+    if (bk < 0) return false;
+    *k_out = bk;
+    *uw_out = buw;
+    return true;
+}
+
 long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
     long K = n_blocks(n);
     long H = header_words(n, ch);
@@ -144,7 +172,33 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
                         + (size_t)best_o * K,
                     (size_t)K);
 
-    if (best_total >= RW) {   // raw escape
+    // rebuild the winning residual, then the per-block rice plans (the
+    // raw-escape comparison uses the TRUE total, post-rice)
+    const int32_t* x0 = best_ms ? msv.data() : lr.data();
+    std::memcpy(r.data(), x0, (size_t)ch * n * 4);
+    for (int o = 0; o < best_o; o++)
+        for (int c = 0; c < ch; c++)
+            diff_inplace(r.data() + (size_t)c * n, n);
+
+    long T = (long)ch * K;
+    std::vector<uint8_t> rice_f(T), kk(T), uws(T);
+    long total = H;
+    for (int c = 0; c < ch; c++) {
+        const int32_t* rc = r.data() + (size_t)c * n;
+        for (long b = 0; b < K; b++) {
+            long t = (long)c * K + b;
+            long lo = b * B, hi = lo + B < n ? lo + B : n;
+            int w_ = bw[t];
+            int k_ = 0, uw_ = 0;
+            bool use_rice = rice_plan(rc + lo, hi - lo, w_, &k_, &uw_);
+            rice_f[t] = use_rice;
+            kk[t] = (uint8_t)k_;
+            uws[t] = (uint8_t)uw_;
+            total += use_rice ? 8L * k_ + uw_ : 8L * w_;
+        }
+    }
+
+    if (total >= RW) {   // raw escape
         if (cap < RW * 4) return -2;
         std::memset(out, 0, (size_t)RW * 4);
         uint32_t hdr[5] = {MAGIC, (uint32_t)n, (uint32_t)K,
@@ -159,46 +213,71 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
         return RW * 4;
     }
 
-    if (cap < best_total * 4) return -2;
-    std::memset(out, 0, (size_t)best_total * 4);
+    if (cap < total * 4) return -2;
+    std::memset(out, 0, (size_t)total * 4);
     uint32_t hdr[5] = {MAGIC, (uint32_t)n, (uint32_t)K,
                        (uint32_t)ch | ((uint32_t)best_o << 8)
                            | ((uint32_t)best_ms << 16),
-                       (uint32_t)best_total};
+                       (uint32_t)total};
     std::memcpy(out, hdr, 20);
-    std::memcpy(out + 20, bw.data(), (size_t)ch * K);
+    for (long t = 0; t < T; t++) {
+        out[20 + 2 * t] = (uint8_t)((rice_f[t] ? 0x80 : 0)
+                                    | (rice_f[t] ? kk[t] : bw[t]));
+        out[20 + 2 * t + 1] = rice_f[t] ? uws[t] : 0;
+    }
 
-    // rebuild the winning residual
-    const int32_t* x0 = best_ms ? msv.data() : lr.data();
-    std::memcpy(r.data(), x0, (size_t)ch * n * 4);
-    for (int o = 0; o < best_o; o++)
-        for (int c = 0; c < ch; c++)
-            diff_inplace(r.data() + (size_t)c * n, n);
-
-    // bit-plane stream: per block, 8 transposed 32-sample groups emit the
-    // first w planes (octet o, word j = group j's transform lane 31-o)
+    // stream: per block, 8 transposed 32-sample groups emit the first
+    // noct planes (octet o, word j = group j's transform lane 31-o);
+    // rice blocks store zigzag remainders in the planes and append the
+    // unary terminator words (bit p = word p>>5 bit p&31, LSB-first)
     uint32_t* words = reinterpret_cast<uint32_t*>(out);
-    long pos = H;   // stream word cursor (blocks are 8-word aligned)
+    long pos = H;   // stream word cursor
     for (int c = 0; c < ch; c++) {
         const int32_t* rc = r.data() + (size_t)c * n;
         for (long b = 0; b < K; b++) {
-            int w_ = bw[(size_t)c * K + b];
-            if (!w_) continue;
-            uint32_t mask = (1u << w_) - 1;   // w_ <= 30
+            long t = (long)c * K + b;
+            bool ur = rice_f[t];
+            int noct = ur ? kk[t] : bw[t];
             long lo = b * B, hi = lo + B < n ? lo + B : n;
-            for (int j = 0; j < 8; j++) {
-                uint32_t A[32];
-                for (int k = 0; k < 32; k++) {
-                    long i = lo + 32 * j + k;
-                    A[k] = i < hi ? ((uint32_t)rc[i] & mask) : 0;
+            if (noct) {
+                uint32_t mask = (1u << noct) - 1;   // noct <= 30
+                for (int j = 0; j < 8; j++) {
+                    uint32_t A[32];
+                    for (int k = 0; k < 32; k++) {
+                        long i = lo + 32 * j + k;
+                        uint32_t val = 0;
+                        if (i < hi) {
+                            int32_t rv = rc[i];
+                            val = ur ? (((uint32_t)rv << 1)
+                                        ^ (uint32_t)(rv >> 31))
+                                     : (uint32_t)rv;
+                        }
+                        A[k] = val & mask;
+                    }
+                    transpose32(A);
+                    for (int o = 0; o < noct; o++)
+                        words[pos + 8 * o + j] = A[31 - o];
                 }
-                transpose32(A);
-                for (int o = 0; o < w_; o++) words[pos + 8 * o + j] = A[31 - o];
+                pos += 8L * noct;
             }
-            pos += 8L * w_;
+            if (ur) {
+                int k_ = kk[t];
+                long p = -1;
+                for (int i = 0; i < B; i++) {
+                    long li = lo + i;
+                    uint32_t zz = 0;
+                    if (li < hi) {
+                        int32_t rv = rc[li];
+                        zz = ((uint32_t)rv << 1) ^ (uint32_t)(rv >> 31);
+                    }
+                    p += (long)(zz >> k_) + 1;
+                    words[pos + (p >> 5)] |= 1u << (p & 31);
+                }
+                pos += uws[t];
+            }
         }
     }
-    return best_total * 4;
+    return total * 4;
 }
 
 int decode_core(const uint8_t* in, long nbytes, long n, int ch,
@@ -232,36 +311,73 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
 
     long H = header_words(n, ch);
     if (nbytes < H * 4) return -4;
-    const uint8_t* wtab = in + 20;
-    long S = 0;   // total stream octets
-    for (long t = 0; t < (long)ch * K; t++) {
-        if (wtab[t] > 30) return -5;  // UB shifts on malformed widths
-        S += wtab[t];
+    const uint8_t* desc = in + 20;
+    long T = (long)ch * K;
+    long S = 0;   // total stream words
+    for (long t = 0; t < T; t++) {
+        int rice = desc[2 * t] >> 7;
+        int noct = desc[2 * t] & 0x7F;
+        int uw = desc[2 * t + 1];
+        if (noct > 30 || (rice && noct > KMAX)) return -5;
+        if (rice ? (uw < 8 || uw > UWMAX) : (uw != 0)) return -5;
+        S += 8L * noct + uw;
     }
-    if (used != H + 8 * S) return -4;  // stream length must match widths
+    if (used != H + S) return -4;  // stream length must match descriptors
     std::vector<uint32_t> words((size_t)used);
     std::memcpy(words.data(), in, (size_t)(used * 4));
     std::vector<int32_t> r(n);
+    int32_t rem[B];
     long pos = H;   // stream word cursor
     for (int c = 0; c < ch; c++) {
         for (long b = 0; b < K; b++) {
-            int w_ = wtab[(size_t)c * K + b];
+            long t = (long)c * K + b;
+            int rice = desc[2 * t] >> 7;
+            int noct = desc[2 * t] & 0x7F;
+            int uw = desc[2 * t + 1];
             long lo = b * B, hi = lo + B < n ? lo + B : n;
-            if (!w_) {
+            if (!rice && !noct) {
                 for (long i = lo; i < hi; i++) r[i] = 0;
                 continue;
             }
+            // planes region: noct octets of transposed values
             for (int j = 0; j < 8; j++) {
                 uint32_t A[32] = {0};
-                for (int o = 0; o < w_; o++) A[31 - o] = words[pos + 8 * o + j];
+                for (int o = 0; o < noct; o++)
+                    A[31 - o] = words[pos + 8 * o + j];
                 transpose32(A);
                 for (int k = 0; k < 32; k++) {
-                    long i = lo + 32 * j + k;
-                    if (i < hi)
-                        r[i] = (int32_t)(A[k] << (32 - w_)) >> (32 - w_);
+                    int i = 32 * j + k;
+                    if (rice) {
+                        rem[i] = (int32_t)A[k];        // masked zigzag low
+                    } else if (lo + i < hi) {
+                        r[lo + i] = noct
+                            ? (int32_t)(A[k] << (32 - noct)) >> (32 - noct)
+                            : 0;
+                    }
                 }
             }
-            pos += 8L * w_;
+            pos += 8L * noct;
+            if (rice) {
+                const uint32_t* un = words.data() + pos;
+                long bp = 0, prev = -1;
+                for (int i = 0; i < B; i++) {
+                    while (true) {
+                        if (bp >= (long)uw * 32) return -6;  // missing bits
+                        uint32_t wv = un[bp >> 5] >> (bp & 31);
+                        if (wv == 0) { bp = (bp & ~31L) + 32; continue; }
+                        bp += __builtin_ctz(wv);
+                        break;
+                    }
+                    uint32_t q = (uint32_t)(bp - prev - 1);
+                    prev = bp;
+                    bp++;
+                    if (lo + i < hi) {
+                        uint32_t zz = (q << noct) | (uint32_t)rem[i];
+                        r[lo + i] = (int32_t)((zz >> 1) ^ (~(zz & 1) + 1));
+                    }
+                }
+                pos += uw;
+            }
         }
         for (int o = 0; o < order; o++) {
             int32_t acc = 0;

@@ -22,6 +22,17 @@ cuts the bytes on BOTH directions with a lossless scheme chosen so that
   runs at HBM speed.)
 - a raw PCM_24 escape when packing would exceed raw size.
 
+- a per-block RICE mode when it beats the fixed width: the per-sample
+  Rice code (parameter k) is SPLIT into a dense k-bit remainder field
+  stored in the same bit-plane layout, plus a separate unary stream
+  (terminator bitmap) — so the device side never packs variable-length
+  codes: remainders ride the dense transpose, quotients one bounded
+  scatter-add of terminator bits, and decode recovers quotients from
+  popcount prefix sums. Measured ~4-5% fewer bytes than fixed widths on
+  the bench signal (the residual is near-Gaussian, where max-width
+  blocks lose ~1.75 bits/sample to the distribution's shape but an
+  invertible code must still pay the sign bit back).
+
 The same format runs in three implementations that must agree bit-for-bit:
 numpy (oracle + fallback), C++ (tomatis_tpu/native/wire.cpp - the
 production host side), and XLA (this file - the production device side).
@@ -30,30 +41,53 @@ Typical program material packs to ~1.5-2.2 B/sample vs 3 B raw PCM_24 and
 4 B float32, which is what moves the link-bound realtime factor.
 
 Layout (little-endian u32 words):
-    word 0   magic 0x54574332 ('TWC2')
+    word 0   magic 0x54574333 ('TWC3')
     word 1   n samples per channel
     word 2   K = ceil(n / 256) blocks per channel
     word 3   flags = channels | order << 8 | midside << 16 | raw << 17
     word 4   used_words (total length of the stream, in u32 words)
-    packed:  ceil(ch*K / 4) width words (u8 per block, channel-major),
-             then per-channel bitstreams, channel-major; block b holds
-             w[b] PLANES ("octets") of 8 words each (w=0: block omitted,
-             all-zero residuals). Plane o, word j, bit i = bit o of the
-             block's residual sample 32j + (31-i), two's complement
-             truncated to w bits. (The bit-reversed lane order is the
-             natural output of the masked-shift bit transpose; all three
-             implementations share it.)
+    desc:    ceil(2*ch*K / 4) words: TWO bytes per block, channel-major.
+             byte0 = rice << 7 | width (rice: remainder width k 0..24;
+             maxw: plane width w in {0, 4..30}); byte1 = unary word
+             count uw (rice: 8..64, else 0). Block stream length =
+             8*(byte0 & 0x7F) + byte1 words.
+    stream:  per-channel, channel-major.
+             maxw block: w PLANES ("octets") of 8 words each (w=0:
+             block omitted, all-zero residuals). Plane o, word j, bit i
+             = bit o of the block's residual sample 32j + (31-i), two's
+             complement truncated to w bits. (The bit-reversed lane
+             order is the natural output of the masked-shift bit
+             transpose; all three implementations share it.)
+             rice block: k planes in the same layout holding
+             zigzag(residual) & (2^k - 1), then uw unary words: bit
+             p of the unary region (word p>>5, bit p&31, LSB-first)
+             set iff p terminates a sample's quotient run; all 256
+             samples emit codes (pad positions encode zigzag 0), so the
+             region holds exactly 256 set bits and sample i's quotient
+             is q_i = p_i - p_{i-1} - 1 over the ascending terminator
+             positions. Residual = unzigzag((q << k) | remainder).
     raw:     ceil(n*ch*3 / 4) words of interleaved sample-major
-             little-endian 24-bit PCM (no width region).
+             little-endian 24-bit PCM (no desc region).
+
+Per-block mode decision (identical in all three implementations):
+    w = max-width as before; w == 0 -> empty maxw block. Else scan
+    k = 0..min(w-1, 24) ascending: U_k = 256 + sum(zigzag >> k) over all
+    256 positions; k is valid iff U_k <= 2048 (uw <= 64, bounding the
+    device buffers); cost_k = 8k + ceil(U_k / 32) words, first strict
+    minimum wins. Rice iff some k is valid and its cost < 8w. Every
+    block therefore uses <= 8*w <= 240 words, so the worst-case buffer
+    bound is unchanged from the fixed-width format.
 """
 from __future__ import annotations
 
 
 import numpy as np
 
-MAGIC = 0x54574332
+MAGIC = 0x54574333
 B = 256               # samples per width block
 _WMAX = 30            # side channel at order 4 needs up to 25+4+1 bits
+_KMAX = 24            # rice remainder width cap
+_UWMAX = 64           # rice unary region cap (words)
 
 
 # ---------------------------------------------------------------------------
@@ -65,8 +99,9 @@ def n_blocks(n: int) -> int:
 
 
 def header_words(n: int, ch: int) -> int:
-    """Words before the bitstreams in the packed layout."""
-    return 5 + (ch * n_blocks(n) + 3) // 4
+    """Words before the bitstreams in the packed layout (header + the
+    2-byte-per-block desc region)."""
+    return 5 + (2 * ch * n_blocks(n) + 3) // 4
 
 
 def raw_words(n: int, ch: int) -> int:
@@ -160,6 +195,39 @@ def _planes_inv_np(planes: np.ndarray) -> np.ndarray:
 # numpy encoder / decoder (oracle + host fallback)
 # ---------------------------------------------------------------------------
 
+def _rice_plan_np(rp: np.ndarray, wflat: np.ndarray):
+    """Per-block mode decision on blocked residuals rp [T, B] int32 with
+    max-widths wflat [T]. Returns (rice [T] bool, k [T], uw [T], words [T])
+    — the format's deterministic k search (ascending, first strict min)."""
+    T = rp.shape[0]
+    r64 = rp.astype(np.int64)
+    zz = ((r64 << 1) ^ (r64 >> 63)).astype(np.int64)      # zigzag < 2^w
+    ks = np.arange(_KMAX + 1, dtype=np.int64)
+    qs = (zz[:, None, :] >> ks[None, :, None]).sum(axis=2)  # [T, K+1]
+    U = B + qs
+    uw = -(-U // 32)
+    valid = (ks[None, :] < wflat[:, None]) & (U <= 8 * B)
+    cost = np.where(valid, 8 * ks[None, :] + uw, 1 << 30)
+    kbest = np.argmin(cost, axis=1)                       # first minimum
+    cbest = cost[np.arange(T), kbest]
+    rice = (wflat > 0) & (cbest < 8 * wflat)
+    k = np.where(rice, kbest, 0).astype(np.int64)
+    uwb = np.where(rice, uw[np.arange(T), kbest], 0).astype(np.int64)
+    words = np.where(rice, cbest, 8 * wflat).astype(np.int64)
+    return rice, k, uwb, words
+
+
+def _unary_words_np(zz_row: np.ndarray, k: int, uw: int) -> np.ndarray:
+    """Unary terminator words (LSB-first bits) for one rice block."""
+    q = zz_row >> k
+    p = np.cumsum(q + 1) - 1
+    bits = np.zeros(uw * 32, np.uint8)
+    bits[p] = 1
+    return (bits.reshape(uw, 32).astype(np.uint32)
+            << np.arange(32, dtype=np.uint32)[None, :]).sum(
+        axis=1, dtype=np.uint32)
+
+
 def encode_np(v: np.ndarray) -> np.ndarray:
     """int32 PCM_24 samples [n, ch] -> packed uint8 array (exact size)."""
     v = np.ascontiguousarray(v, np.int32)
@@ -181,7 +249,13 @@ def encode_np(v: np.ndarray) -> np.ndarray:
             if best is None or total < best[0]:
                 best = (total, o, ms, w, r.copy())
             r = _diff_np(r)
-    total, order, ms, w, r = best
+    _, order, ms, w, r = best
+
+    wflat = w.reshape(-1).astype(np.int64)           # [T = ch*K]
+    pad = K * B - n
+    rp = np.pad(r, ((0, 0), (0, pad))).reshape(ch * K, B)
+    rice, kb, uwb, bwords = _rice_plan_np(rp, wflat)
+    total = H + int(bwords.sum())
 
     RW = raw_words(n, ch)
     if total >= RW:
@@ -197,21 +271,30 @@ def encode_np(v: np.ndarray) -> np.ndarray:
 
     out = np.zeros(total * 4, np.uint8)
     _put_header(out, n, K, ch, (order << 8) | (ms << 16), 0, total)
-    wflat = w.reshape(-1).astype(np.int64)           # [T = ch*K]
-    out[20:20 + wflat.size] = wflat
+    T = ch * K
+    desc = np.zeros(2 * T, np.uint8)
+    noct = np.where(rice, kb, wflat)
+    desc[0::2] = (rice.astype(np.uint8) << 7) | noct.astype(np.uint8)
+    desc[1::2] = uwb
+    out[20:20 + 2 * T] = desc
 
-    pad = K * B - n
-    rp = np.pad(r, ((0, 0), (0, pad))).reshape(ch * K, B)
-    z = rp.astype(np.uint32) & np.where(
-        wflat > 0, (np.uint64(1) << wflat.astype(np.uint64)) - 1,
-        0).astype(np.uint32)[:, None]
-    planes = _planes_fwd_np(z)                       # [T, 30, 8]
-    obase = np.cumsum(wflat) - wflat                 # octet offset per block
-    S = int(wflat.sum())                             # total stream octets
-    src_t = np.repeat(np.arange(len(wflat)), wflat)
-    src_p = np.arange(S) - np.repeat(obase, wflat)
-    stream = planes[src_t, src_p]                    # [S, 8]
-    out[H * 4:] = stream.reshape(-1).view(np.uint8)
+    r64 = rp.astype(np.int64)
+    zz = ((r64 << 1) ^ (r64 >> 63)).astype(np.int64)
+    mask = np.where(noct > 0, (np.int64(1) << noct) - 1, 0)
+    zsel = np.where(rice[:, None], zz, r64) & mask[:, None]
+    planes = _planes_fwd_np(zsel.astype(np.uint32))  # [T, 30, 8]
+
+    words = out.view(np.uint32)
+    pos = H
+    for t in range(T):
+        no = int(noct[t])
+        if no:
+            words[pos:pos + 8 * no] = planes[t, :no].reshape(-1)
+            pos += 8 * no
+        if rice[t]:
+            uw = int(uwb[t])
+            words[pos:pos + uw] = _unary_words_np(zz[t], int(kb[t]), uw)
+            pos += uw
     return out
 
 
@@ -256,25 +339,55 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
         raise ValueError(f"malformed wire buffer: order={order} > 4")
     if ms and ch != 2:
         raise ValueError(f"malformed wire buffer: midside with ch={ch}")
-    wflat = buf[20:20 + ch * K].astype(np.int64)
-    if (wflat > _WMAX).any():
-        raise ValueError("malformed wire buffer: width byte > 30")
-    S = int(wflat.sum())
-    if used != H + 8 * S:
-        raise ValueError(f"malformed wire buffer: used={used} != "
-                         f"H+8*sum(w)={H + 8 * S}")
     T = ch * K
-    stream = buf[H * 4:(H + 8 * S) * 4].view(np.uint32).reshape(S, 8)
+    desc = buf[20:20 + 2 * T]
+    rice = (desc[0::2] >> 7).astype(bool)
+    noct = (desc[0::2] & 0x7F).astype(np.int64)
+    uw = desc[1::2].astype(np.int64)
+    if (noct > _WMAX).any() or (rice & (noct > _KMAX)).any():
+        raise ValueError("malformed wire buffer: block width out of range")
+    if (uw > _UWMAX).any() or (~rice & (uw != 0)).any() \
+            or (rice & (uw < 8)).any():
+        raise ValueError("malformed wire buffer: bad unary word count")
+    bwords = 8 * noct + uw
+    if used != H + int(bwords.sum()):
+        raise ValueError(f"malformed wire buffer: used={used} != "
+                         f"H+sum(block words)={H + int(bwords.sum())}")
+    words = buf[:used * 4].view(np.uint32)
+    starts = H + np.cumsum(bwords) - bwords
     planes = np.zeros((T, _WMAX, 8), np.uint32)
-    src_t = np.repeat(np.arange(T), wflat)
-    src_p = np.arange(S) - np.repeat(np.cumsum(wflat) - wflat, wflat)
-    planes[src_t, src_p] = stream
+    S = int(noct.sum())
+    src_t = np.repeat(np.arange(T), noct)
+    src_p = np.arange(S) - np.repeat(np.cumsum(noct) - noct, noct)
+    ostart = np.repeat(starts, noct) \
+        + 8 * (np.arange(S) - np.repeat(np.cumsum(noct) - noct, noct))
+    planes[src_t, src_p] = words[ostart[:, None]
+                                 + np.arange(8)[None, :]]
     z = _planes_inv_np(planes)                       # [T, 256] u32
-    wb = wflat[:, None]
-    sb = np.where(wb > 0, np.uint64(1) << np.maximum(wb - 1, 0)
-                  .astype(np.uint64), 0).astype(np.uint32)
+
+    r = np.zeros((T, B), np.int64)
+    # maxw blocks: two's-complement sign extension by width
+    mb = ~rice
+    wb = noct[:, None]
+    sb = np.where(wb > 0, np.int64(1) << np.maximum(wb - 1, 0), 0) \
+        .astype(np.uint32)
     sv = (z ^ sb).astype(np.int64) - sb.astype(np.int64)
-    r = np.where(wb == 0, 0, sv).astype(np.int32).reshape(ch, K * B)[:, :n]
+    r[mb] = np.where(wb[mb] == 0, 0, sv[mb])
+    # rice blocks: quotients from the unary terminator bitmaps
+    for t in np.nonzero(rice)[0]:
+        k = int(noct[t])
+        s = int(starts[t]) + 8 * k
+        un = words[s:s + int(uw[t])]
+        bits = ((un[:, None] >> np.arange(32, dtype=np.uint32)[None, :])
+                & 1).reshape(-1)
+        p = np.nonzero(bits)[0]
+        if len(p) != B:
+            raise ValueError("malformed wire buffer: unary region must "
+                             f"hold {B} terminators, found {len(p)}")
+        q = np.diff(np.concatenate([[-1], p])) - 1
+        u = (q.astype(np.int64) << k) | z[t].astype(np.int64)
+        r[t] = (u >> 1) ^ -(u & 1)
+    r = r.astype(np.int32).reshape(ch, K * B)[:, :n]
     for _ in range(order):
         r = np.cumsum(r, axis=1, dtype=np.int32)
     v = r.T
@@ -320,7 +433,7 @@ def pack_device(v, n: int, ch: int):
     M = max_words(n, ch)
     pad = K * B - n
     T = ch * K
-    S_max = _WMAX * T                                # (M - H) / 8 octets
+    S_max = 8 * _WMAX * T                            # M - H stream words
 
     xT = jnp.transpose(v)                                  # [ch, n]
     variants = [xT]
@@ -376,38 +489,83 @@ def pack_device(v, n: int, ch: int):
     r = jax.lax.switch(bi, [_mk(vi, oi) for vi in range(len(variants))
                             for oi in range(5)], None)
     w = jnp.stack(all_w)[bi]                               # [ch, K] (small)
-    total = totals[bi].astype(jnp.int32)
 
-    # ---- packed layout: bit-plane transform + one octet row gather ----
-    # Per block: 5 masked-shift rounds turn 256 w-bit residuals into w
-    # 8-word planes (dense vector ops); compaction is one row gather at
-    # octet (8-word) granularity driven by a cummax-scan of per-block
-    # offsets. No per-sample scatter (measured ~100 ms/chunk on v5e).
+    # ---- per-block mode decision (the format's deterministic k scan) ----
     wflat = w.reshape(T)
     rp = jnp.pad(r, ((0, 0), (0, pad))).reshape(T, B)
-    z = rp.astype(jnp.uint32) & jnp.where(
-        wflat > 0, (jnp.uint32(1) << wflat.astype(jnp.uint32)) - 1,
-        0)[:, None]
-    X = _bit_transpose32_jnp(z.reshape(T, 8, 32))          # [t, j, l]
+    # zigzag; |r| < 2^29 when w <= 30, so the int32 shift cannot wrap
+    zz = ((rp << 1) ^ (rp >> 31)).astype(jnp.uint32)
+    costs, Us = [], []
+    for k in range(_KMAX + 1):
+        # cap the summands at 8192: any capped element already exceeds
+        # the 2048-bit region limit, so the validity verdict (and, for
+        # valid k, the exact sum) is unchanged while int32 never overflows
+        U = B + jnp.sum(jnp.minimum(zz >> k, 8192).astype(jnp.int32),
+                        axis=1)
+        valid = (k < wflat) & (U <= 8 * B)
+        costs.append(jnp.where(valid, 8 * k + (U + 31) // 32, 1 << 30))
+        Us.append(U)
+    costs = jnp.stack(costs, 1)                            # [T, 25]
+    kbest = jnp.argmin(costs, axis=1).astype(jnp.int32)    # first minimum
+    cbest = jnp.take_along_axis(costs, kbest[:, None], 1)[:, 0]
+    rice = (wflat > 0) & (cbest < 8 * wflat)
+    kb = jnp.where(rice, kbest, 0)
+    Ub = jnp.take_along_axis(jnp.stack(Us, 1), kbest[:, None], 1)[:, 0]
+    uwb = jnp.where(rice, (Ub + 31) // 32, 0)
+    noct = jnp.where(rice, kb, wflat)
+    bwords = 8 * noct + uwb                                # [T]
+    total = (H + jnp.sum(bwords)).astype(jnp.int32)
+
+    # ---- packed layout: bit-plane transform + one word-row gather ----
+    # Per block: 5 masked-shift rounds turn 256 masked residuals into
+    # noct 8-word planes (dense vector ops); rice blocks append their
+    # unary terminator words (one bounded scatter-add); compaction is a
+    # gather driven by a cummax-scan over TWO pieces per block (planes,
+    # unary) at fixed source strides. No per-sample variable-length
+    # packing anywhere.
+    mask = jnp.where(noct > 0,
+                     (jnp.uint32(1) << noct.astype(jnp.uint32))
+                     - jnp.uint32(1), jnp.uint32(0))
+    zsel = jnp.where(rice[:, None], zz,
+                     rp.astype(jnp.uint32)) & mask[:, None]
+    X = _bit_transpose32_jnp(zsel.reshape(T, 8, 32))       # [t, j, l]
     planes = jnp.swapaxes(X[:, :, ::-1], 1, 2)[:, :_WMAX]  # [t, o, j]
-    planes_flat = jnp.concatenate(
-        [planes.reshape(T * _WMAX, 8),
-         jnp.zeros((1, 8), jnp.uint32)])                   # +1: masked rows
-    obase = jnp.cumsum(wflat) - wflat                      # [T]
-    S_tot = jnp.sum(wflat)
-    # slot s belongs to block t(s): idx = s + corr[t(s)] with
-    # corr[t] = 30*t - obase[t], nondecreasing (w <= 30), recovered per
-    # slot by a max-scan over block-start scatters
-    corr = _WMAX * jnp.arange(T, dtype=jnp.int32) - obase
+
+    # unary terminator bitmap per rice block: positions p_i =
+    # cumsum(q+1)-1 < 2048 for valid blocks; everything else is dropped
+    q = zz >> kb[:, None].astype(jnp.uint32)
+    p = jnp.cumsum(q + jnp.uint32(1), axis=1) - jnp.uint32(1)
+    widx = (p >> 5).astype(jnp.int32)
+    dest = jnp.where(rice[:, None] & (widx < _UWMAX),
+                     jnp.arange(T, dtype=jnp.int32)[:, None] * _UWMAX
+                     + widx, T * _UWMAX)
+    unary = jnp.zeros(T * _UWMAX, jnp.uint32).at[dest.reshape(-1)].add(
+        (jnp.uint32(1) << (p & 31)).reshape(-1),
+        mode="drop").reshape(T, _UWMAX)
+
+    RL = 8 * _WMAX + _UWMAX                                # 304 words
+    region = jnp.concatenate(
+        [planes.reshape(T, 8 * _WMAX), unary], axis=1)     # [T, 304]
+    region_flat = jnp.concatenate(
+        [region.reshape(-1), jnp.zeros(1, jnp.uint32)])
+    plen = jnp.stack([8 * noct, uwb], 1).reshape(2 * T)
+    tt = jnp.arange(T, dtype=jnp.int32)
+    psrc = jnp.stack([RL * tt, RL * tt + 8 * _WMAX], 1).reshape(2 * T)
+    pdst = jnp.cumsum(plen) - plen
+    corr = psrc - pdst     # nondecreasing: piece lengths <= source strides
+    S_tot = jnp.sum(plen)
     marks = jnp.zeros(S_max, jnp.int32).at[
-        jnp.where(wflat > 0, obase, S_max)].max(corr, mode="drop")
+        jnp.where(plen > 0, pdst, S_max)].max(corr, mode="drop")
     corr_s = jax.lax.cummax(marks)
     s = jnp.arange(S_max, dtype=jnp.int32)
-    idx = jnp.where(s < S_tot, s + corr_s, T * _WMAX)
-    stream = planes_flat[idx].reshape(-1)                  # [S_max * 8]
+    idx = jnp.where(s < S_tot, s + corr_s, T * RL)
+    stream = region_flat[idx]                              # [S_max]
 
-    # header + widths (static-length prefix)
-    w8 = jnp.pad(wflat.astype(jnp.uint32), (0, (H - 5) * 4 - T))
+    # header + block descriptors (static-length prefix)
+    b0 = (rice.astype(jnp.uint32) << 7) | noct.astype(jnp.uint32)
+    b1 = uwb.astype(jnp.uint32)
+    dbytes = jnp.stack([b0, b1], 1).reshape(2 * T)
+    w8 = jnp.pad(dbytes, (0, (H - 5) * 4 - 2 * T))
     w4 = w8.reshape(-1, 4)
     wwords = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
               | (w4[:, 3] << 24))
@@ -458,39 +616,83 @@ def unpack_device(buf, n: int, ch: int):
 
     def packed_branch(_):
         t = jnp.arange(T)
-        wflat = ((words[5 + t // 4] >> (8 * (t % 4).astype(jnp.uint32)))
-                 & 255).astype(jnp.int32)
-        wflat = jnp.minimum(wflat, _WMAX)     # corrupt widths: clamp
-        obase = jnp.cumsum(wflat) - wflat
-        # One 240-word contiguous gather per BLOCK (each block's stream
-        # region is contiguous: 8*w words at H + 8*obase): a 960-byte
-        # slice fills the TPU's 512-byte lane tiles, where 8-word octet
+        b0 = ((words[5 + (2 * t) // 4]
+               >> (8 * ((2 * t) % 4).astype(jnp.uint32))) & 255) \
+            .astype(jnp.int32)
+        b1 = ((words[5 + (2 * t + 1) // 4]
+               >> (8 * ((2 * t + 1) % 4).astype(jnp.uint32))) & 255) \
+            .astype(jnp.int32)
+        rice = b0 >> 7
+        noct = jnp.minimum(b0 & 0x7F, _WMAX)   # corrupt widths: clamp
+        uw = jnp.minimum(jnp.where(rice == 1, b1, 0), _UWMAX)
+        bwords = 8 * noct + uw
+        starts0 = H + jnp.cumsum(bwords) - bwords
+        # One 304-word contiguous gather per BLOCK (each block's stream
+        # region is contiguous: noct planes then the unary words): wide
+        # slices fill the TPU's 512-byte lane tiles, where 8-word octet
         # gathers ran at element speed (~80M/s, measured 3x the rest of
         # the unpack). Over-read into the next blocks' data is masked.
-        blkw = 8 * _WMAX
+        blkw = 8 * _WMAX + _UWMAX
         wpad = jnp.concatenate([words, jnp.zeros(blkw, jnp.uint32)])
-        starts = jnp.minimum(H + 8 * obase, W).astype(jnp.int32)
+        starts = jnp.minimum(starts0, W).astype(jnp.int32)
         win = jax.lax.gather(
             wpad, starts[:, None],
             jax.lax.GatherDimensionNumbers(
                 offset_dims=(1,), collapsed_slice_dims=(),
                 start_index_map=(0,)),
             slice_sizes=(blkw,), indices_are_sorted=True,
-            mode=jax.lax.GatherScatterMode.CLIP)           # [T, 240]
+            mode=jax.lax.GatherScatterMode.CLIP)           # [T, 304]
         o = jnp.arange(_WMAX, dtype=jnp.int32)[None, :]
-        valid = o < wflat[:, None]                         # [T, 30]
+        valid = o < noct[:, None]                          # [T, 30]
         planes = jnp.where(valid[:, :, None],
-                           win.reshape(T, _WMAX, 8), 0)
+                           win[:, :8 * _WMAX].reshape(T, _WMAX, 8), 0)
         Xr = jnp.concatenate(
             [planes, jnp.zeros((T, 32 - _WMAX, 8), jnp.uint32)], 1)
         X = jnp.swapaxes(Xr, 1, 2)[:, :, ::-1]             # [t, j, l]
         z = _bit_transpose32_jnp(X).reshape(T, B)
-        wb = wflat[:, None]
+        wb = noct[:, None]
+        # maxw blocks: two's-complement sign extension by width
         sb = jnp.where(wb > 0,
                        jnp.uint32(1) << jnp.maximum(wb - 1, 0)
                        .astype(jnp.uint32), 0)
         sv = (z ^ sb).astype(jnp.int32) - sb.astype(jnp.int32)
-        r = jnp.where(wb == 0, 0, sv).reshape(ch, K * B)[:, :n]
+        r_maxw = jnp.where(wb == 0, 0, sv)
+
+        # rice blocks: quotients from the unary terminator bitmaps via
+        # popcount prefix sums — no sequential bit walking
+        uwin = jnp.take_along_axis(
+            win, 8 * noct[:, None] + jnp.arange(_UWMAX)[None, :], axis=1)
+        uwin = jnp.where(jnp.arange(_UWMAX)[None, :] < uw[:, None],
+                         uwin, 0)                          # [T, 64]
+        pop = jax.lax.population_count(uwin).astype(jnp.int32)
+        cum = jnp.cumsum(pop, axis=1)                      # [T, 64]
+        i = jnp.arange(B, dtype=jnp.int32)
+        # word holding terminator i = #{j : cum[j] <= i}
+        Wi = jnp.sum((cum[:, :, None] <= i[None, None, :])
+                     .astype(jnp.int32), axis=1)
+        Wi = jnp.minimum(Wi, _UWMAX - 1)
+        cum_excl = cum - pop
+        m = i[None, :] - jnp.take_along_axis(cum_excl, Wi, axis=1)
+        xw = jnp.take_along_axis(uwin, Wi, axis=1)         # [T, 256]
+        # select the m-th set bit of xw: binary search on prefix popcounts
+        lo = jnp.zeros_like(m)
+        for step in (16, 8, 4, 2, 1):
+            cand = lo + step
+            pmask = jnp.where(cand >= 32, jnp.uint32(0xFFFFFFFF),
+                              (jnp.uint32(1) << cand.astype(jnp.uint32))
+                              - jnp.uint32(1))
+            cnt = jax.lax.population_count(xw & pmask).astype(jnp.int32)
+            lo = jnp.where(cnt <= m, cand, lo)
+        p = 32 * Wi + lo
+        pprev = jnp.concatenate(
+            [jnp.full((T, 1), -1, jnp.int32), p[:, :-1]], axis=1)
+        qd = p - pprev - 1
+        u = ((qd << jnp.minimum(wb, _KMAX)) | z.astype(jnp.int32))
+        uu = u.astype(jnp.uint32)
+        r_rice = ((uu >> 1).astype(jnp.int32)
+                  ^ -(u & 1))
+        r = jnp.where((rice == 1)[:, None], r_rice,
+                      r_maxw).reshape(ch, K * B)[:, :n]
 
         def mk(o_):
             def f(x):

@@ -36,6 +36,10 @@ _VUNPACK = jax.jit(jax.vmap(wire_ops.unpack_device, in_axes=(0, None, None)),
 # tunneled TPU even with the persistent compile cache.
 _VCHUNK_CACHE: dict = {}
 
+# main-thread wall time per stage of the most recent process_batch call
+# (diagnostic; bench.py reports it alongside the batch metric)
+LAST_TIMINGS: dict = {}
+
 
 class _Lane:
     """Host-side state of one file's stream."""
@@ -287,9 +291,13 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     out_tail_b = jnp.stack([t[0] for t in tails])
     w_tail_b = jnp.stack([t[1] for t in tails])
 
+    import time as _time
+    timings = {"stage_s": 0.0, "dispatch_s": 0.0, "block_s": 0.0,
+               "consume_s": 0.0, "finish_s": 0.0, "chunks": 0}
     inflight = None
     try:
         while True:
+            _t = _time.perf_counter()
             sigs = np.zeros((Bp, engine.chunk_input_len, ch), np.float32)
             nfs = np.zeros(Bp, np.int32)
             active = False
@@ -321,6 +329,8 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                     for i, (_, v) in enumerate(items):
                         pb[i, :len(v)] = v
                     sig_arg = _VUNPACK(pb, engine.chunk_input_len, ch)
+            timings["stage_s"] += _time.perf_counter() - _t
+            _t = _time.perf_counter()
             res = vchunk(sig_arg, jnp.asarray(nfs), carry_b,
                          out_tail_b, w_tail_b, ctl_params, gain_f32)
             if wire:
@@ -330,21 +340,30 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             else:
                 packed, out_dev, carry_b, out_tail_b, w_tail_b = res
                 wait_arr = packed
+            timings["dispatch_s"] += _time.perf_counter() - _t
+            _t = _time.perf_counter()
             try:
                 wait_arr.block_until_ready()
                 wait_arr.copy_to_host_async()
             except AttributeError:
                 pass
+            timings["block_s"] += _time.perf_counter() - _t
+            timings["chunks"] += 1
+            _t = _time.perf_counter()
             if inflight is not None:
                 _consume_all(lanes, *inflight, engine, wire, pool)
+            timings["consume_s"] += _time.perf_counter() - _t
             frame0s = [ln.frame0 for ln in lanes]
             for i, lane in enumerate(lanes):
                 if not (lane.done or lane.failed) and nfs[i] > 0:
                     lane.advance(int(nfs[i]))
             inflight = (frame0s, nfs, packed, out_dev)
+        _t = _time.perf_counter()
         if inflight is not None:
             _consume_all(lanes, *inflight, engine, wire, pool)
+        timings["finish_s"] += _time.perf_counter() - _t
 
+        _t = _time.perf_counter()
         out_tail_np = np.asarray(out_tail_b)
         w_tail_np = np.asarray(w_tail_b)
         for i, lane in enumerate(lanes):
@@ -354,6 +373,10 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 lane.finish(out_tail_np[i], w_tail_np[i])
             except Exception as e:
                 lane.fail(e)
+        timings["finish_s"] += _time.perf_counter() - _t
+        LAST_TIMINGS.clear()
+        LAST_TIMINGS.update({k: round(v, 4) if isinstance(v, float) else v
+                             for k, v in timings.items()})
     finally:
         pool.shutdown(wait=False)
         # an exception escaping the dispatch loop must not leave lane
