@@ -287,10 +287,14 @@ def parity_all(p, tmp, frames_per_chunk) -> dict:
 def bench_batch(p, tmp, args) -> dict:
     """BASELINE config 5's shape on one chip: N files as vmapped lanes in
     one device dispatch; aggregate audio-sec per wall-sec, best of
-    `repeats` runs (first run warms the vmapped executable)."""
+    `repeats` runs (first run warms the vmapped executable). Lanes use
+    256-frame chunks so one N-lane dispatch carries about the same bytes
+    as a single-file 1024-frame chunk — enough chunks per file for the
+    depth-3 pipeline to fill."""
     from tomatis_tpu.io import audio
-    from tomatis_tpu.parallel.batch import process_batch
+    from tomatis_tpu.parallel import batch as batch_mod
     n = args.batch
+    fpc = max(64, 1024 // n)
     secs = args.seconds / n
     jobs = []
     for i in range(n):
@@ -300,20 +304,23 @@ def bench_batch(p, tmp, args) -> dict:
         jobs.append((jp, os.path.join(tmp, f"bout_{i}.wav")))
     best = None
     runs = []
-    for _ in range(max(2, args.repeats // 2)):
+    timings = None
+    for _ in range(max(3, args.repeats // 2)):
         t0 = time.perf_counter()
-        res = process_batch(jobs, p, frames_per_chunk=args.frames_per_chunk)
+        res = batch_mod.process_batch(jobs, p, frames_per_chunk=fpc)
         dt = time.perf_counter() - t0
         runs.append(round(secs * n / dt, 1))
         if best is None or dt < best:
             best = dt
+            timings = dict(batch_mod.LAST_TIMINGS)
     ok = sum(1 for r in res if isinstance(r, dict))
     return {
         "value": round(secs * n / best, 1),
         "unit": "x_realtime_aggregate",
-        "lanes": n, "files_ok": ok,
+        "lanes": n, "frames_per_chunk": fpc, "files_ok": ok,
         "audio_seconds": secs * n, "wall_seconds": round(best, 3),
         "all_runs_x": runs[1:],   # run 0 includes the vmapped compile
+        "timings": timings,
     }
 
 

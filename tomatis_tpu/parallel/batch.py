@@ -294,7 +294,39 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     import time as _time
     timings = {"stage_s": 0.0, "dispatch_s": 0.0, "block_s": 0.0,
                "consume_s": 0.0, "finish_s": 0.0, "chunks": 0}
-    inflight = None
+
+    # Staged pipeline, depth 3 (mirrors engine/streaming.py): per
+    # iteration, dispatch chunk k, then wait-and-copy chunk k-1's aux,
+    # issue chunk k-2's page fetches, and materialize+decode chunk k-3 —
+    # so the main thread only ever waits for transfers that already had
+    # a full iteration of link time.
+    inflight: list = []
+
+    def s1_wait_copy(ck):
+        try:
+            ck["wait_arr"].block_until_ready()
+            ck["wait_arr"].copy_to_host_async()
+        except AttributeError:
+            pass
+        ck["stage"] = 1
+
+    def s2_start(ck):
+        f0s, nfs_c, packed_c, _ = ck["ready"]
+        ck["started"] = _fetch_start(lanes, nfs_c, packed_c, engine, wire)
+        ck["stage"] = 2
+
+    def s3_finish(ck):
+        _consume_all(lanes, *ck["ready"], engine, wire, pool,
+                     ck["started"])
+        ck["stage"] = 3
+
+    def advance(ck, to_stage):
+        for s, fn in ((1, s1_wait_copy), (2, s2_start), (3, s3_finish)):
+            if s > to_stage:
+                break
+            if ck["stage"] < s:
+                fn(ck)
+
     try:
         while True:
             _t = _time.perf_counter()
@@ -314,7 +346,7 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 active = active or nf > 0
             if not active:
                 break
-            sig_arg = jnp.asarray(sigs)
+            sig_arg = None
             if wire:
                 # wire-compress each lane's input on host; one vmapped unpack
                 # restores all lanes on device. Any non-PCM_24-exact lane
@@ -329,6 +361,11 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                     for i, (_, v) in enumerate(items):
                         pb[i, :len(v)] = v
                     sig_arg = _VUNPACK(pb, engine.chunk_input_len, ch)
+            if sig_arg is None:
+                # raw float fallback ONLY when the codec couldn't take the
+                # chunk: materializing this 60+ MB device array wastes ~2 s
+                # of link time per chunk if done unconditionally
+                sig_arg = jnp.asarray(sigs)
             timings["stage_s"] += _time.perf_counter() - _t
             _t = _time.perf_counter()
             res = vchunk(sig_arg, jnp.asarray(nfs), carry_b,
@@ -341,27 +378,29 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 packed, out_dev, carry_b, out_tail_b, w_tail_b = res
                 wait_arr = packed
             timings["dispatch_s"] += _time.perf_counter() - _t
-            _t = _time.perf_counter()
-            try:
-                wait_arr.block_until_ready()
-                wait_arr.copy_to_host_async()
-            except AttributeError:
-                pass
-            timings["block_s"] += _time.perf_counter() - _t
             timings["chunks"] += 1
-            _t = _time.perf_counter()
-            if inflight is not None:
-                _consume_all(lanes, *inflight, engine, wire, pool)
-            timings["consume_s"] += _time.perf_counter() - _t
             frame0s = [ln.frame0 for ln in lanes]
             for i, lane in enumerate(lanes):
                 if not (lane.done or lane.failed) and nfs[i] > 0:
                     lane.advance(int(nfs[i]))
-            inflight = (frame0s, nfs, packed, out_dev)
+            inflight.append(dict(ready=(frame0s, nfs, packed, out_dev),
+                                 wait_arr=wait_arr, started=None, stage=0))
+
+            _t = _time.perf_counter()
+            m = len(inflight) - 1
+            for i, ck in enumerate(inflight[:-1]):
+                advance(ck, min(2, m - i))
+            timings["block_s"] += _time.perf_counter() - _t
+            if len(inflight) > 3:
+                _t = _time.perf_counter()
+                s3_finish(inflight.pop(0))
+                timings["consume_s"] += _time.perf_counter() - _t
         _t = _time.perf_counter()
-        if inflight is not None:
-            _consume_all(lanes, *inflight, engine, wire, pool)
-        timings["finish_s"] += _time.perf_counter() - _t
+        for stage in (1, 2, 3):
+            for ck in inflight:
+                advance(ck, stage)
+        del inflight[:]
+        timings["consume_s"] += _time.perf_counter() - _t
 
         _t = _time.perf_counter()
         out_tail_np = np.asarray(out_tail_b)
@@ -388,28 +427,13 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     return [lane.stats() for lane in lanes]
 
 
-def _consume_all(lanes, frame0s, nfs, packed, out_dev, eng, wire,
-                 pool=None):
-    if wire:
-        _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool)
-        return
-    packed_np = np.asarray(packed)
-    for i, lane in enumerate(lanes):
-        if lane.failed or int(nfs[i]) <= 0:
-            continue
-        try:
-            payload, aux = eng.unpack_pcm24(packed_np[i])
-            lane.consume(frame0s[i], int(nfs[i]), payload, aux, out_dev[i])
-        except Exception as e:
-            lane.fail(e)
-
-
-def _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool=None):
-    """Wire-transport batch readback: fetch the aux block, then only the
-    leading pages every active lane's stream fits in (page p row i is
-    lane i's words [p*PW, (p+1)*PW)); decode lanes on host — in parallel
-    when a pool is given (the C++ decode releases the GIL)."""
-    from tomatis_tpu.io import wirecodec
+def _fetch_start(lanes, nfs, packed, eng, wire):
+    """Begin the batch readback: read the (small, already-copied) aux
+    block, issue the async page fetches of only the pages every active
+    lane's stream fits in — so the bulk device->host transfer rides the
+    link while younger chunks are staged/dispatched."""
+    if not wire:
+        return None
     auxw, pages = packed
     aux_np = np.asarray(auxw)
     used = {}
@@ -430,6 +454,36 @@ def _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool=None):
             pg.copy_to_host_async()
         except AttributeError:
             pass
+    return rows, used, pgs
+
+
+def _consume_all(lanes, frame0s, nfs, packed, out_dev, eng, wire,
+                 pool=None, started=None):
+    if wire:
+        _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool,
+                          started)
+        return
+    packed_np = np.asarray(packed)
+    for i, lane in enumerate(lanes):
+        if lane.failed or int(nfs[i]) <= 0:
+            continue
+        try:
+            payload, aux = eng.unpack_pcm24(packed_np[i])
+            lane.consume(frame0s[i], int(nfs[i]), payload, aux, out_dev[i])
+        except Exception as e:
+            lane.fail(e)
+
+
+def _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool=None,
+                      started=None):
+    """Wire-transport batch readback (page p row i is lane i's words
+    [p*PW, (p+1)*PW)): materialize the pages started by _fetch_start and
+    decode lanes on host — in parallel when a pool is given (the C++
+    decode releases the GIL)."""
+    from tomatis_tpu.io import wirecodec
+    if started is None:
+        started = _fetch_start(lanes, nfs, packed, eng, True)
+    rows, _used, pgs = started
     host_pages = [np.asarray(pg) for pg in pgs]
 
     def decode_one(i):
