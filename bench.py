@@ -379,7 +379,8 @@ def main() -> int:
     best = None
     best_stats = None
     runs = []
-    for _ in range(args.repeats):
+    floor_runs = []
+    for rep in range(args.repeats):
         t0 = time.perf_counter()
         stats = process(in_path, out_path, p,
                         frames_per_chunk=args.frames_per_chunk)
@@ -387,6 +388,20 @@ def main() -> int:
         runs.append(round(audio_sec / dt, 1))
         if best is None or dt < best:
             best, best_stats = dt, stats
+        # interleave the zero-compute floor replay with the timed runs:
+        # the tunnel's bandwidth swings minute to minute, so a floor
+        # measured once at the end is not comparable to best-of-N timed
+        # runs — best-of-N floor vs best-of-N run compares both at their
+        # best link moments
+        wire_st = stats.get("wire", {})
+        if rep < 4 and wire_st.get("in_bytes", 0) \
+                and wire_st.get("out_bytes", 0):
+            n_chunks = -(-stats["n_frames"] // args.frames_per_chunk)
+            aux_words = 3 * (args.frames_per_chunk
+                             + p.n_fft // p.hop - 1) + 2
+            floor_runs.append(round(audio_sec / link_floor(
+                wire_st["in_bytes"], wire_st["out_bytes"], n_chunks,
+                aux_words), 1))
     steady = sorted(runs[len(runs) // 2:])   # second half: warmed, steady
     steady_median = steady[len(steady) // 2]
 
@@ -405,13 +420,7 @@ def main() -> int:
 
     rtf = audio_sec / best
     wire = best_stats.get("wire", {})
-    floor_x = None
-    if wire.get("in_bytes", 0) and wire.get("out_bytes", 0):
-        n_chunks = -(-best_stats["n_frames"] // args.frames_per_chunk)
-        aux_words = 3 * (args.frames_per_chunk + p.n_fft // p.hop - 1) + 2
-        floor_s = link_floor(wire["in_bytes"], wire["out_bytes"],
-                             n_chunks, aux_words)
-        floor_x = round(audio_sec / floor_s, 1)
+    floor_x = max(floor_runs) if floor_runs else None
     bytes_total = (wire.get("in_bytes", 0)
                    + wire.get("out_bytes", 0)) / audio_sec
     # what the measured link alone would allow if everything else hid
@@ -445,6 +454,8 @@ def main() -> int:
         "link_bound_ceiling_x": (round(ceiling, 1)
                                  if ceiling is not None else None),
         "link_floor_x": floor_x,
+        "link_floor_runs_x": floor_runs,
+        "vs_floor": (round(rtf / floor_x, 2) if floor_x else None),
         "device_resident_x": (round(resident_x, 1)
                               if resident_x is not None else None),
         "device": str(dev),

@@ -52,6 +52,28 @@ WIRE_BUCKET = 256 * 1024
 # Shared input-unpack executable; jit caches one trace per (bucket, n, ch).
 _UNPACK_INPUT = jax.jit(wire_ops.unpack_device, static_argnums=(1, 2))
 
+# Tail-page trimming: the final output page of a chunk is mostly unused
+# (avg half a page wasted per chunk at 1 MB pages ≈ 7% of the d2h
+# direction). A tiny jitted device-side slice to a 64 KB-bucketed length
+# bounds the executable count at 16 shapes per page geometry.
+_TAIL_BUCKET_W = 64 * 1024 // 4
+
+_TAIL_SLICE = jax.jit(lambda p, k: p[..., :k * _TAIL_BUCKET_W],
+                      static_argnums=1)
+
+
+def trim_tail_page(pg, used_words_in_page: int):
+    """Device-slice a page to ceil(used/64KB) so the fetch skips the
+    unused remainder. Falls back to the full page for non-sliceable
+    (already-host) arrays."""
+    k = -(-used_words_in_page // _TAIL_BUCKET_W)
+    if k * _TAIL_BUCKET_W >= pg.shape[-1]:
+        return pg
+    try:
+        return _TAIL_SLICE(pg, k)
+    except Exception:
+        return pg
+
 
 def _bucketed_unpack(packed: np.ndarray, n: int, ch: int):
     """Pad a packed buffer to the bucket grid (bounding the number of
@@ -215,14 +237,18 @@ class ChunkedStftEngine:
 
     def fetch_wire_start(self, auxw_dev, pages):
         """Read the (small, already transferred) aux array and issue the
-        async fetches of only the pages the packed stream used — call this
-        as early as possible so the transfer rides the link while the host
+        async fetches of only the pages the packed stream used (the last
+        page device-trimmed to its used 64 KB bucket) — call this as
+        early as possible so the transfer rides the link while the host
         does other work; materialize with np.asarray on the returned
         pages, then wirecodec.decode_pcm24."""
         aux_np = np.asarray(auxw_dev)
         rows, used_bytes = self.unpack_wire_aux(aux_np)
         n_p = -(-used_bytes // WIRE_PAGE)
-        pgs = pages[:n_p]
+        pgs = list(pages[:n_p])
+        if pgs:
+            tail_words = -(-used_bytes // 4) - (n_p - 1) * (WIRE_PAGE // 4)
+            pgs[-1] = trim_tail_page(pgs[-1], tail_words)
         for pg in pgs:
             try:
                 pg.copy_to_host_async()

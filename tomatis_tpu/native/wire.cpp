@@ -182,7 +182,7 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
 
     long T = (long)ch * K;
     std::vector<uint8_t> rice_f(T), kk(T), uws(T);
-    long total = H;
+    long total = H, S_oct = 0;   // S_oct: total plane octets
     for (int c = 0; c < ch; c++) {
         const int32_t* rc = r.data() + (size_t)c * n;
         for (long b = 0; b < K; b++) {
@@ -194,6 +194,7 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
             rice_f[t] = use_rice;
             kk[t] = (uint8_t)k_;
             uws[t] = (uint8_t)uw_;
+            S_oct += use_rice ? k_ : w_;
             total += use_rice ? 8L * k_ + uw_ : 8L * w_;
         }
     }
@@ -226,12 +227,14 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
         out[20 + 2 * t + 1] = rice_f[t] ? uws[t] : 0;
     }
 
-    // stream: per block, 8 transposed 32-sample groups emit the first
-    // noct planes (octet o, word j = group j's transform lane 31-o);
-    // rice blocks store zigzag remainders in the planes and append the
-    // unary terminator words (bit p = word p>>5 bit p&31, LSB-first)
+    // stream, separated regions: FIRST all blocks' plane regions (per
+    // block, 8 transposed 32-sample groups emit the first noct planes;
+    // octet o, word j = group j's transform lane 31-o; rice blocks store
+    // zigzag remainders), THEN all rice blocks' unary terminator words
+    // (bit p = word p>>5 bit p&31, LSB-first)
     uint32_t* words = reinterpret_cast<uint32_t*>(out);
-    long pos = H;   // stream word cursor
+    long ppos = H;                // plane region cursor
+    long upos = H + 8 * S_oct;    // unary region cursor
     for (int c = 0; c < ch; c++) {
         const int32_t* rc = r.data() + (size_t)c * n;
         for (long b = 0; b < K; b++) {
@@ -256,9 +259,9 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
                     }
                     transpose32(A);
                     for (int o = 0; o < noct; o++)
-                        words[pos + 8 * o + j] = A[31 - o];
+                        words[ppos + 8 * o + j] = A[31 - o];
                 }
-                pos += 8L * noct;
+                ppos += 8L * noct;
             }
             if (ur) {
                 int k_ = kk[t];
@@ -271,9 +274,9 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
                         zz = ((uint32_t)rv << 1) ^ (uint32_t)(rv >> 31);
                     }
                     p += (long)(zz >> k_) + 1;
-                    words[pos + (p >> 5)] |= 1u << (p & 31);
+                    words[upos + (p >> 5)] |= 1u << (p & 31);
                 }
-                pos += uws[t];
+                upos += uws[t];
             }
         }
     }
@@ -313,7 +316,7 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
     if (nbytes < H * 4) return -4;
     const uint8_t* desc = in + 20;
     long T = (long)ch * K;
-    long S = 0;   // total stream words
+    long S = 0, S_oct = 0;   // total stream words / plane octets
     for (long t = 0; t < T; t++) {
         int rice = desc[2 * t] >> 7;
         int noct = desc[2 * t] & 0x7F;
@@ -321,13 +324,15 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
         if (noct > 30 || (rice && noct > KMAX)) return -5;
         if (rice ? (uw < 8 || uw > UWMAX) : (uw != 0)) return -5;
         S += 8L * noct + uw;
+        S_oct += noct;
     }
     if (used != H + S) return -4;  // stream length must match descriptors
     std::vector<uint32_t> words((size_t)used);
     std::memcpy(words.data(), in, (size_t)(used * 4));
     std::vector<int32_t> r(n);
     int32_t rem[B];
-    long pos = H;   // stream word cursor
+    long ppos = H;                // plane region cursor
+    long upos = H + 8 * S_oct;    // unary region cursor
     for (int c = 0; c < ch; c++) {
         for (long b = 0; b < K; b++) {
             long t = (long)c * K + b;
@@ -343,7 +348,7 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
             for (int j = 0; j < 8; j++) {
                 uint32_t A[32] = {0};
                 for (int o = 0; o < noct; o++)
-                    A[31 - o] = words[pos + 8 * o + j];
+                    A[31 - o] = words[ppos + 8 * o + j];
                 transpose32(A);
                 for (int k = 0; k < 32; k++) {
                     int i = 32 * j + k;
@@ -356,9 +361,9 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
                     }
                 }
             }
-            pos += 8L * noct;
+            ppos += 8L * noct;
             if (rice) {
-                const uint32_t* un = words.data() + pos;
+                const uint32_t* un = words.data() + upos;
                 long bp = 0, prev = -1;
                 for (int i = 0; i < B; i++) {
                     while (true) {
@@ -376,7 +381,7 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
                         r[lo + i] = (int32_t)((zz >> 1) ^ (~(zz & 1) + 1));
                     }
                 }
-                pos += uw;
+                upos += uw;
             }
         }
         for (int o = 0; o < order; o++) {

@@ -49,20 +49,22 @@ Layout (little-endian u32 words):
     desc:    ceil(2*ch*K / 4) words: TWO bytes per block, channel-major.
              byte0 = rice << 7 | width (rice: remainder width k 0..24;
              maxw: plane width w in {0, 4..30}); byte1 = unary word
-             count uw (rice: 8..64, else 0). Block stream length =
-             8*(byte0 & 0x7F) + byte1 words.
-    stream:  per-channel, channel-major.
-             maxw block: w PLANES ("octets") of 8 words each (w=0:
-             block omitted, all-zero residuals). Plane o, word j, bit i
-             = bit o of the block's residual sample 32j + (31-i), two's
-             complement truncated to w bits. (The bit-reversed lane
-             order is the natural output of the masked-shift bit
-             transpose; all three implementations share it.)
-             rice block: k planes in the same layout holding
-             zigzag(residual) & (2^k - 1), then uw unary words: bit
-             p of the unary region (word p>>5, bit p&31, LSB-first)
+             count uw (rice: 8..64, else 0). Block plane length =
+             8*(byte0 & 0x7F) words; unary length = byte1 words.
+    planes:  ALL blocks' plane regions, channel-major, concatenated:
+             8*(byte0 & 0x7F) words per block ("octets" of 8 words),
+             so the region stays octet-aligned for the device's wide
+             row gathers. maxw block: w planes of the residual, two's
+             complement truncated to w bits; plane o, word j, bit i =
+             bit o of sample 32j + (31-i) (the bit-reversed lane order
+             is the natural output of the masked-shift transpose; all
+             three implementations share it). rice block: k planes of
+             zigzag(residual) & (2^k - 1). w/k = 0: block omitted.
+    unary:   ALL rice blocks' unary regions, channel-major,
+             concatenated after the planes: uw words per rice block.
+             Bit p of a block's region (word p>>5, bit p&31, LSB-first)
              set iff p terminates a sample's quotient run; all 256
-             samples emit codes (pad positions encode zigzag 0), so the
+             samples emit codes (pad positions encode zigzag 0), so a
              region holds exactly 256 set bits and sample i's quotient
              is q_i = p_i - p_{i-1} - 1 over the ascending terminator
              positions. Residual = unzigzag((q << k) | remainder).
@@ -291,6 +293,7 @@ def encode_np(v: np.ndarray) -> np.ndarray:
         if no:
             words[pos:pos + 8 * no] = planes[t, :no].reshape(-1)
             pos += 8 * no
+    for t in range(T):
         if rice[t]:
             uw = int(uwb[t])
             words[pos:pos + uw] = _unary_words_np(zz[t], int(kb[t]), uw)
@@ -349,20 +352,17 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
     if (uw > _UWMAX).any() or (~rice & (uw != 0)).any() \
             or (rice & (uw < 8)).any():
         raise ValueError("malformed wire buffer: bad unary word count")
-    bwords = 8 * noct + uw
-    if used != H + int(bwords.sum()):
+    total = int((8 * noct + uw).sum())
+    if used != H + total:
         raise ValueError(f"malformed wire buffer: used={used} != "
-                         f"H+sum(block words)={H + int(bwords.sum())}")
+                         f"H+sum(block words)={H + total}")
     words = buf[:used * 4].view(np.uint32)
-    starts = H + np.cumsum(bwords) - bwords
     planes = np.zeros((T, _WMAX, 8), np.uint32)
     S = int(noct.sum())
     src_t = np.repeat(np.arange(T), noct)
     src_p = np.arange(S) - np.repeat(np.cumsum(noct) - noct, noct)
-    ostart = np.repeat(starts, noct) \
-        + 8 * (np.arange(S) - np.repeat(np.cumsum(noct) - noct, noct))
-    planes[src_t, src_p] = words[ostart[:, None]
-                                 + np.arange(8)[None, :]]
+    planes[src_t, src_p] = words[H:H + 8 * S].reshape(S, 8)
+    ustarts = H + 8 * S + np.cumsum(uw) - uw         # unary region offsets
     z = _planes_inv_np(planes)                       # [T, 256] u32
 
     r = np.zeros((T, B), np.int64)
@@ -376,7 +376,7 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
     # rice blocks: quotients from the unary terminator bitmaps
     for t in np.nonzero(rice)[0]:
         k = int(noct[t])
-        s = int(starts[t]) + 8 * k
+        s = int(ustarts[t])
         un = words[s:s + int(uw[t])]
         bits = ((un[:, None] >> np.arange(32, dtype=np.uint32)[None, :])
                 & 1).reshape(-1)
@@ -518,10 +518,11 @@ def pack_device(v, n: int, ch: int):
 
     # ---- packed layout: bit-plane transform + one word-row gather ----
     # Per block: 5 masked-shift rounds turn 256 masked residuals into
-    # noct 8-word planes (dense vector ops); rice blocks append their
-    # unary terminator words (one bounded scatter-add); compaction is a
-    # gather driven by a cummax-scan over TWO pieces per block (planes,
-    # unary) at fixed source strides. No per-sample variable-length
+    # noct 8-word planes (dense vector ops); rice blocks emit their
+    # unary terminator words (one bounded scatter-add) into the separate
+    # trailing unary region; compaction is a gather driven by a
+    # cummax-scan over 2T pieces (all plane regions, then all unary
+    # regions) at fixed source strides. No per-sample variable-length
     # packing anywhere.
     mask = jnp.where(noct > 0,
                      (jnp.uint32(1) << noct.astype(jnp.uint32))
@@ -543,14 +544,15 @@ def pack_device(v, n: int, ch: int):
         (jnp.uint32(1) << (p & 31)).reshape(-1),
         mode="drop").reshape(T, _UWMAX)
 
-    RL = 8 * _WMAX + _UWMAX                                # 304 words
-    region = jnp.concatenate(
-        [planes.reshape(T, 8 * _WMAX), unary], axis=1)     # [T, 304]
+    PW = 8 * _WMAX                                         # 240 words
     region_flat = jnp.concatenate(
-        [region.reshape(-1), jnp.zeros(1, jnp.uint32)])
-    plen = jnp.stack([8 * noct, uwb], 1).reshape(2 * T)
+        [planes.reshape(-1), unary.reshape(-1),
+         jnp.zeros(1, jnp.uint32)])
+    # pieces in OUTPUT order: all blocks' plane regions, then all rice
+    # blocks' unary regions (the separated TWC3 layout)
+    plen = jnp.concatenate([8 * noct, uwb])                # [2T]
     tt = jnp.arange(T, dtype=jnp.int32)
-    psrc = jnp.stack([RL * tt, RL * tt + 8 * _WMAX], 1).reshape(2 * T)
+    psrc = jnp.concatenate([PW * tt, PW * T + _UWMAX * tt])
     pdst = jnp.cumsum(plen) - plen
     corr = psrc - pdst     # nondecreasing: piece lengths <= source strides
     S_tot = jnp.sum(plen)
@@ -558,7 +560,7 @@ def pack_device(v, n: int, ch: int):
         jnp.where(plen > 0, pdst, S_max)].max(corr, mode="drop")
     corr_s = jax.lax.cummax(marks)
     s = jnp.arange(S_max, dtype=jnp.int32)
-    idx = jnp.where(s < S_tot, s + corr_s, T * RL)
+    idx = jnp.where(s < S_tot, s + corr_s, T * (PW + _UWMAX))
     stream = region_flat[idx]                              # [S_max]
 
     # header + block descriptors (static-length prefix)
@@ -625,27 +627,30 @@ def unpack_device(buf, n: int, ch: int):
         rice = b0 >> 7
         noct = jnp.minimum(b0 & 0x7F, _WMAX)   # corrupt widths: clamp
         uw = jnp.minimum(jnp.where(rice == 1, b1, 0), _UWMAX)
-        bwords = 8 * noct + uw
-        starts0 = H + jnp.cumsum(bwords) - bwords
-        # One 304-word contiguous gather per BLOCK (each block's stream
-        # region is contiguous: noct planes then the unary words): wide
-        # slices fill the TPU's 512-byte lane tiles, where 8-word octet
-        # gathers ran at element speed (~80M/s, measured 3x the rest of
-        # the unpack). Over-read into the next blocks' data is masked.
-        blkw = 8 * _WMAX + _UWMAX
-        wpad = jnp.concatenate([words, jnp.zeros(blkw, jnp.uint32)])
-        starts = jnp.minimum(starts0, W).astype(jnp.int32)
+        # One wide contiguous gather per BLOCK from each region (240
+        # plane words / 64 unary words): wide slices fill the TPU's
+        # 512-byte lane tiles, where 8-word octet gathers ran at element
+        # speed (~80M/s, measured 3x the rest of the unpack). Over-read
+        # into the next blocks' data is masked.
+        PW = 8 * _WMAX
+        wpad = jnp.concatenate([words, jnp.zeros(PW, jnp.uint32)])
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(),
+            start_index_map=(0,))
+        pstart = H + 8 * (jnp.cumsum(noct) - noct)
         win = jax.lax.gather(
-            wpad, starts[:, None],
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1,), collapsed_slice_dims=(),
-                start_index_map=(0,)),
-            slice_sizes=(blkw,), indices_are_sorted=True,
-            mode=jax.lax.GatherScatterMode.CLIP)           # [T, 304]
+            wpad, jnp.minimum(pstart, W).astype(jnp.int32)[:, None], dn,
+            slice_sizes=(PW,), indices_are_sorted=True,
+            mode=jax.lax.GatherScatterMode.CLIP)           # [T, 240]
+        ustart = H + 8 * jnp.sum(noct) + jnp.cumsum(uw) - uw
+        uwin = jax.lax.gather(
+            wpad, jnp.minimum(ustart, W).astype(jnp.int32)[:, None], dn,
+            slice_sizes=(_UWMAX,), indices_are_sorted=True,
+            mode=jax.lax.GatherScatterMode.CLIP)           # [T, 64]
         o = jnp.arange(_WMAX, dtype=jnp.int32)[None, :]
         valid = o < noct[:, None]                          # [T, 30]
         planes = jnp.where(valid[:, :, None],
-                           win[:, :8 * _WMAX].reshape(T, _WMAX, 8), 0)
+                           win.reshape(T, _WMAX, 8), 0)
         Xr = jnp.concatenate(
             [planes, jnp.zeros((T, 32 - _WMAX, 8), jnp.uint32)], 1)
         X = jnp.swapaxes(Xr, 1, 2)[:, :, ::-1]             # [t, j, l]
@@ -660,8 +665,6 @@ def unpack_device(buf, n: int, ch: int):
 
         # rice blocks: quotients from the unary terminator bitmaps via
         # popcount prefix sums — no sequential bit walking
-        uwin = jnp.take_along_axis(
-            win, 8 * noct[:, None] + jnp.arange(_UWMAX)[None, :], axis=1)
         uwin = jnp.where(jnp.arange(_UWMAX)[None, :] < uw[:, None],
                          uwin, 0)                          # [T, 64]
         pop = jax.lax.population_count(uwin).astype(jnp.int32)

@@ -448,7 +448,13 @@ def _fetch_start(lanes, nfs, packed, eng, wire):
             # same per-lane isolation as the decode/consume paths below
             lane.fail(e)
     n_p = max((-(-u // WIRE_PAGE) for u in used.values()), default=0)
-    pgs = pages[:n_p]
+    pgs = list(pages[:n_p])
+    if pgs:
+        # trim the shared last page to the worst lane's used 64 KB bucket
+        from tomatis_tpu.engine.streaming import trim_tail_page
+        tail_words = max(-(-u // 4) - (n_p - 1) * (WIRE_PAGE // 4)
+                         for u in used.values())
+        pgs[-1] = trim_tail_page(pgs[-1], tail_words)
     for pg in pgs:
         try:
             pg.copy_to_host_async()
