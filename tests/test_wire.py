@@ -52,30 +52,36 @@ def _signals():
         yield f"blockedge{nn}", big
 
 
+@pytest.mark.parametrize("rice", [True, False], ids=["rice", "maxw"])
 @pytest.mark.parametrize("name,v", list(_signals()))
-def test_three_way_parity(name, v):
+def test_three_way_parity(name, v, rice):
     n, ch = v.shape
-    buf = wire.encode_np(v)                      # numpy oracle encode
+    buf = wire.encode_np(v, rice=rice)           # numpy oracle encode
     assert np.array_equal(wire.decode_np(buf), v)
 
     # XLA encode must produce byte-identical output (same tie-breaks)
-    words, used = jax.jit(wire.pack_device, static_argnums=(1, 2))(
-        jnp.asarray(v), n, ch)
+    words, used = jax.jit(wire.pack_device, static_argnums=(1, 2, 3))(
+        jnp.asarray(v), n, ch, rice)
     words, used = np.asarray(words), int(used)
     assert used * 4 == len(buf)
     assert np.array_equal(words[:used].view(np.uint8)[:len(buf)], buf)
     assert not words[used:].any(), "padding beyond used_words must be zero"
 
-    # XLA decode of the numpy-encoded buffer
+    # XLA decode of the numpy-encoded buffer. The rice-enabled decoder
+    # handles either stream (block flags drive it); the rice-free decoder
+    # is only contracted for rice-free streams.
     pad = (-len(buf)) % 4
     b = np.concatenate([buf, np.zeros(pad, np.uint8)])
-    f = jax.jit(wire.unpack_device, static_argnums=(1, 2))(
-        jnp.asarray(b), n, ch)
-    assert np.array_equal(np.asarray(f), v.astype(np.float32) / 8388608.0)
+    decoders = (True,) if rice else (True, False)
+    for dec_rice in decoders:
+        f = jax.jit(wire.unpack_device, static_argnums=(1, 2, 3))(
+            jnp.asarray(b), n, ch, dec_rice)
+        assert np.array_equal(np.asarray(f),
+                              v.astype(np.float32) / 8388608.0)
 
     # native C++ (skipped transparently if the toolchain is missing)
     if wirecodec.available():
-        cbuf = wirecodec.encode_i32(v)
+        cbuf = wirecodec.encode_i32(v, rice=rice)
         assert np.array_equal(cbuf, buf), "C++ encode must match numpy"
         assert np.array_equal(wirecodec.decode_i32(buf, n, ch), v)
         pcm = wirecodec.decode_pcm24(buf, n, ch)

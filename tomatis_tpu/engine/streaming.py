@@ -49,8 +49,18 @@ FLUSH_THRESHOLD = 48000 * 5  # hard-coded in the reference (src/process_tomatis.
 WIRE_PAGE = 1024 * 1024
 WIRE_BUCKET = 256 * 1024
 
+# Engine-wide static rice switch for the wire transport. Rice coding
+# saves only ~4% of link bytes on program material (an invertible code
+# must still pay the sign bit), but its device halves cost real
+# serialized time per chunk on a tunneled TPU — the unary-region decode
+# alone measured ~150 ms per 2 M-sample chunk, an order of magnitude
+# more than the link time the bytes buy back. The engine therefore runs
+# the all-maxw TWC3 profile end to end; encoder and decoder settings
+# pair by construction (host decoders accept either stream).
+WIRE_RICE = False
+
 # Shared input-unpack executable; jit caches one trace per (bucket, n, ch).
-_UNPACK_INPUT = jax.jit(wire_ops.unpack_device, static_argnums=(1, 2))
+_UNPACK_INPUT = jax.jit(wire_ops.unpack_device, static_argnums=(1, 2, 3))
 
 # Tail-page trimming: the final output page of a chunk is mostly unused
 # (avg half a page wasted per chunk at 1 MB pages ≈ 7% of the d2h
@@ -81,7 +91,7 @@ def _bucketed_unpack(packed: np.ndarray, n: int, ch: int):
     bucket = -(-len(packed) // WIRE_BUCKET) * WIRE_BUCKET
     pb = np.zeros(bucket, np.uint8)
     pb[:len(packed)] = packed
-    return _UNPACK_INPUT(pb, n, ch)
+    return _UNPACK_INPUT(pb, n, ch, WIRE_RICE)
 
 
 def resolve_transport(transport: str, supports_raw: bool):
@@ -113,8 +123,8 @@ def stage_encode(sig: np.ndarray, int_in: bool, wire_input: bool = True):
         return ("raw", sig)
     from tomatis_tpu.io import wirecodec
     if int_in:
-        return ("wire", wirecodec.encode_i32(sig))
-    packed = wirecodec.encode_f32(sig)
+        return ("wire", wirecodec.encode_i32(sig, rice=WIRE_RICE))
+    packed = wirecodec.encode_f32(sig, rice=WIRE_RICE)
     return ("raw_inexact", sig) if packed is None else ("wire", packed)
 
 
@@ -409,7 +419,7 @@ class ChunkedStftEngine:
                          -8388608, 8388607).astype(jnp.int32)
             if transport == "wire":
                 words, used = wire_ops.pack_device(
-                    v, v.shape[0], v.shape[1])
+                    v, v.shape[0], v.shape[1], rice=WIRE_RICE)
                 PW = WIRE_PAGE // 4
                 n_pages = -(-(words.size * 4) // WIRE_PAGE)
                 wpad = jnp.pad(words, (0, n_pages * PW - words.size))

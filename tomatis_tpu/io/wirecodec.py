@@ -38,11 +38,11 @@ def _lib():
             lib.twire_encode_f32.restype = ctypes.c_long
             lib.twire_encode_f32.argtypes = [
                 ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
-                ctypes.c_void_p, ctypes.c_long]
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_int]
             lib.twire_encode_i32.restype = ctypes.c_long
             lib.twire_encode_i32.argtypes = [
                 ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
-                ctypes.c_void_p, ctypes.c_long]
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_int]
             lib.twire_decode.restype = ctypes.c_int
             lib.twire_decode.argtypes = [
                 ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
@@ -62,8 +62,13 @@ def available() -> bool:
     return _lib() is not None
 
 
-def encode_f32(x: np.ndarray) -> np.ndarray | None:
-    """float32 [n, ch] -> packed bytes, or None if not PCM_24-exact."""
+def encode_f32(x: np.ndarray, rice: bool = True) -> np.ndarray | None:
+    """float32 [n, ch] -> packed bytes, or None if not PCM_24-exact.
+
+    rice=False emits the all-maxw TWC3 stream (see ops.wire.encode_np)
+    so a rice-free device decoder can unpack it; the setting must match
+    the consumer's.
+    """
     x = np.ascontiguousarray(x, np.float32)
     n, ch = x.shape
     lib = _lib()
@@ -71,7 +76,7 @@ def encode_f32(x: np.ndarray) -> np.ndarray | None:
         cap = lib.twire_max_bytes(n, ch)
         out = np.empty(cap, np.uint8)
         used = lib.twire_encode_f32(x.ctypes.data, n, ch, out.ctypes.data,
-                                    cap)
+                                    cap, int(rice))
         if used == -1:
             return None
         if used < 0:
@@ -82,10 +87,10 @@ def encode_f32(x: np.ndarray) -> np.ndarray | None:
             or not np.array_equal(
                 (v.astype(np.float32) / np.float32(8388608.0)), x):
         return None
-    return _wire.encode_np(v.astype(np.int32))
+    return _wire.encode_np(v.astype(np.int32), rice=rice)
 
 
-def encode_i32(v: np.ndarray) -> np.ndarray:
+def encode_i32(v: np.ndarray, rice: bool = True) -> np.ndarray:
     """int32 PCM [n, ch] -> packed bytes."""
     v = np.ascontiguousarray(v, np.int32)
     n, ch = v.shape
@@ -94,11 +99,11 @@ def encode_i32(v: np.ndarray) -> np.ndarray:
         cap = lib.twire_max_bytes(n, ch)
         out = np.empty(cap, np.uint8)
         used = lib.twire_encode_i32(v.ctypes.data, n, ch, out.ctypes.data,
-                                    cap)
+                                    cap, int(rice))
         if used < 0:
             raise RuntimeError(f"twire_encode_i32 failed: {used}")
         return out[:used]
-    return _wire.encode_np(v)
+    return _wire.encode_np(v, rice=rice)
 
 
 def decode_i32(buf: np.ndarray, n: int, ch: int) -> np.ndarray:

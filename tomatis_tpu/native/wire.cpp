@@ -7,10 +7,11 @@
 // bit-exact for encode (same variant tie-break) and cross-decodable.
 //
 // Exported C ABI (ctypes-bound by tomatis_tpu/io/wirecodec.py):
-//   twire_encode_f32(x, n, ch, out, cap) -> used bytes; -1 if the floats
-//       are not exactly PCM_24 (caller falls back to raw f32 transport);
-//       -2 if cap is too small.
-//   twire_encode_i32(v, n, ch, out, cap) -> used bytes; -2 if cap small.
+//   twire_encode_f32(x, n, ch, out, cap, rice) -> used bytes; -1 if the
+//       floats are not exactly PCM_24 (caller falls back to raw f32
+//       transport); -2 if cap is too small. rice=0 -> all-maxw stream.
+//   twire_encode_i32(v, n, ch, out, cap, rice) -> used bytes; -2 if cap
+//       small.
 //   twire_decode(in, nbytes, out_i32, n, ch) -> 0 ok / negative error.
 //   twire_decode_pcm24(in, nbytes, out_u8, n, ch) -> 0 ok / negative error.
 //   twire_max_bytes(n, ch) -> worst-case packed size.
@@ -122,7 +123,11 @@ bool rice_plan(const int32_t* r, long cnt, int w, int* k_out, int* uw_out) {
     return true;
 }
 
-long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
+// rice=0 disables the per-block Rice mode (all-maxw stream, still valid
+// TWC3); must match the device decoder's static rice setting — see
+// ops/wire.py.
+long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap,
+                 int rice) {
     long K = n_blocks(n);
     long H = header_words(n, ch);
     long RW = raw_words(n, ch);
@@ -190,7 +195,8 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap) {
             long lo = b * B, hi = lo + B < n ? lo + B : n;
             int w_ = bw[t];
             int k_ = 0, uw_ = 0;
-            bool use_rice = rice_plan(rc + lo, hi - lo, w_, &k_, &uw_);
+            bool use_rice = rice
+                && rice_plan(rc + lo, hi - lo, w_, &k_, &uw_);
             rice_f[t] = use_rice;
             kk[t] = (uint8_t)k_;
             uws[t] = (uint8_t)uw_;
@@ -412,12 +418,12 @@ long twire_max_bytes(long n, int ch) {
 }
 
 long twire_encode_i32(const int32_t* v, long n, int ch, uint8_t* out,
-                      long cap) {
-    return encode_core(v, n, ch, out, cap);
+                      long cap, int rice) {
+    return encode_core(v, n, ch, out, cap, rice);
 }
 
 long twire_encode_f32(const float* x, long n, int ch, uint8_t* out,
-                      long cap) {
+                      long cap, int rice) {
     std::vector<int32_t> v((size_t)n * ch);
     for (long i = 0; i < n * ch; i++) {
         float f = x[i] * 8388608.0f;
@@ -426,7 +432,7 @@ long twire_encode_f32(const float* x, long n, int ch, uint8_t* out,
             || (float)q / 8388608.0f != x[i]) return -1;  // not PCM_24-exact
         v[i] = q;
     }
-    return encode_core(v.data(), n, ch, out, cap);
+    return encode_core(v.data(), n, ch, out, cap, rice);
 }
 
 int twire_decode(const uint8_t* in, long nbytes, int32_t* out, long n,

@@ -230,8 +230,17 @@ def _unary_words_np(zz_row: np.ndarray, k: int, uw: int) -> np.ndarray:
         axis=1, dtype=np.uint32)
 
 
-def encode_np(v: np.ndarray) -> np.ndarray:
-    """int32 PCM_24 samples [n, ch] -> packed uint8 array (exact size)."""
+def encode_np(v: np.ndarray, rice: bool = True) -> np.ndarray:
+    """int32 PCM_24 samples [n, ch] -> packed uint8 array (exact size).
+
+    rice=False disables the per-block Rice mode (every block stored at
+    its fixed max width — still a valid TWC3 stream, ~4% larger on
+    program material). The engine runs rice-free by default: the rice
+    halves cost real serialized device time per chunk on a tunneled TPU
+    (unary select/scatter), far more than the ~4% of link time the bytes
+    buy back. All three implementations accept the same switch and stay
+    bit-identical for either setting.
+    """
     v = np.ascontiguousarray(v, np.int32)
     if v.ndim == 1:
         v = v[:, None]
@@ -256,7 +265,12 @@ def encode_np(v: np.ndarray) -> np.ndarray:
     wflat = w.reshape(-1).astype(np.int64)           # [T = ch*K]
     pad = K * B - n
     rp = np.pad(r, ((0, 0), (0, pad))).reshape(ch * K, B)
-    rice, kb, uwb, bwords = _rice_plan_np(rp, wflat)
+    if rice:
+        rice_f, kb, uwb, bwords = _rice_plan_np(rp, wflat)
+    else:
+        rice_f = np.zeros(ch * K, bool)
+        kb = uwb = np.zeros(ch * K, np.int64)
+        bwords = 8 * wflat
     total = H + int(bwords.sum())
 
     RW = raw_words(n, ch)
@@ -275,15 +289,15 @@ def encode_np(v: np.ndarray) -> np.ndarray:
     _put_header(out, n, K, ch, (order << 8) | (ms << 16), 0, total)
     T = ch * K
     desc = np.zeros(2 * T, np.uint8)
-    noct = np.where(rice, kb, wflat)
-    desc[0::2] = (rice.astype(np.uint8) << 7) | noct.astype(np.uint8)
+    noct = np.where(rice_f, kb, wflat)
+    desc[0::2] = (rice_f.astype(np.uint8) << 7) | noct.astype(np.uint8)
     desc[1::2] = uwb
     out[20:20 + 2 * T] = desc
 
     r64 = rp.astype(np.int64)
     zz = ((r64 << 1) ^ (r64 >> 63)).astype(np.int64)
     mask = np.where(noct > 0, (np.int64(1) << noct) - 1, 0)
-    zsel = np.where(rice[:, None], zz, r64) & mask[:, None]
+    zsel = np.where(rice_f[:, None], zz, r64) & mask[:, None]
     planes = _planes_fwd_np(zsel.astype(np.uint32))  # [T, 30, 8]
 
     words = out.view(np.uint32)
@@ -294,7 +308,7 @@ def encode_np(v: np.ndarray) -> np.ndarray:
             words[pos:pos + 8 * no] = planes[t, :no].reshape(-1)
             pos += 8 * no
     for t in range(T):
-        if rice[t]:
+        if rice_f[t]:
             uw = int(uwb[t])
             words[pos:pos + uw] = _unary_words_np(zz[t], int(kb[t]), uw)
             pos += uw
@@ -417,12 +431,16 @@ def _bit_transpose32_jnp(x):
     return x
 
 
-def pack_device(v, n: int, ch: int):
+def pack_device(v, n: int, ch: int, rice: bool = True):
     """Device-side encoder (traceable): v int32 [n, ch] -> (words u32
     [max_words(n, ch)], used_words i32). Zero beyond used_words.
 
     Mirrors encode_np exactly, including the variant tie-break (first
-    minimum over [lr o0..o4, ms o0..o4]) and the raw escape.
+    minimum over [lr o0..o4, ms o0..o4]) and the raw escape. rice is a
+    STATIC switch: rice=False traces none of the rice machinery (the
+    25-k cost scan + unary scatter measured ~1/3 of the pack's device
+    time on a v5e) and emits all-maxw streams, bit-identical to
+    encode_np(v, rice=False).
     """
     import jax
     import jax.numpy as jnp
@@ -495,24 +513,30 @@ def pack_device(v, n: int, ch: int):
     rp = jnp.pad(r, ((0, 0), (0, pad))).reshape(T, B)
     # zigzag; |r| < 2^29 when w <= 30, so the int32 shift cannot wrap
     zz = ((rp << 1) ^ (rp >> 31)).astype(jnp.uint32)
-    costs, Us = [], []
-    for k in range(_KMAX + 1):
-        # cap the summands at 8192: any capped element already exceeds
-        # the 2048-bit region limit, so the validity verdict (and, for
-        # valid k, the exact sum) is unchanged while int32 never overflows
-        U = B + jnp.sum(jnp.minimum(zz >> k, 8192).astype(jnp.int32),
-                        axis=1)
-        valid = (k < wflat) & (U <= 8 * B)
-        costs.append(jnp.where(valid, 8 * k + (U + 31) // 32, 1 << 30))
-        Us.append(U)
-    costs = jnp.stack(costs, 1)                            # [T, 25]
-    kbest = jnp.argmin(costs, axis=1).astype(jnp.int32)    # first minimum
-    cbest = jnp.take_along_axis(costs, kbest[:, None], 1)[:, 0]
-    rice = (wflat > 0) & (cbest < 8 * wflat)
-    kb = jnp.where(rice, kbest, 0)
-    Ub = jnp.take_along_axis(jnp.stack(Us, 1), kbest[:, None], 1)[:, 0]
-    uwb = jnp.where(rice, (Ub + 31) // 32, 0)
-    noct = jnp.where(rice, kb, wflat)
+    if rice:
+        costs, Us = [], []
+        for k in range(_KMAX + 1):
+            # cap the summands at 8192: any capped element already exceeds
+            # the 2048-bit region limit, so the validity verdict (and, for
+            # valid k, the exact sum) is unchanged while int32 never
+            # overflows
+            U = B + jnp.sum(jnp.minimum(zz >> k, 8192).astype(jnp.int32),
+                            axis=1)
+            valid = (k < wflat) & (U <= 8 * B)
+            costs.append(jnp.where(valid, 8 * k + (U + 31) // 32, 1 << 30))
+            Us.append(U)
+        costs = jnp.stack(costs, 1)                        # [T, 25]
+        kbest = jnp.argmin(costs, axis=1).astype(jnp.int32)  # first minimum
+        cbest = jnp.take_along_axis(costs, kbest[:, None], 1)[:, 0]
+        rice_b = (wflat > 0) & (cbest < 8 * wflat)
+        kb = jnp.where(rice_b, kbest, 0)
+        Ub = jnp.take_along_axis(jnp.stack(Us, 1), kbest[:, None], 1)[:, 0]
+        uwb = jnp.where(rice_b, (Ub + 31) // 32, 0)
+        noct = jnp.where(rice_b, kb, wflat)
+    else:
+        rice_b = jnp.zeros(T, bool)
+        kb = uwb = jnp.zeros(T, jnp.int32)
+        noct = wflat
     bwords = 8 * noct + uwb                                # [T]
     total = (H + jnp.sum(bwords)).astype(jnp.int32)
 
@@ -527,32 +551,36 @@ def pack_device(v, n: int, ch: int):
     mask = jnp.where(noct > 0,
                      (jnp.uint32(1) << noct.astype(jnp.uint32))
                      - jnp.uint32(1), jnp.uint32(0))
-    zsel = jnp.where(rice[:, None], zz,
+    zsel = jnp.where(rice_b[:, None], zz,
                      rp.astype(jnp.uint32)) & mask[:, None]
     X = _bit_transpose32_jnp(zsel.reshape(T, 8, 32))       # [t, j, l]
     planes = jnp.swapaxes(X[:, :, ::-1], 1, 2)[:, :_WMAX]  # [t, o, j]
 
-    # unary terminator bitmap per rice block: positions p_i =
-    # cumsum(q+1)-1 < 2048 for valid blocks; everything else is dropped
-    q = zz >> kb[:, None].astype(jnp.uint32)
-    p = jnp.cumsum(q + jnp.uint32(1), axis=1) - jnp.uint32(1)
-    widx = (p >> 5).astype(jnp.int32)
-    dest = jnp.where(rice[:, None] & (widx < _UWMAX),
-                     jnp.arange(T, dtype=jnp.int32)[:, None] * _UWMAX
-                     + widx, T * _UWMAX)
-    unary = jnp.zeros(T * _UWMAX, jnp.uint32).at[dest.reshape(-1)].add(
-        (jnp.uint32(1) << (p & 31)).reshape(-1),
-        mode="drop").reshape(T, _UWMAX)
-
     PW = 8 * _WMAX                                         # 240 words
-    region_flat = jnp.concatenate(
-        [planes.reshape(-1), unary.reshape(-1),
-         jnp.zeros(1, jnp.uint32)])
-    # pieces in OUTPUT order: all blocks' plane regions, then all rice
-    # blocks' unary regions (the separated TWC3 layout)
-    plen = jnp.concatenate([8 * noct, uwb])                # [2T]
     tt = jnp.arange(T, dtype=jnp.int32)
-    psrc = jnp.concatenate([PW * tt, PW * T + _UWMAX * tt])
+    if rice:
+        # unary terminator bitmap per rice block: positions p_i =
+        # cumsum(q+1)-1 < 2048 for valid blocks; everything else is dropped
+        q = zz >> kb[:, None].astype(jnp.uint32)
+        p = jnp.cumsum(q + jnp.uint32(1), axis=1) - jnp.uint32(1)
+        widx = (p >> 5).astype(jnp.int32)
+        dest = jnp.where(rice_b[:, None] & (widx < _UWMAX),
+                         tt[:, None] * _UWMAX + widx, T * _UWMAX)
+        unary = jnp.zeros(T * _UWMAX, jnp.uint32).at[dest.reshape(-1)].add(
+            (jnp.uint32(1) << (p & 31)).reshape(-1),
+            mode="drop").reshape(T, _UWMAX)
+        region_flat = jnp.concatenate(
+            [planes.reshape(-1), unary.reshape(-1),
+             jnp.zeros(1, jnp.uint32)])
+        # pieces in OUTPUT order: all blocks' plane regions, then all rice
+        # blocks' unary regions (the separated TWC3 layout)
+        plen = jnp.concatenate([8 * noct, uwb])            # [2T]
+        psrc = jnp.concatenate([PW * tt, PW * T + _UWMAX * tt])
+    else:
+        region_flat = jnp.concatenate(
+            [planes.reshape(-1), jnp.zeros(1, jnp.uint32)])
+        plen = 8 * noct                                    # [T]
+        psrc = PW * tt
     pdst = jnp.cumsum(plen) - plen
     corr = psrc - pdst     # nondecreasing: piece lengths <= source strides
     S_tot = jnp.sum(plen)
@@ -560,11 +588,11 @@ def pack_device(v, n: int, ch: int):
         jnp.where(plen > 0, pdst, S_max)].max(corr, mode="drop")
     corr_s = jax.lax.cummax(marks)
     s = jnp.arange(S_max, dtype=jnp.int32)
-    idx = jnp.where(s < S_tot, s + corr_s, T * (PW + _UWMAX))
+    idx = jnp.where(s < S_tot, s + corr_s, region_flat.size - 1)
     stream = region_flat[idx]                              # [S_max]
 
     # header + block descriptors (static-length prefix)
-    b0 = (rice.astype(jnp.uint32) << 7) | noct.astype(jnp.uint32)
+    b0 = (rice_b.astype(jnp.uint32) << 7) | noct.astype(jnp.uint32)
     b1 = uwb.astype(jnp.uint32)
     dbytes = jnp.stack([b0, b1], 1).reshape(2 * T)
     w8 = jnp.pad(dbytes, (0, (H - 5) * 4 - 2 * T))
@@ -598,10 +626,18 @@ def pack_device(v, n: int, ch: int):
     return out, used.astype(jnp.int32)
 
 
-def unpack_device(buf, n: int, ch: int):
+def unpack_device(buf, n: int, ch: int, rice: bool = True):
     """Device-side decoder (traceable): buf uint8 [>= used bytes, mult of
     4] -> float32 [n, ch] (PCM_24 scale v / 2^23). Order/midside/raw flags
-    are data-dependent; all handled with lax.switch / where."""
+    are data-dependent; all handled with lax.switch / where.
+
+    rice is a STATIC switch: rice=False traces none of the unary-region
+    decode (terminator search + popcount select, measured the single
+    most expensive piece of the whole chunk step on a v5e — ~150 ms per
+    2M-sample chunk, vs single-digit ms for everything else) and is only
+    correct for streams encoded with rice disabled (all-maxw blocks).
+    The engine pairs encoder and decoder settings, so the contract holds
+    by construction; the general host decoders accept either stream."""
     import jax
     import jax.numpy as jnp
 
@@ -624,9 +660,9 @@ def unpack_device(buf, n: int, ch: int):
         b1 = ((words[5 + (2 * t + 1) // 4]
                >> (8 * ((2 * t + 1) % 4).astype(jnp.uint32))) & 255) \
             .astype(jnp.int32)
-        rice = b0 >> 7
+        rice_b = b0 >> 7
         noct = jnp.minimum(b0 & 0x7F, _WMAX)   # corrupt widths: clamp
-        uw = jnp.minimum(jnp.where(rice == 1, b1, 0), _UWMAX)
+        uw = jnp.minimum(jnp.where(rice_b == 1, b1, 0), _UWMAX)
         # One wide contiguous gather per BLOCK from each region (240
         # plane words / 64 unary words): wide slices fill the TPU's
         # 512-byte lane tiles, where 8-word octet gathers ran at element
@@ -642,11 +678,6 @@ def unpack_device(buf, n: int, ch: int):
             wpad, jnp.minimum(pstart, W).astype(jnp.int32)[:, None], dn,
             slice_sizes=(PW,), indices_are_sorted=True,
             mode=jax.lax.GatherScatterMode.CLIP)           # [T, 240]
-        ustart = H + 8 * jnp.sum(noct) + jnp.cumsum(uw) - uw
-        uwin = jax.lax.gather(
-            wpad, jnp.minimum(ustart, W).astype(jnp.int32)[:, None], dn,
-            slice_sizes=(_UWMAX,), indices_are_sorted=True,
-            mode=jax.lax.GatherScatterMode.CLIP)           # [T, 64]
         o = jnp.arange(_WMAX, dtype=jnp.int32)[None, :]
         valid = o < noct[:, None]                          # [T, 30]
         planes = jnp.where(valid[:, :, None],
@@ -663,39 +694,50 @@ def unpack_device(buf, n: int, ch: int):
         sv = (z ^ sb).astype(jnp.int32) - sb.astype(jnp.int32)
         r_maxw = jnp.where(wb == 0, 0, sv)
 
-        # rice blocks: quotients from the unary terminator bitmaps via
-        # popcount prefix sums — no sequential bit walking
-        uwin = jnp.where(jnp.arange(_UWMAX)[None, :] < uw[:, None],
-                         uwin, 0)                          # [T, 64]
-        pop = jax.lax.population_count(uwin).astype(jnp.int32)
-        cum = jnp.cumsum(pop, axis=1)                      # [T, 64]
-        i = jnp.arange(B, dtype=jnp.int32)
-        # word holding terminator i = #{j : cum[j] <= i}
-        Wi = jnp.sum((cum[:, :, None] <= i[None, None, :])
-                     .astype(jnp.int32), axis=1)
-        Wi = jnp.minimum(Wi, _UWMAX - 1)
-        cum_excl = cum - pop
-        m = i[None, :] - jnp.take_along_axis(cum_excl, Wi, axis=1)
-        xw = jnp.take_along_axis(uwin, Wi, axis=1)         # [T, 256]
-        # select the m-th set bit of xw: binary search on prefix popcounts
-        lo = jnp.zeros_like(m)
-        for step in (16, 8, 4, 2, 1):
-            cand = lo + step
-            pmask = jnp.where(cand >= 32, jnp.uint32(0xFFFFFFFF),
-                              (jnp.uint32(1) << cand.astype(jnp.uint32))
-                              - jnp.uint32(1))
-            cnt = jax.lax.population_count(xw & pmask).astype(jnp.int32)
-            lo = jnp.where(cnt <= m, cand, lo)
-        p = 32 * Wi + lo
-        pprev = jnp.concatenate(
-            [jnp.full((T, 1), -1, jnp.int32), p[:, :-1]], axis=1)
-        qd = p - pprev - 1
-        u = ((qd << jnp.minimum(wb, _KMAX)) | z.astype(jnp.int32))
-        uu = u.astype(jnp.uint32)
-        r_rice = ((uu >> 1).astype(jnp.int32)
-                  ^ -(u & 1))
-        r = jnp.where((rice == 1)[:, None], r_rice,
-                      r_maxw).reshape(ch, K * B)[:, :n]
+        if rice:
+            # rice blocks: quotients from the unary terminator bitmaps via
+            # popcount prefix sums — no sequential bit walking
+            ustart = H + 8 * jnp.sum(noct) + jnp.cumsum(uw) - uw
+            uwin = jax.lax.gather(
+                wpad, jnp.minimum(ustart, W).astype(jnp.int32)[:, None],
+                dn, slice_sizes=(_UWMAX,), indices_are_sorted=True,
+                mode=jax.lax.GatherScatterMode.CLIP)       # [T, 64]
+            uwin = jnp.where(jnp.arange(_UWMAX)[None, :] < uw[:, None],
+                             uwin, 0)                      # [T, 64]
+            pop = jax.lax.population_count(uwin).astype(jnp.int32)
+            cum = jnp.cumsum(pop, axis=1)                  # [T, 64]
+            i = jnp.arange(B, dtype=jnp.int32)
+            # word holding terminator i = #{j : cum[j] <= i}
+            Wi = jnp.sum((cum[:, :, None] <= i[None, None, :])
+                         .astype(jnp.int32), axis=1)
+            Wi = jnp.minimum(Wi, _UWMAX - 1)
+            cum_excl = cum - pop
+            m = i[None, :] - jnp.take_along_axis(cum_excl, Wi, axis=1)
+            xw = jnp.take_along_axis(uwin, Wi, axis=1)     # [T, 256]
+            # select the m-th set bit of xw: binary search on prefix
+            # popcounts
+            lo = jnp.zeros_like(m)
+            for step in (16, 8, 4, 2, 1):
+                cand = lo + step
+                pmask = jnp.where(
+                    cand >= 32, jnp.uint32(0xFFFFFFFF),
+                    (jnp.uint32(1) << cand.astype(jnp.uint32))
+                    - jnp.uint32(1))
+                cnt = jax.lax.population_count(xw & pmask) \
+                    .astype(jnp.int32)
+                lo = jnp.where(cnt <= m, cand, lo)
+            p = 32 * Wi + lo
+            pprev = jnp.concatenate(
+                [jnp.full((T, 1), -1, jnp.int32), p[:, :-1]], axis=1)
+            qd = p - pprev - 1
+            u = ((qd << jnp.minimum(wb, _KMAX)) | z.astype(jnp.int32))
+            uu = u.astype(jnp.uint32)
+            r_rice = ((uu >> 1).astype(jnp.int32)
+                      ^ -(u & 1))
+            r = jnp.where((rice_b == 1)[:, None], r_rice, r_maxw)
+        else:
+            r = r_maxw
+        r = r.reshape(ch, K * B)[:, :n]
 
         def mk(o_):
             def f(x):

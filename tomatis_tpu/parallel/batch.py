@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tomatis_tpu.engine.streaming import (ChunkedStftEngine, StreamRunner,
-                                          WIRE_BUCKET, WIRE_PAGE,
+                                          WIRE_BUCKET, WIRE_PAGE, WIRE_RICE,
                                           stage_encode)
 from tomatis_tpu.io import audio
 from tomatis_tpu.ops import wire as wire_ops
@@ -27,8 +27,9 @@ from tomatis_tpu.utils.stateio import StateCsvWriter
 
 # vmapped device-side input unpack for wire-compressed lanes; jit caches
 # one trace per (bucket, n, ch)
-_VUNPACK = jax.jit(jax.vmap(wire_ops.unpack_device, in_axes=(0, None, None)),
-                   static_argnums=(1, 2))
+_VUNPACK = jax.jit(
+    jax.vmap(wire_ops.unpack_device, in_axes=(0, None, None, None)),
+    static_argnums=(1, 2, 3))
 
 # (chunk_fn, padded lane count, device tuple) -> jitted vmapped step. A
 # fresh jax.jit wrapper per process_batch call would re-trace and re-load
@@ -360,7 +361,8 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                     pb = np.zeros((Bp, bucket), np.uint8)
                     for i, (_, v) in enumerate(items):
                         pb[i, :len(v)] = v
-                    sig_arg = _VUNPACK(pb, engine.chunk_input_len, ch)
+                    sig_arg = _VUNPACK(pb, engine.chunk_input_len, ch,
+                                       WIRE_RICE)
             if sig_arg is None:
                 # raw float fallback ONLY when the codec couldn't take the
                 # chunk: materializing this 60+ MB device array wastes ~2 s
