@@ -39,6 +39,14 @@ import time
 import numpy as np
 
 
+def _progress(msg: str) -> None:
+    """Stage marker on stderr: the JSON contract owns stdout, but a run
+    that dies on a watchdog timeout should still show which stage it was
+    in (cold XLA compiles over the tunnel take minutes per executable)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def synth(seconds: float, sr: int = 48000, seed: int = 0) -> np.ndarray:
     """Headroomed program material: the Tomatis workflow pre-attenuates so
     the +-15 dB tilt does not clip (production gain_db=-17.77,
@@ -94,12 +102,19 @@ def link_floor(in_total: int, out_total: int, n_chunks: int,
 
     in_bucket = ceil_div(ceil_div(in_total, n_chunks), WIRE_BUCKET) \
         * WIRE_BUCKET
-    n_pages = ceil_div(ceil_div(out_total, n_chunks), WIRE_PAGE)
+    out_chunk = ceil_div(out_total, n_chunks)
+    n_pages = ceil_div(out_chunk, WIRE_PAGE)
     PW = WIRE_PAGE // 4
+    # the real driver trims the LAST page to the used 64 KB bucket
+    # (trim_tail_page); ship the same byte count, not full pages
+    tail_w = min(PW, ceil_div(
+        ceil_div(out_chunk - (n_pages - 1) * WIRE_PAGE, 4),
+        16384) * 16384)
 
     sink = jax.jit(lambda x: x.reshape(-1)[:4] + 1.0)
     make = jax.jit(lambda s: tuple(
-        jnp.arange(PW, dtype=jnp.uint32) + s + i for i in range(n_pages)))
+        jnp.arange(tail_w if i == n_pages - 1 else PW,
+                   dtype=jnp.uint32) + s + i for i in range(n_pages)))
     make_aux = jax.jit(
         lambda s: jnp.arange(aux_words, dtype=jnp.float32) + s)
 
@@ -371,6 +386,7 @@ def main() -> int:
     warm_path = os.path.join(tmp, "warm.wav")
     audio.write(warm_path, synth(30.0, args.sr, seed=1), args.sr,
                 subtype="PCM_24")
+    _progress("warmup: compiling/loading the chunk executable")
     t0 = time.perf_counter()
     process(warm_path, os.path.join(tmp, "warm_out.wav"), p,
             frames_per_chunk=args.frames_per_chunk)
@@ -381,6 +397,7 @@ def main() -> int:
     runs = []
     floor_runs = []
     for rep in range(args.repeats):
+        _progress(f"timed run {rep + 1}/{args.repeats}")
         t0 = time.perf_counter()
         stats = process(in_path, out_path, p,
                         frames_per_chunk=args.frames_per_chunk)
@@ -407,15 +424,19 @@ def main() -> int:
 
     batch = None
     if args.batch > 0:
+        _progress(f"batch sub-benchmark ({args.batch} lanes)")
         batch = bench_batch(p, tmp, args)
 
     parity = None
     if not args.no_parity:
+        _progress("parity: all executable families on device")
         parity = parity_all(p, tmp, args.frames_per_chunk)
+    _progress("device-resident measurement")
     resident_x = (None if args.no_resident else
                   device_resident_factor(p, args.sr,
                                          args.frames_per_chunk))
 
+    _progress("link probe")
     link = probe_link()
 
     rtf = audio_sec / best

@@ -2,7 +2,6 @@
 import csv
 
 import numpy as np
-import pytest
 
 from tests.oracle import refdsp
 from tomatis_tpu.io import audio
