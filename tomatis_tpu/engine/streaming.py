@@ -707,7 +707,8 @@ class StreamRunner:
         # first, so everything they read is fully drained. (Worker
         # first: a failed Prefetcher start then leaks only an idle
         # daemon, not a spinning producer holding the input file.)
-        from tomatis_tpu.utils.pipeline import OrderedWorker, Prefetcher
+        from tomatis_tpu.utils.pipeline import (OrderedWorker, Prefetcher,
+                                                StagedPipeline)
 
         def produce(f0):
             while f0 < n_frames:
@@ -744,28 +745,11 @@ class StreamRunner:
         timings = {"input_host_s": 0.0, "dispatch_compute_s": 0.0,
                    "consume_s": 0.0}
         detail = [] if _os.environ.get("TOMATIS_TIMING_DETAIL") else None
-        inflight: list = []   # chunks between dispatch and writer handoff
         chunk_i = 0
         staged = None
 
-        def s1_wait_copy(ck):
-            """Wait for the (cheap) compute, then start the readback:
-            issuing copy_to_host_async on a not-yet-computed array falls
-            into a much slower transfer path on tunneled TPUs."""
-            try:
-                ck["wait_arr"].block_until_ready()
-                ck["wait_arr"].copy_to_host_async()
-            except AttributeError:
-                pass
-            ck["stage"] = 1
-
-        def s2_start(ck):
-            ck["started"] = consume_start(ck["ready"])
-            ck["stage"] = 2
-
-        def s3_finish(ck):
+        def pipe_finish(ck):
             mat = consume_materialize(ck["ready"], ck["started"])
-            ck["stage"] = 3
 
             def job(iv=ck["ready"], m=mat):
                 consume_host(iv, m)
@@ -774,21 +758,8 @@ class StreamRunner:
                     on_progress(iv[0] + iv[1], n_frames)
             writer.submit(job)
 
-        def advance(ck, to_stage):
-            for s, fn in ((1, s1_wait_copy), (2, s2_start), (3, s3_finish)):
-                if s > to_stage:
-                    break
-                if ck["stage"] < s:
-                    fn(ck)
-
-        def drain_inflight():
-            """Run every in-flight chunk to completion, in stream order —
-            stage by stage, so all page fetches are issued before any
-            materialize blocks."""
-            for stage in (1, 2, 3):
-                for ck in inflight:
-                    advance(ck, stage)
-            del inflight[:]
+        pipe = StagedPipeline(lambda ck: consume_start(ck["ready"]),
+                              pipe_finish)
 
         try:
             while frame0 < n_frames:
@@ -801,7 +772,7 @@ class StreamRunner:
                     # captured, so the pipeline stalls here (checkpoints
                     # are many chunks apart)
                     _t = _time.perf_counter()
-                    drain_inflight()
+                    pipe.drain()
                     timings["consume_s"] += _time.perf_counter() - _t
                     writer.check(join=True)
                     save_checkpoint(capture_snapshot(
@@ -833,17 +804,13 @@ class StreamRunner:
                     packed, ctl_carry, out_tail, w_tail = res
                     out_dev = None
                     wait_arr = packed
-                inflight.append(dict(
-                    ready=(frame0, nf, packed, out_dev), wait_arr=wait_arr,
-                    started=None, stage=0))
+                pipe.push((frame0, nf, packed, out_dev), wait_arr)
                 frame0 += nf
 
                 # promote older chunks one pipeline stage each (oldest
                 # first, capped at S2 — S3 is the retire step below)
                 _t = _time.perf_counter()
-                m = len(inflight) - 1
-                for i, ck in enumerate(inflight[:-1]):
-                    advance(ck, min(2, m - i))
+                pipe.promote()
                 timings["dispatch_compute_s"] += _time.perf_counter() - _t
                 if _d is not None:
                     _d["promote"] = _time.perf_counter() - _t
@@ -858,9 +825,9 @@ class StreamRunner:
                         _d["stage_next"] = _time.perf_counter() - _t
 
                 # retire the chunk whose pages have had a full iteration
-                if len(inflight) > 3:
+                if len(pipe.items) > 3:
                     _t = _time.perf_counter()
-                    s3_finish(inflight.pop(0))
+                    pipe.retire()
                     timings["consume_s"] += _time.perf_counter() - _t
                     if _d is not None:
                         _d["retire"] = _time.perf_counter() - _t
@@ -868,7 +835,7 @@ class StreamRunner:
                 if detail is not None:
                     detail.append(_d)
             _t = _time.perf_counter()
-            drain_inflight()
+            pipe.drain()
             timings["consume_s"] += _time.perf_counter() - _t
             writer.check(join=True)
         finally:

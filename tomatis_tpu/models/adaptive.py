@@ -149,10 +149,8 @@ def process_array(x: np.ndarray, sr: int, p: AdaptiveParams | None = None,
 
     # 1. pre-attenuation (ref :201-215)
     input_peak = float(np.max(np.abs(x))) if x.size else 0.0
-    input_peak_dbfs = 20.0 * np.log10(input_peak + EPS)
-    max_gain = max(abs(p.c1_low), abs(p.c2_high))
-    atten_db = max(0.0, input_peak_dbfs + max_gain + p.headroom_margin)
-    x_atten = x * np.float32(10.0 ** (-atten_db / 20.0))
+    atten_db, catt, _ = atten_plan(p, input_peak)
+    x_atten = x * catt
 
     # 2. levels + adaptive threshold (ref :219-226)
     levels, valid, _ = compute_frame_levels(x_atten, p)
@@ -163,23 +161,13 @@ def process_array(x: np.ndarray, sr: int, p: AdaptiveParams | None = None,
                               atten_db=atten_db, levels=levels,
                               states=np.zeros(0, np.int32),
                               alpha=np.zeros(0, np.float32))
-    optimal_t = find_optimal_threshold(levels, valid, p.hyst_db, min_hold,
-                                       p.target_c2)
-    states_j, _ = gate_ops.gate_minhold(
-        jnp.asarray(levels), optimal_t + p.hyst_db / 2.0,
-        optimal_t - p.hyst_db / 2.0, min_hold)
-    states = np.asarray(states_j)
-
-    # 3. run-length stats (ref :228-249)
-    run_stats = gate_ops.state_run_stats(states)
-    short_runs = int(np.sum(run_stats["run_lengths"] < min_hold))
-    n_runs = len(run_stats["run_lengths"])
-
-    # 4. alpha ramp, snap-first (ref :251-265)
-    targets = (states == 2).astype(np.float32)
-    step = 1.0 / xfade if xfade > 0 else 1.0
-    alpha = np.asarray(gate_ops.alpha_ramp_snap_first(
-        jnp.asarray(targets), step))
+    # 2b-4. threshold search, min-hold gate, run stats, snap-first alpha
+    # (ref :219-265) — shared plan with the streaming/sharded drivers
+    plan = gate_plan(levels, p, min_hold, xfade)
+    optimal_t = plan["optimal_t"]
+    states, alpha = plan["states"], plan["alpha"]
+    run_stats = plan["run_stats"]
+    short_runs, n_runs = plan["short_runs"], plan["n_runs"]
 
     # 5. one-shot chunked STFT pass with per-frame blended gains
     freqs = stft.rfft_freqs(n_fft, sr)
@@ -308,6 +296,118 @@ def _stream_levels(fin, total: int, ch: int, p: AdaptiveParams,
     return levels
 
 
+def scan_input_peak(fin) -> float:
+    """Pass 1 of the streaming processors: global input peak in bounded
+    memory (ref :201-207). fin must be positioned at sample 0."""
+    peak_in = 0.0
+    while True:
+        blk = fin.read(30 * 48000)
+        if len(blk) == 0:
+            break
+        if blk.size:
+            peak_in = max(peak_in, float(np.max(np.abs(blk))))
+    return peak_in
+
+
+def atten_plan(p: AdaptiveParams, peak_in: float):
+    """Pre-attenuation factors from the global input peak (ref :201-215):
+    returns (atten_db, catt, restore) where catt scales the input before
+    processing and restore undoes it on the way out."""
+    input_peak_dbfs = 20.0 * np.log10(peak_in + EPS)
+    max_gain = max(abs(p.c1_low), abs(p.c2_high))
+    atten_db = max(0.0, input_peak_dbfs + max_gain + p.headroom_margin)
+    catt = np.float32(10.0 ** (-atten_db / 20.0))
+    restore = np.float32(10.0 ** (atten_db / 20.0)) if atten_db > 0 \
+        else np.float32(1.0)
+    return atten_db, catt, restore
+
+
+def gate_plan(levels: np.ndarray, p: AdaptiveParams, min_hold: int,
+              xfade: int) -> dict:
+    """Pass 2 host half shared by the single-device and sharded
+    processors: threshold search, min-hold gate, run statistics, and the
+    snap-first alpha ramp (ref :219-265). Returns every per-frame vector
+    plus the scalars the drivers and their result dicts need."""
+    valid = levels > p.silence_threshold
+    optimal_t = find_optimal_threshold(levels, valid, p.hyst_db, min_hold,
+                                       p.target_c2)
+    states_j, _ = gate_ops.gate_minhold(
+        jnp.asarray(levels), optimal_t + p.hyst_db / 2.0,
+        optimal_t - p.hyst_db / 2.0, min_hold)
+    states = np.asarray(states_j)
+    run_stats = gate_ops.state_run_stats(states)
+    short_runs = int(np.sum(run_stats["run_lengths"] < min_hold))
+    n_runs = len(run_stats["run_lengths"])
+    targets = (states == 2).astype(np.float32)
+    astep = 1.0 / xfade if xfade > 0 else 1.0
+    alpha = np.asarray(gate_ops.alpha_ramp_snap_first(
+        jnp.asarray(targets), astep))
+    return dict(optimal_t=float(optimal_t), states=states, alpha=alpha,
+                astep=astep, run_stats=run_stats, short_runs=short_runs,
+                n_runs=n_runs)
+
+
+class StageEmitter:
+    """Stream-coordinate pieces -> cropped, attenuation-restored float32
+    staging writes with a running global peak (ref :283-345's write-out
+    bookkeeping, shared by models/adaptive.process and
+    parallel/stream.process_sharded_adaptive)."""
+
+    def __init__(self, stage, base: int, total: int, ch: int,
+                 restore: np.float32, abs_written: int = 0,
+                 peak: float = 0.0):
+        self._stage = stage
+        self._base = base
+        self._total = total
+        self._ch = ch
+        self._restore = restore
+        self.abs_written = abs_written
+        self.peak = peak
+
+    def emit(self, stream_lo: int, piece: np.ndarray) -> None:
+        """Crop a stream-coordinate piece to [0, total), restore the
+        attenuation, track the global peak, append to staging."""
+        a0 = self._base + stream_lo
+        s = max(0, a0)
+        e = min(self._total, a0 + len(piece))
+        if e <= s:
+            return
+        if s > self.abs_written:   # leading gap (base > 0): zeros
+            self._stage.write(np.zeros((s - self.abs_written, self._ch),
+                                       np.float32))
+            self.abs_written = s
+        out = piece[s - a0:e - a0] * self._restore
+        pk = float(np.max(np.abs(out))) if out.size else 0.0
+        self.peak = max(self.peak, pk)
+        self._stage.write(np.asarray(out, np.float32))
+        self.abs_written = e
+
+    def fill_tail(self) -> None:
+        """Zero-fill any uncovered region up to total."""
+        if self.abs_written < self._total:
+            self._stage.write(np.zeros(
+                (self._total - self.abs_written, self._ch), np.float32))
+            self.abs_written = self._total
+
+
+def finalize_stage(stage_path, out_path, sr: int, ch: int,
+                   peak: float) -> None:
+    """Global peak protect + quantize the float staging file to the
+    PCM_24 output, then drop the staging file (ref :340-351)."""
+    import os
+    scale = np.float32(PEAK_LIMIT / peak) if peak > PEAK_LIMIT \
+        else np.float32(1.0)
+    with audio.AudioFile(stage_path, "r") as fst, \
+            audio.AudioFile(out_path, "w", samplerate=sr, channels=ch,
+                            subtype="PCM_24") as fo:
+        while True:
+            blk = fst.read(sr * 30)
+            if len(blk) == 0:
+                break
+            fo.write(blk * scale if scale != 1.0 else blk)
+    os.remove(stage_path)
+
+
 def process(in_path, out_path, p: AdaptiveParams | None = None,
             state_csv_path=None, frames_per_chunk: int = 1024,
             checkpoint_path=None, checkpoint_every: int = 8,
@@ -342,18 +442,8 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
         min_hold = p.min_hold_frames(sr)
         xfade = p.xfade_frames(sr)
 
-        # ---- pass 1: global input peak ----
-        peak_in = 0.0
-        while True:
-            blk = fin.read(sr * 30)
-            if len(blk) == 0:
-                break
-            if blk.size:
-                peak_in = max(peak_in, float(np.max(np.abs(blk))))
-        input_peak_dbfs = 20.0 * np.log10(peak_in + EPS)
-        max_gain = max(abs(p.c1_low), abs(p.c2_high))
-        atten_db = max(0.0, input_peak_dbfs + max_gain + p.headroom_margin)
-        catt = np.float32(10.0 ** (-atten_db / 20.0))
+        # ---- pass 1: global input peak -> pre-attenuation ----
+        atten_db, catt, restore = atten_plan(p, scan_input_peak(fin))
 
         k0, F = frame_window(total, n_fft, hop)
         out_path = str(out_path)
@@ -376,30 +466,20 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
 
         # ---- pass 2: levels -> threshold -> states -> alpha ----
         levels = _stream_levels(fin, total, ch, p, catt)
-        valid = levels > p.silence_threshold
-        optimal_t = find_optimal_threshold(levels, valid, p.hyst_db,
-                                           min_hold, p.target_c2)
-        states_j, _ = gate_ops.gate_minhold(
-            jnp.asarray(levels), optimal_t + p.hyst_db / 2.0,
-            optimal_t - p.hyst_db / 2.0, min_hold)
-        states = np.asarray(states_j)
-        run_stats = gate_ops.state_run_stats(states)
-        short_runs = int(np.sum(run_stats["run_lengths"] < min_hold))
-        n_runs = len(run_stats["run_lengths"])
-        targets = (states == 2).astype(np.float32)
-        step = 1.0 / xfade if xfade > 0 else 1.0
-        alpha = np.asarray(gate_ops.alpha_ramp_snap_first(
-            jnp.asarray(targets), step))
+        plan = gate_plan(levels, p, min_hold, xfade)
+        run_stats = plan["run_stats"]
+        states, alpha = plan["states"], plan["alpha"]
 
         info = dict(
             n_frames=F,
-            optimal_threshold=float(optimal_t),
+            optimal_threshold=plan["optimal_t"],
             c2_ratio=run_stats["c2_ratio"],
             switch_count=run_stats["switch_count"],
             switches_per_min=(run_stats["switch_count"]
                               / (total / sr / 60.0)
                               if total > 0 else 0.0),
-            short_run_ratio=short_runs / n_runs if n_runs else 0.0,
+            short_run_ratio=(plan["short_runs"] / plan["n_runs"]
+                             if plan["n_runs"] else 0.0),
             atten_db=atten_db,
             min_hold_frames=min_hold,
             xfade_frames=xfade,
@@ -422,8 +502,6 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
         chunk_fn = engine.make_chunk_fn(controller, norm="floor8")
         ctl_params = controller.params()
         gain_one = jnp.float32(1.0)
-        restore = np.float32(10.0 ** (atten_db / 20.0)) if atten_db > 0 \
-            else np.float32(1.0)
         base = k0 * hop - pad    # absolute coord of the stream's sample 0
 
         from tomatis_tpu.io.wav import WavWriter
@@ -459,24 +537,9 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
             out_tail, w_tail = engine.zero_tails()
             stage = WavWriter(stage_path, sr, ch, "FLOAT")
         ctl_carry = jnp.int32(f0_start)
-
-        def emit_piece(stream_lo, piece):
-            """Crop a stream-coordinate piece to [0, total), restore the
-            attenuation, track the global peak, append to staging."""
-            nonlocal abs_written, peak
-            a0 = base + stream_lo
-            s = max(0, a0)
-            e = min(total, a0 + len(piece))
-            if e <= s:
-                return
-            if s > abs_written:   # leading gap (base > 0): zeros
-                stage.write(np.zeros((s - abs_written, ch), np.float32))
-                abs_written = s
-            out = piece[s - a0:e - a0] * restore
-            pk = float(np.max(np.abs(out))) if out.size else 0.0
-            peak = max(peak, pk)
-            stage.write(np.asarray(out, np.float32))
-            abs_written = e
+        emitter = StageEmitter(stage, base, total, ch, restore,
+                               abs_written=abs_written, peak=peak)
+        emit_piece = emitter.emit
 
         # rolling input: the padded+attenuated stream in xp coords
         if f0_start == 0:
@@ -527,8 +590,8 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
                 ckpt.maybe_save(dict(
                     out_tail=snap["out_tail"], w_tail=snap["w_tail"],
                     __scalars__=dict(f0=snap["f0"],
-                                     abs_written=abs_written,
-                                     peak=peak)), force=True)
+                                     abs_written=emitter.abs_written,
+                                     peak=emitter.peak)), force=True)
                 snap = None
             inflight = (f0, nf, packed)
 
@@ -538,23 +601,10 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
             tail = (np.asarray(out_tail)
                     / np.maximum(np.asarray(w_tail)[:, None], 1e-8))
             emit_piece(F * hop, tail)
-        if abs_written < total:   # uncovered tail region stays zero
-            stage.write(np.zeros((total - abs_written, ch), np.float32))
-            abs_written = total
+        emitter.fill_tail()   # uncovered tail region stays zero
         stage.close()
 
-        # ---- finalize: global peak protect + quantize to PCM_24 ----
-        scale = np.float32(PEAK_LIMIT / peak) if peak > PEAK_LIMIT \
-            else np.float32(1.0)
-        with audio.AudioFile(stage_path, "r") as fst, \
-                audio.AudioFile(out_path, "w", samplerate=sr, channels=ch,
-                                subtype="PCM_24") as fo:
-            while True:
-                blk = fst.read(sr * 30)
-                if len(blk) == 0:
-                    break
-                fo.write(blk * scale if scale != 1.0 else blk)
-        os.remove(stage_path)
+        finalize_stage(stage_path, out_path, sr, ch, emitter.peak)
         if ckpt is not None:
             ckpt.clear()
 

@@ -296,37 +296,22 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     timings = {"stage_s": 0.0, "dispatch_s": 0.0, "block_s": 0.0,
                "consume_s": 0.0, "finish_s": 0.0, "chunks": 0}
 
-    # Staged pipeline, depth 3 (mirrors engine/streaming.py): per
-    # iteration, dispatch chunk k, then wait-and-copy chunk k-1's aux,
-    # issue chunk k-2's page fetches, and materialize+decode chunk k-3 —
-    # so the main thread only ever waits for transfers that already had
-    # a full iteration of link time.
-    inflight: list = []
+    # Staged pipeline, depth 3 (same machine as engine/streaming.py —
+    # utils.pipeline.StagedPipeline): per iteration, dispatch chunk k,
+    # then wait-and-copy chunk k-1's aux, issue chunk k-2's page
+    # fetches, and materialize+decode chunk k-3 — so the main thread
+    # only ever waits for transfers that already had a full iteration of
+    # link time.
+    from tomatis_tpu.utils.pipeline import StagedPipeline
 
-    def s1_wait_copy(ck):
-        try:
-            ck["wait_arr"].block_until_ready()
-            ck["wait_arr"].copy_to_host_async()
-        except AttributeError:
-            pass
-        ck["stage"] = 1
-
-    def s2_start(ck):
+    def pipe_start(ck):
         f0s, nfs_c, packed_c, _ = ck["ready"]
-        ck["started"] = _fetch_start(lanes, nfs_c, packed_c, engine, wire)
-        ck["stage"] = 2
+        return _fetch_start(lanes, nfs_c, packed_c, engine, wire)
 
-    def s3_finish(ck):
-        _consume_all(lanes, *ck["ready"], engine, wire, pool,
-                     ck["started"])
-        ck["stage"] = 3
-
-    def advance(ck, to_stage):
-        for s, fn in ((1, s1_wait_copy), (2, s2_start), (3, s3_finish)):
-            if s > to_stage:
-                break
-            if ck["stage"] < s:
-                fn(ck)
+    pipe = StagedPipeline(
+        pipe_start,
+        lambda ck: _consume_all(lanes, *ck["ready"], engine, wire, pool,
+                                ck["started"]))
 
     try:
         while True:
@@ -385,23 +370,17 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             for i, lane in enumerate(lanes):
                 if not (lane.done or lane.failed) and nfs[i] > 0:
                     lane.advance(int(nfs[i]))
-            inflight.append(dict(ready=(frame0s, nfs, packed, out_dev),
-                                 wait_arr=wait_arr, started=None, stage=0))
+            pipe.push((frame0s, nfs, packed, out_dev), wait_arr)
 
             _t = _time.perf_counter()
-            m = len(inflight) - 1
-            for i, ck in enumerate(inflight[:-1]):
-                advance(ck, min(2, m - i))
+            pipe.promote()
             timings["block_s"] += _time.perf_counter() - _t
-            if len(inflight) > 3:
+            if len(pipe.items) > 3:
                 _t = _time.perf_counter()
-                s3_finish(inflight.pop(0))
+                pipe.retire()
                 timings["consume_s"] += _time.perf_counter() - _t
         _t = _time.perf_counter()
-        for stage in (1, 2, 3):
-            for ck in inflight:
-                advance(ck, stage)
-        del inflight[:]
+        pipe.drain()
         timings["consume_s"] += _time.perf_counter() - _t
 
         _t = _time.perf_counter()

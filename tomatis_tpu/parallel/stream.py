@@ -233,12 +233,10 @@ def process_sharded_adaptive(in_path, out_path, p=None,
     src/process_tomatis_adaptive.py:201-345). Output matches the
     single-device adaptive processor within 1 PCM_24 LSB (the alpha block
     scan reassociates f32 clip-affine maps)."""
-    import os
     from dataclasses import asdict
 
     from tomatis_tpu.io.wav import WavWriter
     from tomatis_tpu.models import adaptive as _adaptive
-    from tomatis_tpu.ops import gate as gate_ops_  # local alias
 
     t_start = time.perf_counter()
     p = p or _adaptive.AdaptiveParams()
@@ -256,19 +254,8 @@ def process_sharded_adaptive(in_path, out_path, p=None,
         xfade = p.xfade_frames(sr)
 
         # ---- pass 1: global input peak -> pre-attenuation ----
-        peak_in = 0.0
-        while True:
-            blk = fin.read(sr * 30)
-            if len(blk) == 0:
-                break
-            if blk.size:
-                peak_in = max(peak_in, float(np.max(np.abs(blk))))
-        input_peak_dbfs = 20.0 * np.log10(peak_in + EPS)
-        max_gain = max(abs(p.c1_low), abs(p.c2_high))
-        atten_db = max(0.0, input_peak_dbfs + max_gain + p.headroom_margin)
-        catt = np.float32(10.0 ** (-atten_db / 20.0))
-        restore = np.float32(10.0 ** (atten_db / 20.0)) if atten_db > 0 \
-            else np.float32(1.0)
+        atten_db, catt, restore = _adaptive.atten_plan(
+            p, _adaptive.scan_input_peak(fin))
 
         k0, F = _adaptive.frame_window(total, n_fft, hop)
         if F == 0:
@@ -291,25 +278,16 @@ def process_sharded_adaptive(in_path, out_path, p=None,
                         realtime_factor=0.0)
 
         # ---- pass 2: levels -> threshold -> host gate/alpha (CSV) ----
+        # (shared plan with models/adaptive — same math, same vectors)
         levels = _adaptive._stream_levels(fin, total, ch, p, catt)
-        valid = levels > p.silence_threshold
-        optimal_t = _adaptive.find_optimal_threshold(
-            levels, valid, p.hyst_db, min_hold, p.target_c2)
-        states_j, _ = gate_ops_.gate_minhold(
-            jnp.asarray(levels), optimal_t + p.hyst_db / 2.0,
-            optimal_t - p.hyst_db / 2.0, min_hold)
-        states = np.asarray(states_j)
-        run_stats = gate_ops_.state_run_stats(states)
-        short_runs = int(np.sum(run_stats["run_lengths"] < min_hold))
-        n_runs = len(run_stats["run_lengths"])
-        targets = (states == 2).astype(np.float32)
-        astep = 1.0 / xfade if xfade > 0 else 1.0
-        alpha = np.asarray(gate_ops_.alpha_ramp_snap_first(
-            jnp.asarray(targets), astep))
+        plan = _adaptive.gate_plan(levels, p, min_hold, xfade)
+        optimal_t, astep = plan["optimal_t"], plan["astep"]
+        run_stats = plan["run_stats"]
         if state_csv_path:
             _adaptive._write_state_csv(
                 state_csv_path,
-                dict(n_frames=F, levels=levels, states=states, alpha=alpha),
+                dict(n_frames=F, levels=levels, states=plan["states"],
+                     alpha=plan["alpha"]),
                 hop, sr)
 
         # ---- pass 3: sharded streaming STFT -> float staging + peak ----
@@ -328,26 +306,8 @@ def process_sharded_adaptive(in_path, out_path, p=None,
 
         stage_path = out_path + ".stage.wav"
         stage = WavWriter(stage_path, sr, ch, "FLOAT")
-        abs_written = 0
-        peak = 0.0
-
-        def emit_piece(stream_lo, piece):
-            """Crop to [0, total), restore attenuation, track the global
-            peak, append to staging (= models/adaptive.py emit_piece)."""
-            nonlocal abs_written, peak
-            a0 = base + stream_lo
-            s = max(0, a0)
-            e = min(total, a0 + len(piece))
-            if e <= s:
-                return
-            if s > abs_written:
-                stage.write(np.zeros((s - abs_written, ch), np.float32))
-                abs_written = s
-            out = piece[s - a0:e - a0] * restore
-            pk = float(np.max(np.abs(out))) if out.size else 0.0
-            peak = max(peak, pk)
-            stage.write(np.asarray(out, np.float32))
-            abs_written = e
+        emitter = _adaptive.StageEmitter(stage, base, total, ch, restore)
+        emit_piece = emitter.emit
 
         fin.seek(0)
         reader = RollingReader(fin.read, ch, scale=catt, left_pad=pad,
@@ -384,24 +344,12 @@ def process_sharded_adaptive(in_path, out_path, p=None,
                         emit_piece(f0 * hop + F_tot * hop,
                                    (t_y / np.maximum(t_w[:, None], 1e-8))
                                    [:wanted - F_tot * hop])
-            if abs_written < total:   # uncovered tail region stays zero
-                stage.write(np.zeros((total - abs_written, ch), np.float32))
-                abs_written = total
+            emitter.fill_tail()   # uncovered tail region stays zero
         finally:
             stage.close()
 
         # ---- finalize: global peak protect + quantize to PCM_24 ----
-        scale = np.float32(PEAK_LIMIT / peak) if peak > PEAK_LIMIT \
-            else np.float32(1.0)
-        with audio.AudioFile(stage_path, "r") as fst, \
-                audio.AudioFile(out_path, "w", samplerate=sr, channels=ch,
-                                subtype="PCM_24") as fo:
-            while True:
-                blk = fst.read(sr * 30)
-                if len(blk) == 0:
-                    break
-                fo.write(blk * scale if scale != 1.0 else blk)
-        os.remove(stage_path)
+        _adaptive.finalize_stage(stage_path, out_path, sr, ch, emitter.peak)
 
     wall = time.perf_counter() - t_start
     return dict(
@@ -411,7 +359,8 @@ def process_sharded_adaptive(in_path, out_path, p=None,
         switch_count=run_stats["switch_count"],
         switches_per_min=(run_stats["switch_count"] / (total / sr / 60.0)
                           if total > 0 else 0.0),
-        short_run_ratio=short_runs / n_runs if n_runs else 0.0,
+        short_run_ratio=(plan["short_runs"] / plan["n_runs"]
+                         if plan["n_runs"] else 0.0),
         atten_db=atten_db, min_hold_frames=min_hold, xfade_frames=xfade,
         mesh=dict(mesh.shape), frames_per_shard=frames_per_shard,
         variant="adaptive", params=asdict(p), sr=sr, channels=ch,

@@ -1,22 +1,103 @@
 """Host-side pipelining helpers for the streaming drivers.
 
-Two tiny primitives shared by engine/streaming.py and models/eq.py:
+Three primitives shared by engine/streaming.py, parallel/batch.py and
+models/eq.py:
 
 - Prefetcher: runs a generator on a daemon thread with a bounded buffer
   (input staging: file read + C++ wire encode overlap the link).
 - OrderedWorker: a single background worker executing submitted jobs
   strictly in order (output side: wire decode + drain + file write
   overlap the next chunk's transfers).
+- StagedPipeline: the depth-3 in-flight chunk stage machine the stream
+  and batch drivers run their device round trips through.
 
-Both preserve exception semantics: an error on the helper thread is
-re-raised on the caller's thread, at its position in the stream
-(Prefetcher.get) or at the next check/join (OrderedWorker). Shutdown is
-prompt even when the hand-off queue is full.
+Prefetcher and OrderedWorker preserve exception semantics: an error on
+the helper thread is re-raised on the caller's thread, at its position
+in the stream (Prefetcher.get) or at the next check/join
+(OrderedWorker). Shutdown is prompt even when the hand-off queue is
+full.
 """
 from __future__ import annotations
 
 import queue
 import threading
+
+
+class StagedPipeline:
+    """Depth-3 software pipeline over in-flight device chunks.
+
+    Every dispatched chunk advances through three stages, each getting a
+    full loop iteration of link slack before anything blocks on it:
+
+      S1  wait for the (cheap) compute, then start the readback — issuing
+          copy_to_host_async on a not-yet-computed array falls into a much
+          slower transfer path on tunneled TPUs;
+      S2  read the aux round trip, issue the paged stream fetches
+          (``start(chunk)`` -> opaque fetch state);
+      S3  materialize the pages and hand the host half off
+          (``finish(chunk)``).
+
+    The caller owns the loop shape (and its timing accounting): per
+    iteration, ``push`` the just-dispatched chunk, ``promote`` older
+    chunks one stage each, then ``retire`` the chunk whose transfers have
+    had a full iteration. ``drain`` runs everything left to completion in
+    stream order — stage by stage, so all page fetches are issued before
+    any materialize blocks. Chunks are dicts with the caller's ``ready``
+    payload plus ``wait_arr``/``started``/``stage`` bookkeeping.
+    """
+
+    def __init__(self, start, finish, depth: int = 3):
+        self._start = start
+        self._finish = finish
+        self._depth = depth
+        self.items: list = []
+
+    def push(self, ready, wait_arr) -> None:
+        self.items.append(dict(ready=ready, wait_arr=wait_arr,
+                               started=None, stage=0))
+
+    def _s1(self, ck) -> None:
+        try:
+            ck["wait_arr"].block_until_ready()
+            ck["wait_arr"].copy_to_host_async()
+        except AttributeError:
+            pass
+        ck["stage"] = 1
+
+    def _s2(self, ck) -> None:
+        ck["started"] = self._start(ck)
+        ck["stage"] = 2
+
+    def _s3(self, ck) -> None:
+        self._finish(ck)
+        ck["stage"] = 3
+
+    def _advance(self, ck, to_stage: int) -> None:
+        for s, fn in ((1, self._s1), (2, self._s2), (3, self._s3)):
+            if s > to_stage:
+                break
+            if ck["stage"] < s:
+                fn(ck)
+
+    def promote(self) -> None:
+        """Advance older chunks one stage each (oldest first, capped at
+        S2 — S3 is the retire step)."""
+        m = len(self.items) - 1
+        for i, ck in enumerate(self.items[:-1]):
+            self._advance(ck, min(2, m - i))
+
+    def retire(self) -> None:
+        """Finish the oldest chunk once it has had `depth` iterations of
+        link slack."""
+        if len(self.items) > self._depth:
+            self._s3(self.items.pop(0))
+
+    def drain(self) -> None:
+        """Run every in-flight chunk to completion, in stream order."""
+        for stage in (1, 2, 3):
+            for ck in self.items:
+                self._advance(ck, stage)
+        del self.items[:]
 
 
 class Prefetcher:
