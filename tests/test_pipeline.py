@@ -137,3 +137,68 @@ def test_stage_encode_to_device_contract():
     # wire_input=False bypasses encoding entirely
     kind, val = stage_encode(exact, int_in=False, wire_input=False)
     assert kind == "raw" and val is exact
+
+
+def test_staged_pipeline_stage_order_and_depth():
+    """StagedPipeline: every chunk passes S1->S2->S3 exactly once, in
+    stream order; retire fires only past the depth; drain finishes the
+    rest stage-by-stage (all S2 fetches issued before any S3 blocks)."""
+    from tomatis_tpu.utils.pipeline import StagedPipeline
+
+    events = []
+
+    class Arr:
+        def __init__(self, i):
+            self.i = i
+
+        def block_until_ready(self):
+            events.append(("wait", self.i))
+
+        def copy_to_host_async(self):
+            events.append(("copy", self.i))
+
+    def start(ck):
+        events.append(("start", ck["ready"]))
+        return f"fetch{ck['ready']}"
+
+    def finish(ck):
+        assert ck["started"] == f"fetch{ck['ready']}"
+        events.append(("finish", ck["ready"]))
+
+    pipe = StagedPipeline(start, finish)
+    for k in range(6):
+        pipe.push(k, Arr(k))
+        pipe.promote()
+        pipe.retire()
+    pipe.drain()
+    assert pipe.items == []
+
+    # each chunk hits each stage exactly once, in stream order
+    for name in ("wait", "copy", "start", "finish"):
+        seq = [i for n, i in events if n == name]
+        assert seq == list(range(6)), (name, seq)
+    # stage order per chunk: wait/copy -> start -> finish
+    pos = {(n, i): j for j, (n, i) in enumerate(events)}
+    for i in range(6):
+        assert pos[("wait", i)] < pos[("start", i)] < pos[("finish", i)]
+    # retire depth: chunk 0 finishes only in iteration 3 (after chunk 3
+    # was pushed and chunk 2 entered S1)
+    assert pos[("finish", 0)] > pos[("wait", 2)] > pos[("start", 1)]
+    # drain interleaving: the last chunks' starts all precede their
+    # finishes collectively (fetches issued before materialize blocks)
+    assert pos[("start", 5)] < pos[("finish", 4)]
+
+
+def test_staged_pipeline_wait_arr_without_methods():
+    """Host-only arrays (no block_until_ready/copy_to_host_async) pass
+    through S1 silently — the AttributeError fallback path."""
+    from tomatis_tpu.utils.pipeline import StagedPipeline
+
+    done = []
+    pipe = StagedPipeline(lambda ck: None, lambda ck: done.append(ck["ready"]))
+    for k in range(2):
+        pipe.push(k, object())
+        pipe.promote()
+        pipe.retire()
+    pipe.drain()
+    assert done == [0, 1]
