@@ -95,7 +95,8 @@ def link_floor(in_total: int, out_total: int, n_chunks: int,
     Returns seconds."""
     import jax
     import jax.numpy as jnp
-    from tomatis_tpu.engine.streaming import WIRE_BUCKET, WIRE_PAGE
+    from tomatis_tpu.engine.streaming import (_TAIL_BUCKET_W, WIRE_BUCKET,
+                                              WIRE_PAGE)
 
     def ceil_div(a, b):
         return -(-a // b)
@@ -105,11 +106,11 @@ def link_floor(in_total: int, out_total: int, n_chunks: int,
     out_chunk = ceil_div(out_total, n_chunks)
     n_pages = ceil_div(out_chunk, WIRE_PAGE)
     PW = WIRE_PAGE // 4
-    # the real driver trims the LAST page to the used 64 KB bucket
+    # the real driver trims the LAST page to the used tail bucket
     # (trim_tail_page); ship the same byte count, not full pages
     tail_w = min(PW, ceil_div(
         ceil_div(out_chunk - (n_pages - 1) * WIRE_PAGE, 4),
-        16384) * 16384)
+        _TAIL_BUCKET_W) * _TAIL_BUCKET_W)
 
     sink = jax.jit(lambda x: x.reshape(-1)[:4] + 1.0)
     make = jax.jit(lambda s: tuple(
@@ -484,10 +485,21 @@ def main() -> int:
         "link_floor_runs_x": floor_runs,
         "vs_floor": (round(rtf / floor_x, 2) if floor_x else None),
         # software efficiency with the link drift factored out: each run
-        # against the floor replay that ran seconds after it
-        "vs_floor_paired": (round(max(r / f for r, f in
-                                      zip(runs, floor_runs)), 2)
-                            if floor_runs else None),
+        # against the floor replay that ran seconds after it. The full
+        # list is reported; the median is the faithful single number
+        # (a timed run is exposed to tunnel dips 2x longer than its
+        # floor replay, so even zero-overhead software pairs below 1.0
+        # in bad windows), and the best pair is the existence proof
+        # that the pipeline matches its own transfer replay.
+        "vs_floor_paired_runs": ([round(r / f, 2) for r, f in
+                                  zip(runs, floor_runs)]
+                                 if floor_runs else None),
+        "vs_floor_paired": (round(sorted(
+            r / f for r, f in zip(runs, floor_runs))
+            [len(floor_runs) // 2], 2) if floor_runs else None),
+        "vs_floor_paired_best": (round(max(r / f for r, f in
+                                           zip(runs, floor_runs)), 2)
+                                 if floor_runs else None),
         "device_resident_x": (round(resident_x, 1)
                               if resident_x is not None else None),
         "device": str(dev),

@@ -202,3 +202,27 @@ def test_staged_pipeline_wait_arr_without_methods():
         pipe.retire()
     pipe.drain()
     assert done == [0, 1]
+
+
+def test_staged_pipeline_shallow_depth_advances_all_stages():
+    """retire() must run S1/S2 itself when a shallow depth retires a
+    chunk before promote() reached it (depth=1)."""
+    from tomatis_tpu.utils.pipeline import StagedPipeline
+
+    done = []
+
+    def start(ck):
+        return ("fetch", ck["ready"])
+
+    def finish(ck):
+        assert ck["started"] == ("fetch", ck["ready"])
+        done.append(ck["ready"])
+
+    pipe = StagedPipeline(start, finish, depth=1)
+    for k in range(4):
+        pipe.push(k, object())
+        pipe.promote()
+        retired = pipe.retire()
+        assert retired == (k >= 1)
+    pipe.drain()
+    assert done == [0, 1, 2, 3]

@@ -825,9 +825,8 @@ class StreamRunner:
                         _d["stage_next"] = _time.perf_counter() - _t
 
                 # retire the chunk whose pages have had a full iteration
-                if len(pipe.items) > 3:
-                    _t = _time.perf_counter()
-                    pipe.retire()
+                _t = _time.perf_counter()
+                if pipe.retire():
                     timings["consume_s"] += _time.perf_counter() - _t
                     if _d is not None:
                         _d["retire"] = _time.perf_counter() - _t

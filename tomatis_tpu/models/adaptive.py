@@ -296,12 +296,13 @@ def _stream_levels(fin, total: int, ch: int, p: AdaptiveParams,
     return levels
 
 
-def scan_input_peak(fin) -> float:
+def scan_input_peak(fin, sr: int) -> float:
     """Pass 1 of the streaming processors: global input peak in bounded
-    memory (ref :201-207). fin must be positioned at sample 0."""
+    memory, 30 s blocks (ref :201-207). fin must be positioned at
+    sample 0."""
     peak_in = 0.0
     while True:
-        blk = fin.read(30 * 48000)
+        blk = fin.read(sr * 30)
         if len(blk) == 0:
             break
         if blk.size:
@@ -443,7 +444,7 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
         xfade = p.xfade_frames(sr)
 
         # ---- pass 1: global input peak -> pre-attenuation ----
-        atten_db, catt, restore = atten_plan(p, scan_input_peak(fin))
+        atten_db, catt, restore = atten_plan(p, scan_input_peak(fin, sr))
 
         k0, F = frame_window(total, n_fft, hop)
         out_path = str(out_path)

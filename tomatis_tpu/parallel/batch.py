@@ -375,9 +375,8 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             _t = _time.perf_counter()
             pipe.promote()
             timings["block_s"] += _time.perf_counter() - _t
-            if len(pipe.items) > 3:
-                _t = _time.perf_counter()
-                pipe.retire()
+            _t = _time.perf_counter()
+            if pipe.retire():
                 timings["consume_s"] += _time.perf_counter() - _t
         _t = _time.perf_counter()
         pipe.drain()

@@ -255,7 +255,7 @@ def process_sharded_adaptive(in_path, out_path, p=None,
 
         # ---- pass 1: global input peak -> pre-attenuation ----
         atten_db, catt, restore = _adaptive.atten_plan(
-            p, _adaptive.scan_input_peak(fin))
+            p, _adaptive.scan_input_peak(fin, sr))
 
         k0, F = _adaptive.frame_window(total, n_fft, hop)
         if F == 0:

@@ -86,11 +86,16 @@ class StagedPipeline:
         for i, ck in enumerate(self.items[:-1]):
             self._advance(ck, min(2, m - i))
 
-    def retire(self) -> None:
+    def retire(self) -> bool:
         """Finish the oldest chunk once it has had `depth` iterations of
-        link slack."""
-        if len(self.items) > self._depth:
-            self._s3(self.items.pop(0))
+        link slack (advancing it through any stage it has not reached —
+        with depth < 3 a chunk can retire before promote() got it to
+        S2). Returns whether a chunk was retired."""
+        if len(self.items) <= self._depth:
+            return False
+        ck = self.items.pop(0)
+        self._advance(ck, 3)
+        return True
 
     def drain(self) -> None:
         """Run every in-flight chunk to completion, in stream order."""
