@@ -177,7 +177,7 @@ def frame(num, bsize, bps, ch_asgn, build_subframes):
     bw.bits(7, 4)        # bsize as 16-bit field
     bw.bits(0, 4)        # sample rate from STREAMINFO
     bw.bits(ch_asgn, 4)
-    bw.bits({16: 4, 24: 6}[bps], 3)
+    bw.bits({16: 4, 24: 6, 32: 7}[bps], 3)
     bw.bits(0, 1)        # reserved
     utf8_num(bw, num)
     bw.bits(bsize - 1, 16)
@@ -404,3 +404,45 @@ def test_fuzz_roundtrip_block_boundaries(tmp_path):
         y, sr = audio.read(p)
         assert sr == 48000 and y.shape == x.shape
         np.testing.assert_array_equal(y, x)
+
+
+def test_spec_32bit_decodes_via_pure_fallback(tmp_path):
+    """32-bit stereo left/side (33-bit side channel): the native decoder
+    declines these at open (int32 sample path), and FlacReader must fall
+    back to the pure decoder, which reconstructs them exactly."""
+    from tomatis_tpu.io.flac import FlacReader
+    from tomatis_tpu.io.flac_py import PureFlacReader
+
+    B = 16
+    L = np.array([-2**31, 2**31 - 1, -7, 7, 0, -1, 1, 123456789,
+                  -123456789, 2**30, -2**30, 5, -5, 42, -42, 99],
+                 dtype=np.int64)
+    R = np.array([2**31 - 1, -2**31, 7, -7, 1, 0, -1, -987654321,
+                  987654321, -2**30, 2**30, -5, 5, -42, 42, -99],
+                 dtype=np.int64)
+    side = L - R                      # up to 33 significant bits
+
+    def f(bw, cbps):
+        sub_verbatim(bw, L, cbps[0])          # 32-bit
+        sub_verbatim(bw, side, cbps[1])       # 33-bit
+    blob = b"fLaC" + streaminfo(48000, 2, 32, B, B) + frame(0, B, 32, 8, f)
+    p = tmp_path / "b32.flac"
+    p.write_bytes(blob)
+
+    r = FlacReader(p)
+    assert isinstance(r, PureFlacReader)      # native declined, pure took it
+    assert r.bits == 32 and r.frames == B
+    got = r.read_int_raw(B)
+    np.testing.assert_array_equal(got[:, 0], L)
+    np.testing.assert_array_equal(got[:, 1], R)
+
+
+def test_truncated_streaminfo_raises_valueerror(tmp_path):
+    """A file ending inside STREAMINFO must raise ValueError (the io
+    error convention), not IndexError."""
+    from tomatis_tpu.io.flac_py import PureFlacReader
+    whole = b"fLaC" + streaminfo(48000, 2, 24, 0, 4096)
+    p = tmp_path / "trunc.flac"
+    p.write_bytes(whole[:20])         # ends mid-STREAMINFO
+    with pytest.raises(ValueError):
+        PureFlacReader(p)

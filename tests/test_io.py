@@ -94,3 +94,20 @@ def test_wav_reopen_survives_stale_header(tmp_path):
     r.close()
     np.testing.assert_allclose(y[:3000], x[:3000], atol=2 / 8388608.0)
     np.testing.assert_allclose(y[3000:], x[:100], atol=2 / 8388608.0)
+
+
+def test_wav_short_fmt_chunk_raises_valueerror(tmp_path):
+    """A fmt chunk shorter than 16 bytes must raise ValueError (the io
+    error convention), not struct.error."""
+    import struct
+
+    from tomatis_tpu.io import wav
+
+    fmt_body = struct.pack("<HH", 1, 2)          # only 4 bytes
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + struct.pack("<I", 0)
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    p = tmp_path / "short_fmt.wav"
+    p.write_bytes(blob)
+    with pytest.raises(ValueError):
+        wav.WavReader(p)

@@ -238,3 +238,49 @@ def test_native_raw_escape_negative_samples():
     assert np.array_equal(wire.decode_np(buf), v)
     if wirecodec.available():
         assert np.array_equal(wirecodec.decode_i32(buf, len(v), 2), v)
+
+
+def test_malformed_overflow_stream_np_cpp_parity(tmp_path):
+    """A descriptor-valid stream whose residuals overflow int32 during
+    predictor restore must decode IDENTICALLY in numpy (int32 wrap) and
+    C++ (unsigned wrap — UB before the fix): the two production host
+    decoders may never diverge on hostile input."""
+    from tomatis_tpu.io import wirecodec
+    from tomatis_tpu.ops import wire
+
+    n, ch = 256, 1
+    H = wire.header_words(n, ch)
+    used = H + 8 * 30                     # one block, noct=30, no rice
+    hdr = np.zeros(5, np.uint32)
+    hdr[0] = wire.MAGIC
+    hdr[1] = n
+    hdr[2] = 1
+    hdr[3] = ch | (4 << 8)                # order=4: four cumsum passes
+    hdr[4] = used
+    desc = np.zeros((H - 5) * 4, np.uint8)
+    desc[0] = 30                          # noct=30, rice bit clear
+    body = np.full(8 * 30, 0xFFFFFFFF, np.uint32)
+    buf = np.concatenate([hdr.view(np.uint8), desc, body.view(np.uint8)])
+
+    ref = wire.decode_np(buf)
+    assert ref.shape == (n, ch)
+    if wirecodec.available():
+        got = wirecodec.decode_i32(buf, n, ch)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_native_flac_encoder_rejects_unsupported_depth(tmp_path):
+    """tflac_open_write must refuse depths its sample-size code cannot
+    express (e.g. 20-bit) instead of writing corrupt frames."""
+    from tomatis_tpu.io import flac as flac_mod
+    try:
+        lib = flac_mod._lib()
+    except RuntimeError:
+        import pytest
+        pytest.skip("no native codec")
+    p = str(tmp_path / "x.flac").encode()
+    assert not lib.tflac_open_write(p, 48000, 2, 20)
+    assert not lib.tflac_open_write(p, 48000, 0, 24)
+    h = lib.tflac_open_write(p, 48000, 2, 24)
+    assert h
+    lib.tflac_close_write(h)

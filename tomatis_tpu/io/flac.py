@@ -51,10 +51,14 @@ def FlacReader(path):
     """Open a FLAC file for reading: native codec when buildable, else
     the pure-Python fallback decoder (io.flac_py) — same surface, so
     machines without g++ can still read FLAC (write falls back to WAV
-    at the model layer, see models/standard.py)."""
+    at the model layer, see models/standard.py). ValueError (the native
+    codec declined the file — e.g. 32-bit streams, whose 33-bit side
+    channel needs the pure decoder's arbitrary-width path) also falls
+    back; if the file is genuinely corrupt the pure decoder's error
+    propagates."""
     try:
         return _NativeFlacReader(path)
-    except (RuntimeError, OSError):
+    except (RuntimeError, OSError, ValueError):
         from tomatis_tpu.io.flac_py import PureFlacReader
         return PureFlacReader(path)
 
@@ -158,11 +162,8 @@ class FlacWriter:
         """Device-packed little-endian PCM_24 bytes -> int32 -> encoder."""
         if self.bits != 24:
             raise ValueError("write_raw requires PCM_24")
-        b = np.frombuffer(bytes(raw), np.uint8).reshape(-1, 3)
-        v = (b[:, 0].astype(np.int32)
-             | (b[:, 1].astype(np.int32) << 8)
-             | (b[:, 2].astype(np.int32) << 16))
-        v = np.ascontiguousarray((v << 8) >> 8)
+        from tomatis_tpu.ops.wire import i32_from_le24
+        v = i32_from_le24(np.frombuffer(bytes(raw), np.uint8))
         self._lib.tflac_write(
             self._h, v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(v) // self.channels)

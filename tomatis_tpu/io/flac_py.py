@@ -132,6 +132,8 @@ class PureFlacReader:
             btype = hdr[0] & 0x7F
             blen = (hdr[1] << 16) | (hdr[2] << 8) | hdr[3]
             body = self._stream[pos + 4:pos + 4 + blen]
+            if len(body) < blen:
+                raise ValueError("truncated FLAC metadata block")
             if btype == 0:   # STREAMINFO
                 if blen < 34:
                     raise ValueError("short STREAMINFO")

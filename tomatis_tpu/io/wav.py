@@ -61,6 +61,8 @@ def _parse_header(f) -> WavInfo:
             f.seek(csize + (csize % 2), 1)
     if fmt is None or data_offset is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("short fmt chunk")
     (audio_fmt, channels, sr, _byte_rate, block_align, bits) = struct.unpack(
         "<HHIIHH", fmt[:16])
     if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
@@ -91,12 +93,9 @@ def _decode(raw: bytes, subtype: str, channels: int) -> np.ndarray:
     elif subtype == "FLOAT":
         x = np.frombuffer(raw, "<f4").astype(np.float32)
     elif subtype == "PCM_24":
-        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
-        v = (b[:, 0].astype(np.int32)
-             | (b[:, 1].astype(np.int32) << 8)
-             | (b[:, 2].astype(np.int32) << 16))
-        v = (v << 8) >> 8  # sign-extend 24 -> 32
-        x = v.astype(np.float32) / 8388608.0
+        from tomatis_tpu.ops.wire import i32_from_le24
+        x = (i32_from_le24(np.frombuffer(raw, np.uint8))
+             .astype(np.float32) / 8388608.0)
     else:
         raise ValueError(subtype)
     return x.reshape(-1, channels)
@@ -172,12 +171,8 @@ class WavReader:
         if st == "PCM_16":
             v = np.frombuffer(raw, "<i2").astype(np.int32) << 8
         elif st == "PCM_24":
-            # place the 3 bytes in the top of an i32 and arithmetic-shift
-            # down: one memcpy + one shift (2x faster than or-ing bytes)
-            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
-            v = np.zeros(b.shape[0], "<i4")
-            v.view(np.uint8).reshape(-1, 4)[:, 1:] = b
-            v >>= 8
+            from tomatis_tpu.ops.wire import i32_from_le24
+            v = i32_from_le24(np.frombuffer(raw, np.uint8))
         else:
             raise ValueError(f"int24 read unsupported for {st}")
         return v.reshape(-1, self.info.channels)

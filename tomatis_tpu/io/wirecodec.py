@@ -131,9 +131,4 @@ def decode_pcm24(buf: np.ndarray, n: int, ch: int) -> np.ndarray:
         if rc:
             raise RuntimeError(f"twire_decode_pcm24 failed: {rc}")
         return out
-    v = _wire.decode_np(buf).reshape(-1)
-    out = np.empty((v.size, 3), np.uint8)
-    out[:, 0] = v & 0xFF
-    out[:, 1] = (v >> 8) & 0xFF
-    out[:, 2] = (v >> 16) & 0xFF
-    return out.reshape(-1)
+    return _wire.le24_from_i32(_wire.decode_np(buf))

@@ -19,8 +19,12 @@ _CACHE: dict = {}
 
 def _compile(src: str, out: str):
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # compile to a process-unique temp and publish with an atomic rename:
+    # concurrent processes (e.g. sharded CLI workers on a fresh checkout)
+    # may race here, and a reader must never dlopen a half-written .so
+    tmp = f"{out}.{os.getpid()}.tmp"
     cmd = ["g++", "-std=c++17", "-O3", "-funroll-loops", "-shared", "-fPIC",
-           src, "-o", out]
+           src, "-o", tmp]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True)
     except FileNotFoundError:
@@ -31,8 +35,13 @@ def _compile(src: str, out: str):
             "automatically; FLAC *encode* has no pure path — write .wav "
             "instead (the processors fall back to .wav on their own).")
     if proc.returncode != 0:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         raise RuntimeError(
             f"native build failed: {' '.join(cmd)}\n{proc.stderr}")
+    os.replace(tmp, out)
 
 
 def load_library(name: str) -> ctypes.CDLL:

@@ -7,7 +7,9 @@
 // Decoder: full subset used by FLAC encoders in the wild — CONSTANT,
 // VERBATIM, FIXED(0-4), LPC(1-32) subframes; partitioned Rice residuals
 // (methods 0/4-bit and 1/5-bit incl. escapes); wasted bits; stereo
-// decorrelation L/S, R/S, M/S; 8/16/24/32-bit samples.
+// decorrelation L/S, R/S, M/S; 4-24-bit samples (32-bit streams need a
+// 33-bit side channel and are declined at open — the pure-Python
+// fallback decoder handles them exactly).
 // Encoder: FIXED predictors (orders 0-4) and LPC (Levinson-Durbin, orders
 // 1-12 selected by prediction-error bits estimate) per subframe, VERBATIM
 // fallback for incompressible blocks, mid/side channel assignment search,
@@ -70,9 +72,10 @@ struct BitReader {
         if (n > 32) { v = bits(n - 32); return (v << 32) | bits(32); }
         return bits(n);
     }
-    int32_t sbits(int n) {
+    int32_t sbits(int n) {  // n <= 32 (the `~0u << n` is UB at n >= 32)
         uint32_t v = bits(n);
         if (n == 0) return 0;
+        if (n >= 32) return (int32_t)v;
         if (v & (1u << (n - 1))) return (int32_t)(v | (~0u << n));
         return (int32_t)v;
     }
@@ -178,6 +181,10 @@ struct FlacDecoder {
     std::vector<int32_t> pend;     // interleaved decoded-but-undelivered
     size_t pend_off = 0;
 
+    ~FlacDecoder() {
+        if (f) fclose(f);
+    }
+
     bool open(const char* path) {
         f = fopen(path, "rb");
         if (!f) return false;
@@ -185,7 +192,11 @@ struct FlacDecoder {
         long sz = ftell(f);
         fseek(f, 0, SEEK_SET);
         stream.resize((size_t)sz);
-        if (fread(stream.data(), 1, (size_t)sz, f) != (size_t)sz) return false;
+        if (fread(stream.data(), 1, (size_t)sz, f) != (size_t)sz) {
+            fclose(f);       // destructor also covers this; be explicit
+            f = nullptr;
+            return false;
+        }
         fclose(f);
         f = nullptr;
         if (sz < 42 || memcmp(stream.data(), "fLaC", 4) != 0) return false;
@@ -226,6 +237,10 @@ struct FlacDecoder {
             off += len;
         }
         if (!have_si || off >= stream.size()) return false;
+        // 32-bit streams need a 33-bit side channel; this decoder's
+        // sample path is int32, so decline and let the caller fall back
+        // to the pure-Python decoder (io/flac_py.py), which is exact
+        if (bps > 24 || bps < 4) return false;
         frames_off = off;
         byte_pos = off;
         if (total_samples == 0) {
@@ -966,6 +981,10 @@ int tflac_seek(void* h, long frame) {
 void tflac_close_read(void* h) { delete (FlacDecoder*)h; }
 
 void* tflac_open_write(const char* path, int sr, int ch, int bps) {
+    // the encoder's sample-size code and side-channel width only handle
+    // these depths; anything else would silently write corrupt frames
+    if (bps != 8 && bps != 16 && bps != 24) return nullptr;
+    if (ch < 1 || ch > 8 || sr <= 0) return nullptr;
     auto* e = new FlacEncoder();
     if (!e->open(path, (uint32_t)sr, (uint32_t)ch, (uint32_t)bps)) {
         delete e;

@@ -390,18 +390,25 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
                 upos += uw;
             }
         }
+        // unsigned accumulation: descriptor-valid malformed streams may
+        // overflow, and the two's-complement wrap is well-defined (and
+        // matches decode_np's int32 wrap); valid streams never wrap
         for (int o = 0; o < order; o++) {
-            int32_t acc = 0;
-            for (long i = 0; i < n; i++) { acc += r[i]; r[i] = acc; }
+            uint32_t acc = 0;
+            for (long i = 0; i < n; i++) {
+                acc += (uint32_t)r[i];
+                r[i] = (int32_t)acc;
+            }
         }
         for (long i = 0; i < n; i++) out[i * ch + c] = r[i];
     }
     if (ms && ch == 2) {
         for (long i = 0; i < n; i++) {
             int32_t m = out[i * 2], s = out[i * 2 + 1];
-            int32_t L = m + ((s + (s & 1)) >> 1);
+            int32_t t = (int32_t)((uint32_t)s + (uint32_t)(s & 1));
+            int32_t L = (int32_t)((uint32_t)m + (uint32_t)(t >> 1));
             out[i * 2] = L;
-            out[i * 2 + 1] = L - s;
+            out[i * 2 + 1] = (int32_t)((uint32_t)L - (uint32_t)s);
         }
     }
     return 0;
