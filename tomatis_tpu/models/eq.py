@@ -217,7 +217,6 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
         scale = (np.float32(pre_gain)
                  if not int_in and pre_gain != 1.0 else None)
         peak_seen = 0.0
-        inflight = None
         lead, pos = pad_len, 0
         if resume is not None:
             sc = resume["__meta__"]["scalars"]
@@ -245,7 +244,7 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
 
         def consume_materialize(ready, started=None):
             """Main thread: wait out the device->host transfers."""
-            c_nf, c_packed = ready
+            _f0, c_nf, c_packed = ready
             if raw:
                 if started is None:
                     started = engine.fetch_wire_start(*c_packed)
@@ -255,7 +254,7 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
 
         def consume_host(ready, mat):
             """Worker-thread half: decode + peak track + file write."""
-            c_nf, _ = ready
+            _f0, c_nf, _ = ready
             emit_n = c_nf * hop + (engine.tail_len if c_nf < frames_per_chunk
                                    else 0)
             if raw:
@@ -271,9 +270,6 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 pk = float(np.max(np.abs(piece))) if emit_n else 0.0
             write_piece(piece, pk)
 
-        def consume(ready, started=None):
-            consume_host(ready, consume_materialize(ready, started))
-
         def produce(f0):
             for f in range(f0, F, frames_per_chunk):
                 # the pre_gain path produces floats; stage_encode falls
@@ -287,16 +283,41 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
 
         def _stream():
             # file read + wire encode prefetch on a producer thread;
-            # decode + write on an ordered worker (same pipeline as the
-            # engine driver; `progress` then runs on the worker thread).
-            # Checkpointed runs keep the write side synchronous:
-            # maybe_save must observe chunk f0-1 on disk.
-            from tomatis_tpu.utils.pipeline import OrderedWorker, Prefetcher
-            nonlocal inflight, ctl_carry, out_tail, w_tail
+            # depth-3 staged chunk pipeline (same machine as the engine
+            # and batch drivers); decode + write on an ordered worker
+            # (`progress` then runs on the worker thread). Checkpointed
+            # runs keep the write side synchronous and stall at snapshot
+            # boundaries: maybe_save must observe every prior chunk on
+            # disk.
+            from tomatis_tpu.utils.pipeline import (OrderedWorker,
+                                                    Prefetcher,
+                                                    StagedPipeline)
+            nonlocal ctl_carry, out_tail, w_tail
             writer_w = OrderedWorker() if ckpt is None else None
             prefetch = Prefetcher(produce(f0_start))
+
+            def pipe_start(ck):
+                if raw:
+                    return engine.fetch_wire_start(*ck["ready"][2])
+                return None
+
+            def pipe_finish(ck):
+                mat = consume_materialize(ck["ready"], ck["started"])
+                if writer_w is not None:
+                    def job(iv=ck["ready"], m=mat):
+                        consume_host(iv, m)
+                        if progress is not None:
+                            progress(iv[0], F)
+                    writer_w.submit(job)
+                else:
+                    consume_host(ck["ready"], mat)
+                    if progress is not None:
+                        progress(ck["ready"][0], F)
+
+            pipe = StagedPipeline(pipe_start, pipe_finish)
             try:
-                _stream_loop(prefetch, writer_w)
+                _stream_loop(prefetch, pipe)
+                pipe.drain()
                 if writer_w is not None:
                     writer_w.check(join=True)
             finally:
@@ -304,26 +325,32 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 if writer_w is not None:
                     writer_w.close()
 
-            if inflight is not None:
-                consume(inflight)
             if F > 0 and F % frames_per_chunk == 0:
                 tail = (np.asarray(out_tail)
                         / (np.asarray(w_tail)[:, None] + EPS))
                 pk = float(np.max(np.abs(tail))) if tail.size else 0.0
                 write_piece(_encode_pcm24(tail) if raw else tail, pk)
 
-        def _stream_loop(prefetch, writer_w):
-            nonlocal inflight, ctl_carry, out_tail, w_tail
+        def _stream_loop(prefetch, pipe):
+            nonlocal ctl_carry, out_tail, w_tail
             staged = None
             for f0 in range(f0_start, F, frames_per_chunk):
                 nf = min(frames_per_chunk, F - f0)
+                if ckpt is not None and f0 > f0_start \
+                        and ((f0 - f0_start) // frames_per_chunk) \
+                        % ckpt.every == 0:
+                    # checkpoint boundary: every chunk before f0 must be
+                    # written before the pre-dispatch tails are persisted
+                    # (resuming at f0 needs the tails as they are NOW)
+                    pipe.drain()
+                    ckpt.maybe_save(dict(
+                        out_tail=np.asarray(out_tail),
+                        w_tail=np.asarray(w_tail),
+                        __scalars__=dict(
+                            next_f0=f0, peak_seen=peak_seen,
+                            audio_samples_written=f0 * hop)), force=True)
                 if staged is None:
                     staged = to_device(prefetch.get())
-                if ckpt is not None:
-                    # pre-dispatch state: resuming at f0 needs the tails as
-                    # they are NOW (persisted after chunk f0-1 is written)
-                    snap = dict(out_tail=np.asarray(out_tail),
-                                w_tail=np.asarray(w_tail), f0=f0)
                 res = chunk_fn(staged, jnp.int32(nf),
                                ctl_carry, out_tail, w_tail, ctl_params,
                                gain_one)
@@ -334,39 +361,13 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                 else:
                     packed, ctl_carry, out_tail, w_tail = res
                     wait_arr = packed
-                # start the previous chunk's page readback, then stage
-                # the next input while it (and this chunk) runs
-                started = None
-                if inflight is not None and raw:
-                    started = engine.fetch_wire_start(*inflight[1])
+                pipe.push((f0, nf, packed), wait_arr)
+                pipe.promote()
+                # stage the next chunk's input while the link drains
                 staged = None
                 if f0 + frames_per_chunk < F:
                     staged = to_device(prefetch.get())
-                try:
-                    wait_arr.block_until_ready()
-                    wait_arr.copy_to_host_async()
-                except AttributeError:
-                    pass
-                if inflight is not None:
-                    mat = consume_materialize(inflight, started)
-                    if writer_w is not None:
-                        def job(iv=inflight, m=mat, f=f0):
-                            consume_host(iv, m)
-                            if progress is not None:
-                                progress(f, F)
-                        writer_w.submit(job)
-                    else:
-                        consume_host(inflight, mat)
-                        if progress is not None:
-                            progress(f0, F)
-                        if ckpt is not None:
-                            ckpt.maybe_save(dict(
-                                out_tail=snap["out_tail"],
-                                w_tail=snap["w_tail"],
-                                __scalars__=dict(
-                                    next_f0=snap["f0"], peak_seen=peak_seen,
-                                    audio_samples_written=snap["f0"] * hop)))
-                inflight = (nf, packed)
+                pipe.retire()
 
         # fout must close (fixing the WAV header) even if the run dies
         # mid-stream — resume parses the frame count from that header
