@@ -91,3 +91,82 @@ def test_stage_timings_reported(tmp_path):
     assert set(t) == {"input_host_s", "dispatch_compute_s", "consume_s"}
     assert all(v >= 0 for v in t.values())
     assert stats["realtime_factor"] > 0
+
+
+def test_spectrum_metrics_v2_uses_actual_slope():
+    """The platform/slope corner frequencies must follow the slope the
+    theory curves were built with (the reference hardcodes 12 dB/oct
+    there; identical at the default)."""
+    import numpy as np
+
+    from tomatis_tpu.verify.verify_15db_v2 import compute_spectrum_metrics_v2
+
+    freqs = np.linspace(50, 10000, 2000)
+    th = np.zeros_like(freqs)
+    # slope 6: corners at fc*2^(+-2.5) ~ 177 / 5657 Hz
+    m = compute_spectrum_metrics_v2(freqs, th, th, th, th,
+                                    fc=1000.0, gain_limit=15.0, slope=6.0)
+    # with slope 6 the hi platform band (>= 1.2*5657) is empty below 10 kHz
+    # only above 6788 Hz; ensure the slope segment reaches past the 12-slope
+    # corner at 2378 Hz (it would not if 12 were still hardcoded)
+    assert "c1_slope_rmse" in m
+    m12 = compute_spectrum_metrics_v2(freqs, th, th, th, th,
+                                      fc=1000.0, gain_limit=15.0, slope=12.0)
+    # default slope keeps the reference's corner bands
+    assert "c1_hi_platform_rmse" in m12
+
+
+def test_compare_gate_states_common_prefix_switches():
+    """Switch counts are computed over the same common prefix as the
+    per-frame comparison (a longer CSV must not report spurious diffs)."""
+    import numpy as np
+
+    from tomatis_tpu.verify.validate_layer1 import compare_gate_states
+
+    csv_states = ["C1"] * 10 + ["C2", "C1"] * 20     # extra tail w/ switches
+    sim_states = ["C1"] * 10
+    lv = np.zeros(len(csv_states))
+    r = compare_gate_states(csv_states, sim_states, lv[:10], lv)
+    assert r["total_frames"] == 10
+    assert r["csv_switches"] == 0 and r["sim_switches"] == 0
+    assert r["switch_diff"] == 0
+
+
+def test_cut_default_output_name(tmp_path):
+    """Auto-named trims reflect the actual cut length and survive
+    extension-less inputs."""
+    import numpy as np
+
+    from tomatis_tpu.cli.repair import cut_main
+    from tomatis_tpu.io import audio
+
+    sr = 48000
+    x = np.zeros((sr * 2, 2), np.float32)
+    ip = tmp_path / "rec.wav"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    rc = cut_main([str(ip), str(tmp_path / "o.wav"), "0.5"])
+    assert rc == 0
+    # auto-name carries the cut length and the input extension
+    ap = tmp_path / "rec2.wav"
+    audio.write(ap, x, sr, subtype="PCM_24")
+    assert cut_main([str(ap)]) in (0, 1)      # default 16 s, auto-named
+    assert (tmp_path / "rec2_cut16s.wav").exists()
+    # extension-less input must not crash on the auto-name split
+    bare = tmp_path / "noext"
+    import shutil
+    shutil.copy(ip, bare)
+    # format can't be inferred without an extension -> clean [ERR],
+    # never an unpack ValueError traceback
+    assert cut_main([str(bare)]) == 1
+
+
+def test_frame_levels_1d_blocked_matches_unblocked():
+    import numpy as np
+
+    from tomatis_tpu.analysis.levels import frame_levels_1d
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(48000).astype(np.float32) * 0.1
+    a = frame_levels_1d(x, 4096, 2048)
+    b = frame_levels_1d(x, 4096, 2048, blk=7)    # uneven block boundary
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -19,15 +19,24 @@ def _rms_dbfs(x) -> float:
     return float(20 * np.log10(np.sqrt(np.mean(np.square(x)) + EPS) + EPS))
 
 
-def frame_levels_1d(x: np.ndarray, frame: int, hop: int) -> np.ndarray:
-    """Per-frame RMS dBFS of a 1-D signal (vectorized)."""
+def frame_levels_1d(x: np.ndarray, frame: int, hop: int,
+                    blk: int = 8192) -> np.ndarray:
+    """Per-frame RMS dBFS of a 1-D signal, vectorized in blocks of `blk`
+    frames — an hour-long file at the 4096/2048 defaults would otherwise
+    materialize a ~1.4 GB [n_frames, frame] index matrix at once (the
+    same bound _per_channel_inrange_levels applies below)."""
     n = (len(x) - frame) // hop + 1
     if n <= 0:
         return np.zeros(0, np.float32)
-    idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
-    fr = x[idx]
-    r = np.sqrt(np.mean(fr * fr, axis=1) + EPS)
-    return (20 * np.log10(r + EPS)).astype(np.float32)
+    out = np.empty(n, np.float32)
+    win_idx = np.arange(frame)[None, :]
+    for i in range(0, n, blk):
+        m = min(blk, n - i)
+        idx = (np.arange(i, i + m)[:, None] * hop) + win_idx
+        fr = x[idx]
+        r = np.sqrt(np.mean(fr * fr, axis=1) + EPS)
+        out[i:i + m] = 20 * np.log10(r + EPS)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -145,8 +154,11 @@ def gate_threshold_from_csv(csv_path, diff_threshold: float = 3.0):
         raise ValueError(f"no output level column found in {csv_path}; "
                          f"columns: {list(df.columns)}")
     out_col = (named or other)[0]
-    return gate_threshold_from_tracks(df["t"], df["in_dbfs"], df[out_col],
-                                      diff_threshold)
+    res = gate_threshold_from_tracks(df["t"], df["in_dbfs"], df[out_col],
+                                     diff_threshold)
+    res["out_col"] = out_col   # so callers (the CLI plot) track the SAME
+    #                            column the analysis used
+    return res
 
 
 # ---------------------------------------------------------------------------

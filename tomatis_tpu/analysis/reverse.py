@@ -46,8 +46,14 @@ def _frame_tilts(mono_in, mono_out, n_fft, hop, n_frames, sr):
 def analyze_device_params(input_path, output_path, out_csv=None,
                           sr: int = 48000, n_fft: int = 4096,
                           hop: int = 2048) -> dict:
-    inp_lr, _ = audio.read(input_path)
-    out_lr, _ = audio.read(output_path)
+    inp_lr, sr_in = audio.read(input_path)
+    out_lr, sr_out = audio.read(output_path)
+    # the band edges, times and delay math all assume `sr`; silently
+    # trusting the parameter against e.g. 44.1 kHz files would shift
+    # every band by 8% with no error (compare_audio raises likewise)
+    if sr_in != sr or sr_out != sr:
+        raise ValueError(f"sample rate mismatch: files are "
+                         f"{sr_in}/{sr_out} Hz, sr={sr} — pass sr=")
     delay = find_delay_full(power_mono(inp_lr), power_mono(out_lr), sr)
     inp_a, out_a = align_pair(inp_lr, out_lr, delay)
     mono_i = power_mono(inp_a).astype(np.float32)

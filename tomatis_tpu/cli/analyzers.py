@@ -76,7 +76,8 @@ def gate_threshold_main(argv=None) -> int:
             df = pd.read_csv(args.csv)
             fig, ax = plt.subplots(figsize=(12, 5))
             ax.plot(df["t"], df["in_dbfs"], lw=0.7, label="input dBFS")
-            out_col = [c for c in df.columns if c not in ("t", "in_dbfs")][0]
+            # the column the ANALYSIS matched, not a positional guess
+            out_col = res["out_col"]
             ax.plot(df["t"], df[out_col], lw=0.7, alpha=0.7, label=out_col)
             ax.scatter(res["times"], res["levels"], s=18, c="red", zorder=3,
                        label="switch points")

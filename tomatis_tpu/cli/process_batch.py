@@ -67,7 +67,8 @@ def run(args) -> int:
     dt = time.perf_counter() - t0
     ok = [s for s in stats if s["failed"] is None]
     failed = [s for s in stats if s["failed"] is not None]
-    audio_sec = sum(s["n_frames"] * args.hop / 48000.0 for s in ok)
+    audio_sec = sum(s["n_frames"] * args.hop / s["sr"]
+                    for s in ok if s.get("sr"))
     for s in stats:
         if s["failed"] is None:
             print(f"[OK]   {s['in_path']} -> {s['out_path']} "

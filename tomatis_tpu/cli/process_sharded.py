@@ -103,7 +103,12 @@ def run(args) -> int:
                   "variant (reference parity: src/process_tomatis_xfade.py "
                   "has no output gain)")
             return 2
-        if args.gate_mode != "linear":
+        explicit = "--gate_mode" in (argv if argv is not None
+                                     else sys.argv[1:])
+        if args.gate_mode != "linear" and explicit:
+            # only when the user actually asked for a non-linear mapping —
+            # the flag DEFAULTS to log_percent, and warning on every
+            # default run would claim a choice the user never made
             print("note: the crossfade variant supports only the LINEAR "
                   "gate mapping (ref src/process_tomatis_xfade.py:28-30); "
                   f"--gate_mode {args.gate_mode} is ignored")

@@ -63,8 +63,11 @@ def cut_main(argv=None) -> int:
     args = build_cut_parser().parse_args(argv)
     out = args.output
     if out is None:
-        root, ext = str(args.input).rsplit(".", 1)
-        out = f"{root}_cut16s.{ext}"
+        import os
+        root, ext = os.path.splitext(str(args.input))
+        secs = args.cut_seconds
+        tag = f"{secs:g}".replace(".", "p")
+        out = f"{root}_cut{tag}s{ext or '.flac'}"
     try:
         from tomatis_tpu.models.repair import cut_head
         stats = cut_head(args.input, out, args.cut_seconds)

@@ -72,6 +72,7 @@ class _Lane:
         return self.plan.n_frames
 
     def open(self, sr, ch):
+        self.sr = sr
         self.reader = audio.AudioFile(self.in_path, "r")
         self.rolling = RollingReader(self.reader.read, ch,
                                      left_pad=self.plan.pad,
@@ -165,6 +166,7 @@ class _Lane:
         tf = int(self.states_count[1] + self.states_count[2])
         return dict(in_path=self.in_path, out_path=self.out_path,
                     failed=self.failed, n_frames=self.n_frames,
+                    sr=getattr(self, "sr", 0),
                     c1_frames=int(self.states_count[1]),
                     c2_frames=int(self.states_count[2]),
                     c2_ratio=self.states_count[2] / tf if tf else 0.0)
@@ -214,8 +216,8 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
         # every file failed to open: keep the documented per-file failure
         # isolation — return per-file stats instead of crashing the engine
         return [dict(in_path=str(in_path), out_path=str(out_path),
-                     failed=str(m), n_frames=0, c1_frames=0, c2_frames=0,
-                     c2_ratio=0.0)
+                     failed=str(m), n_frames=0, sr=0, c1_frames=0,
+                     c2_frames=0, c2_ratio=0.0)
                 for (in_path, out_path), m in zip(jobs, metas)]
 
     engine = ChunkedStftEngine(p.n_fft, p.hop, ch, frames_per_chunk)

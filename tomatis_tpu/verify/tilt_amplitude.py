@@ -40,8 +40,13 @@ def analyze_tilt_amplitude(input_path, output_path, sr: int = 48000,
                            n_fft: int = 4096, hop: int = 2048,
                            c1_below: float = -45.0,
                            c2_above: float = -30.0) -> dict:
-    inp_lr, _ = audio.read(input_path)
-    out_lr, _ = audio.read(output_path)
+    inp_lr, sr_in = audio.read(input_path)
+    out_lr, sr_out = audio.read(output_path)
+    # band edges and delay math assume `sr` — refuse a silent mismatch
+    # (same guard as compare_audio / reverse-engineer)
+    if sr_in != sr or sr_out != sr:
+        raise ValueError(f"sample rate mismatch: files are "
+                         f"{sr_in}/{sr_out} Hz, sr={sr} — pass sr=")
     delay = find_delay_full(power_mono(inp_lr), power_mono(out_lr), sr)
     inp_a, out_a = align_pair(inp_lr, out_lr, delay)
 

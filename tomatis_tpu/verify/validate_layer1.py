@@ -92,8 +92,11 @@ def compare_gate_states(csv_states, sim_states, sim_levels, csv_levels):
     ss = np.asarray(sim_states[:n])
     ld = np.abs(np.asarray(csv_levels[:n]) - np.asarray(sim_levels[:n]))
     mismatch = int(np.sum(cs != ss))
-    csv_sw = int(np.sum(np.asarray(csv_states)[1:] != np.asarray(csv_states)[:-1]))
-    sim_sw = int(np.sum(np.asarray(sim_states)[1:] != np.asarray(sim_states)[:-1]))
+    # switch counts over the SAME common prefix the per-frame comparison
+    # uses — counting each side over its own full length reports a
+    # spurious diff whenever the CSV and simulation lengths differ
+    csv_sw = int(np.sum(cs[1:] != cs[:-1]))
+    sim_sw = int(np.sum(ss[1:] != ss[:-1]))
     return dict(
         total_frames=n,
         mismatch_count=mismatch,
@@ -179,11 +182,18 @@ def conditional_spectrum(x, y, sr, states, n_fft, hop,
     def ratios(fx, fy):
         return _spec_ratios(fx, fy, n_fft)
 
+    # frame i of the level/gate framing starts at padded coord (k0+i)*hop
+    # (original coord i*hop + off). off == 0 whenever hop divides pad —
+    # every default; the ref slices at i*hop outright (ref :57-64), which
+    # only agrees with its own gate framing in that same default case.
+    off = -(-pad // hop) * hop - pad
+
     def collect(idx_list):
         keep = []
         for b0 in range(0, len(idx_list), batch):
             ids = idx_list[b0:b0 + batch]
-            ids = ids[(ids * hop >= 0) & (ids * hop + n_fft <= total)]
+            ids = ids[(ids * hop + off >= 0)
+                      & (ids * hop + off + n_fft <= total)]
             if len(ids) == 0:
                 continue
             n = len(ids)
@@ -191,8 +201,9 @@ def conditional_spectrum(x, y, sr, states, n_fft, hop,
             fx = np.zeros((batch, n_fft, ch), np.float32)
             fy = np.zeros((batch, n_fft, ch), np.float32)
             for j, i in enumerate(ids):
-                fx[j] = xp[i * hop + pad:i * hop + pad + n_fft]
-                fy[j] = yp[i * hop + pad:i * hop + pad + n_fft]
+                s = i * hop + off + pad
+                fx[j] = xp[s:s + n_fft]
+                fy[j] = yp[s:s + n_fft]
             r, lv = ratios(jnp.asarray(fx), jnp.asarray(fy))
             r = np.asarray(r)[:n]
             ok = np.asarray(lv)[:n] >= level_threshold

@@ -16,29 +16,23 @@ import numpy as np
 
 from tomatis_tpu.io import audio
 from tomatis_tpu.ops import dsp, stft
+from tomatis_tpu.verify import validate_layer1 as _l1
 from tomatis_tpu.verify.validate_layer1 import (analyze_gate_stats,
                                                 conditional_spectrum,
                                                 simulate_gate)
 
 
 def check_engineering(in_path, out_path) -> dict:
-    """ref :66-100 — adds DC-offset to the Layer-1 checks."""
-    a = audio.info(in_path)
-    b = audio.info(out_path)
+    """ref :66-100 — the Layer-1 engineering checks plus DC-offset and
+    a dBFS peak reading (one implementation; the ±15 dB verifiers extend
+    validate_layer1's audit rather than re-deriving it)."""
+    eng = _l1.check_engineering(in_path, out_path)
     y, _ = audio.read(out_path)
-    peak = float(np.max(np.abs(y))) if y.size else 0.0
     dc = float(np.mean(y)) if y.size else 0.0
-    return dict(
-        sr_in=a.samplerate, sr_out=b.samplerate,
-        sr_match=a.samplerate == b.samplerate,
-        ch_in=a.channels, ch_out=b.channels,
-        ch_match=a.channels == b.channels,
-        frames_in=a.frames, frames_out=b.frames,
-        frames_match=a.frames == b.frames,
-        frames_diff=b.frames - a.frames,
-        peak=peak, peak_safe=peak < 0.98,
-        peak_dbfs=20 * np.log10(peak + dsp.EPS),
+    eng.update(
+        peak_dbfs=20 * np.log10(eng["peak"] + dsp.EPS),
         dc_mean=dc, dc_safe=abs(dc) < 0.001)
+    return eng
 
 
 def compute_spectrum_metrics(freqs, c1_db, c2_db, c1_theory, c2_theory,
@@ -90,12 +84,18 @@ def compute_tilt_index(x, y, sr, states, n_fft, hop) -> dict:
         x = x[:, None]
     if y.ndim == 1:
         y = y[:, None]
-    n_frames = min(len(states), (len(x) - n_fft) // hop + 1)
+    # align frame i with the gate framing's original-coord start
+    # i*hop + off (off == 0 whenever hop divides n_fft//2 — every
+    # default; see validate_layer1.conditional_spectrum)
+    pad = n_fft // 2
+    off = -(-pad // hop) * hop - pad
+    n_frames = min(len(states), (len(x) - off - n_fft) // hop + 1)
     if n_frames <= 0:
         z = np.zeros(0)
         return dict(input=z, output=z, c1=z, c2=z)
-    ti_x, elo_x = _frame_tilt_index(jnp.asarray(x), n_fft, hop, n_frames, sr)
-    ti_y, elo_y = _frame_tilt_index(jnp.asarray(y[:len(x)]), n_fft, hop,
+    ti_x, elo_x = _frame_tilt_index(jnp.asarray(x[off:]), n_fft, hop,
+                                    n_frames, sr)
+    ti_y, elo_y = _frame_tilt_index(jnp.asarray(y[off:len(x)]), n_fft, hop,
                                     n_frames, sr)
     ti_x, elo_x = np.asarray(ti_x), np.asarray(elo_x)
     ti_y, elo_y = np.asarray(ti_y), np.asarray(elo_y)

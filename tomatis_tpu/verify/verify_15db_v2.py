@@ -109,11 +109,17 @@ def conditional_spectrum_v2(x, y, sr, states, levels, n_fft, hop,
     def ratios(fx, fy):
         return _anchored_ratios(fx, fy, win, anchor_mask)
 
+    # frame i of the level framing starts at padded coord (k0+i)*hop —
+    # off == 0 whenever hop divides pad (every default); see
+    # validate_layer1.conditional_spectrum
+    off = -(-pad // hop) * hop - pad
+
     def collect(idx_list):
         keep = []
         for b0 in range(0, len(idx_list), batch):
             ids = idx_list[b0:b0 + batch]
-            ids = ids[(ids * hop + n_fft <= total)]
+            ids = ids[(ids * hop + off >= 0)
+                      & (ids * hop + off + n_fft <= total)]
             ids = ids[np.asarray(levels)[ids] >= level_threshold]
             if len(ids) == 0:
                 continue
@@ -122,8 +128,9 @@ def conditional_spectrum_v2(x, y, sr, states, levels, n_fft, hop,
             fx = np.zeros((batch, n_fft, ch), np.float32)
             fy = np.zeros((batch, n_fft, ch), np.float32)
             for j, i in enumerate(ids):
-                fx[j] = xp[i * hop + pad:i * hop + pad + n_fft]
-                fy[j] = yp[i * hop + pad:i * hop + pad + n_fft]
+                s = i * hop + off + pad
+                fx[j] = xp[s:s + n_fft]
+                fy[j] = yp[s:s + n_fft]
             keep.append(np.asarray(
                 ratios(jnp.asarray(fx), jnp.asarray(fy)))[:n])
         if not keep:
@@ -137,11 +144,17 @@ def conditional_spectrum_v2(x, y, sr, states, levels, n_fft, hop,
 
 
 def compute_spectrum_metrics_v2(freqs, c1_db, c2_db, c1_theory, c2_theory,
-                                fc, gain_limit) -> dict:
-    """Platform/slope segment RMSE + fc band error (ref :372-418)."""
+                                fc, gain_limit, slope=12.0) -> dict:
+    """Platform/slope segment RMSE + fc band error (ref :372-418).
+
+    The reference hardcodes a 12 dB/oct corner here even though its CLI
+    takes --slope (ref :377-378 vs :549-550) — identical at the default
+    slope; this version derives the corners from the actual slope so the
+    platform/slope bands line up with the theory curves being compared.
+    """
     m = {}
-    f_lo = fc * 2 ** (-gain_limit / 12)
-    f_hi = fc * 2 ** (gain_limit / 12)
+    f_lo = fc * 2 ** (-gain_limit / slope)
+    f_hi = fc * 2 ** (gain_limit / slope)
     lo = (freqs >= 100) & (freqs <= f_lo * 0.8)
     if np.any(lo):
         m["c1_lo_platform_rmse"] = float(np.sqrt(np.mean(
@@ -211,7 +224,7 @@ def verify_v2(in_path, out_path, hyst_db=1.0, up_delay_ms=0.0,
     c2_theory = np.asarray(dsp.build_tilt_gain_db(freqs, fc, slope,
                                                   c2_low, c2_high))
     metrics = compute_spectrum_metrics_v2(freqs, c1_db, c2_db, c1_theory,
-                                          c2_theory, fc, gain_limit)
+                                          c2_theory, fc, gain_limit, slope)
     # the v2 acceptance gates are the reference's stricter digital-music
     # thresholds (ref :671-679): platform RMSE < 0.5, slope RMSE < 1.0,
     # fc error < 0.5
