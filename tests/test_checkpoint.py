@@ -84,7 +84,8 @@ def test_eq_applier_resume_after_interrupt(tmp_path, monkeypatch):
 
     out = tmp_path / "out.flac"
     ck = tmp_path / "ck.npz"
-    orig_write = eqm._RawWavOut.write_raw
+    from tomatis_tpu.models.standard import _RawWav
+    orig_write = _RawWav.write_raw
     calls = {"n": 0}
 
     def bomb(self, raw):
@@ -93,11 +94,11 @@ def test_eq_applier_resume_after_interrupt(tmp_path, monkeypatch):
             raise _Bomb()
         return orig_write(self, raw)
 
-    monkeypatch.setattr(eqm._RawWavOut, "write_raw", bomb)
+    monkeypatch.setattr(_RawWav, "write_raw", bomb)
     with pytest.raises(_Bomb):
         eqm.apply_eq(ip, out, eq_csv, frames_per_chunk=16,
                      checkpoint_path=ck, checkpoint_every=2)
-    monkeypatch.setattr(eqm._RawWavOut, "write_raw", orig_write)
+    monkeypatch.setattr(_RawWav, "write_raw", orig_write)
     assert ck.exists()
 
     res = eqm.apply_eq(ip, out, eq_csv, frames_per_chunk=16,

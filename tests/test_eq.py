@@ -127,3 +127,29 @@ def test_apply_residual_eq_stream(tmp_path):
     d = np.abs(y - y_ref)
     assert np.max(d[2048:-2048]) < 3e-4
     assert np.max(d) < 5e-3
+
+
+def test_apply_residual_eq_safe_defaults(tmp_path):
+    """safe=True alone must yield the actual Safe-B clamps (+1 dB cap,
+    forced 0 dB above 3 kHz) — previously the library defaults leaked
+    the standard variant's +6 dB / 8 kHz values into the 'safe' path."""
+    import csv
+
+    from tomatis_tpu.models.eq import apply_residual_eq
+
+    sr = 48000
+    x = _tone(1.0, amp=0.02)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    cp = tmp_path / "diff.csv"
+    with open(cp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["freq_hz", "delta_db_base_minus_cand"])
+        for fr in (50, 500, 2000, 5000, 12000, 20000):
+            w.writerow([fr, 5.0])          # +5 dB residual everywhere
+    res = apply_residual_eq(ip, tmp_path / "out.wav", cp, safe=True,
+                            frames_per_chunk=8)
+    eq_db = res["eq_db"]
+    freqs = np.fft.rfftfreq(4096, 1.0 / sr)
+    assert float(eq_db.max()) <= 1.0 + 1e-6          # Safe-B +1 dB cap
+    assert np.all(eq_db[freqs >= 3000.0] == 0.0)     # forced 0 above 3 kHz

@@ -514,6 +514,7 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
         if checkpoint_path:
             from tomatis_tpu.engine.checkpoint import CheckpointManager
             config = dict(asdict(p), sr=sr, ch=ch, total=total,
+                          in_path=str(in_path),
                           frames_per_chunk=frames_per_chunk,
                           model="adaptive")
             ckpt = CheckpointManager(checkpoint_path, config,

@@ -165,6 +165,7 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
             import hashlib
             from tomatis_tpu.engine.checkpoint import CheckpointManager
             from tomatis_tpu.io.wav import WavWriter
+            from tomatis_tpu.models.standard import _RawWav
             gb = np.asarray(gain_bins, np.float32)
             config = dict(model="eq_gain_stream", in_path=str(in_path),
                           sr=sr, ch=ch, total=total, n_fft=n_fft, hop=hop,
@@ -179,13 +180,13 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
             import os
             if resume is not None and os.path.exists(stage_path):
                 sc = resume["__meta__"]["scalars"]
-                fout = _RawWavOut(WavWriter.reopen(
-                    stage_path, sc["audio_samples_written"]))
+                fout = _RawWav(WavWriter.reopen(
+                    stage_path, sc["audio_samples_written"]), ch)
             else:
                 if resume is not None:
                     ckpt.clear()   # stale checkpoint without its stage file
                 resume = None
-                fout = _RawWavOut(WavWriter(stage_path, sr, ch, "PCM_24"))
+                fout = _RawWav(WavWriter(stage_path, sr, ch, "PCM_24"), ch)
             actual_out = out_path
         else:
             try:
@@ -385,26 +386,6 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
     return dict(peak_seen=peak_seen, out_path=actual_out, n_frames=F, sr=sr)
 
 
-class _RawWavOut:
-    """AudioFile-like adapter over a bare WavWriter (checkpoint staging)."""
-
-    def __init__(self, writer):
-        self._w = writer
-
-    @property
-    def supports_raw(self):
-        return self._w.subtype == "PCM_24"
-
-    def write(self, data):
-        self._w.write(data)
-
-    def write_raw(self, raw):
-        self._w.write_raw(raw)
-
-    def close(self):
-        self._w.close()
-
-
 # ---------------------------------------------------------------------------
 # User-facing appliers
 # ---------------------------------------------------------------------------
@@ -448,16 +429,27 @@ def apply_eq(in_path, out_path, eq_csv, n_fft=4096, hop=2048, pad=True,
 
 
 def apply_residual_eq(in_audio, out_audio, diff_csv, n_fft=4096, hop=2048,
-                      smooth_win=41, clamp_hi=6.0, mid_start=3000.0,
-                      mid_clamp_hi=2.0, hf_start=8000.0, hf_clamp_hi=0.0,
+                      smooth_win=None, clamp_hi=None, mid_start=3000.0,
+                      mid_clamp_hi=2.0, hf_start=None, hf_clamp_hi=0.0,
                       safe: bool = False, frames_per_chunk: int = 1024,
                       pre_gain_db: float = 0.0,
                       checkpoint_path=None, checkpoint_every: int = 8) -> dict:
-    """Layer-2b residual EQ applier; safe=True selects the Safe-B clamps
-    (and the reference's different smoothing default belongs to the CLI).
+    """Layer-2b residual EQ applier; safe=True selects the Safe-B variant.
+
+    smooth_win / clamp_hi / hf_start default PER MODE (None): standard
+    41 / +6 dB / 8 kHz (ref layer2b_apply_residual_eq.py:37-55), Safe-B
+    61 / +1 dB / 3 kHz (ref layer2b_apply_residual_eq_safe.py:37-51) —
+    so safe=True alone yields the actual Safe-B clamps; callers only
+    override explicitly.
     pre_gain_db scales the input before EQ — 0.0 matches the reference
     appliers (which write raw and can clip in PCM); the automated workflow
     uses it for a two-pass peak protect."""
+    if smooth_win is None:
+        smooth_win = 61 if safe else 41
+    if clamp_hi is None:
+        clamp_hi = 1.0 if safe else 6.0
+    if hf_start is None:
+        hf_start = 3000.0 if safe else 8000.0
     res_freq, res_db = load_residual_csv(diff_csv)
     res_db_s = smooth_on_logfreq(res_freq, res_db, win=smooth_win)
     meta = audio.info(in_audio)

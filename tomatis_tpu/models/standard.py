@@ -105,7 +105,6 @@ def process(in_path, out_path, p: StandardParams | None = None,
       resumes from the last checkpoint. FLAC outputs stage through a .part
       WAV and are encoded on completion (WAV supports truncate+append).
     """
-    import os
     import time
     t_start = time.perf_counter()
     p = p or StandardParams()
@@ -125,57 +124,21 @@ def process(in_path, out_path, p: StandardParams | None = None,
                 raise ValueError(f"expected stereo, got {ch} channels")
 
         out_path = str(out_path)
-        ckpt = resume_state = None
-        stage_path = None
-        if checkpoint_path:
-            from tomatis_tpu.engine.checkpoint import CheckpointManager
-            from tomatis_tpu.io.wav import WavWriter
-            # the RESOLVED transport is part of the fingerprint: the
-            # persisted pending output is PCM bytes under wire/pcm24 but
-            # float samples under f32 — resuming across payload formats
-            # must be refused, while an --transport auto checkpoint stays
-            # resumable with an explicit --transport wire (same resolved
-            # value)
-            config = dict(asdict(p), sr=sr, ch=ch, total=total,
-                          frames_per_chunk=frames_per_chunk,
-                          model="standard", transport=transport)
-            ckpt = CheckpointManager(checkpoint_path, config,
-                                     checkpoint_every)
-            resume_state = ckpt.load()
-            stage_path = (out_path if out_path.lower().endswith(".wav")
-                          else out_path + ".part.wav")
-            if resume_state is not None and os.path.exists(stage_path):
-                sc = resume_state["__meta__"]["scalars"]
-                fout_h = WavWriter.reopen(stage_path,
-                                          sc["audio_samples_written"])
-                fout = _RawWav(fout_h, ch)
-            else:
-                if resume_state is not None:
-                    # checkpoint without its stage file: drop the stale
-                    # state before starting fresh (a crash before the
-                    # first new snapshot would otherwise resume the old
-                    # offsets against the new stage)
-                    ckpt.clear()
-                resume_state = None
-                fout = _RawWav(WavWriter(stage_path, sr, ch, "PCM_24"), ch)
-            actual_out = out_path
-        else:
-            try:
-                fout = audio.AudioFile(out_path, "w", samplerate=sr,
-                                       channels=ch, subtype="PCM_24")
-                actual_out = out_path
-            except Exception as enc_err:
-                # graceful degradation when the requested container cannot
-                # be encoded (e.g. FLAC without g++ for the native codec):
-                # fall back to WAV with a conversion hint, like the
-                # reference (ref src/process_tomatis.py:241-251,471-474)
-                actual_out = out_path.rsplit(".", 1)[0] + ".wav"
-                print(f"[WARN] cannot encode {out_path!r} ({enc_err}); "
-                      f"writing WAV instead: {actual_out}\n"
-                      f"       convert later with e.g. "
-                      f"`ffmpeg -i {actual_out} {out_path}`")
-                fout = audio.AudioFile(actual_out, "w", samplerate=sr,
-                                       channels=ch, subtype="PCM_24")
+        # the RESOLVED transport is part of the fingerprint: the
+        # persisted pending output is PCM bytes under wire/pcm24 but
+        # float samples under f32 — resuming across payload formats
+        # must be refused, while an --transport auto checkpoint stays
+        # resumable with an explicit --transport wire (same resolved
+        # value). in_path is part of the identity: a checkpoint must not
+        # resume against a different file that happens to share
+        # sr/ch/length (same guard as eq's apply_gain_stream).
+        config = dict(asdict(p), sr=sr, ch=ch, total=total,
+                      in_path=str(in_path),
+                      frames_per_chunk=frames_per_chunk,
+                      model="standard", transport=transport)
+        (fout, actual_out, ckpt, resume_state,
+         stage_path) = open_checkpointed_sink(
+            out_path, sr, ch, config, checkpoint_path, checkpoint_every)
 
         # Transport over the host<->device link ("auto" = wire when the
         # output container takes raw PCM_24 bytes): "wire" compresses
@@ -205,11 +168,7 @@ def process(in_path, out_path, p: StandardParams | None = None,
             fout.close()
             if csvw:
                 csvw.close()
-        if ckpt is not None:
-            if stage_path != out_path:
-                _transcode_wav_to(stage_path, out_path)
-                os.remove(stage_path)
-            ckpt.clear()
+        finalize_checkpointed_sink(ckpt, stage_path, out_path)
 
     wall = time.perf_counter() - t_start
     stats.update(params=asdict(p), sr=sr, channels=ch, total=total,
@@ -217,6 +176,68 @@ def process(in_path, out_path, p: StandardParams | None = None,
                  wall_seconds=wall,
                  realtime_factor=(total / sr) / wall if wall > 0 else 0.0)
     return stats
+
+
+def open_checkpointed_sink(out_path, sr, ch, config, checkpoint_path,
+                           checkpoint_every):
+    """Open the PCM_24 sink a processor writes to — shared by the
+    standard and crossfade processors.
+
+    Without a checkpoint: the requested container directly, falling back
+    to WAV with a conversion hint when it cannot be encoded (e.g. FLAC
+    without g++ — ref src/process_tomatis.py:241-251,471-474). With a
+    checkpoint: a staged WAV (WAV supports truncate+append on resume),
+    reopened at the persisted sample count when a compatible checkpoint
+    + stage exist, with stale checkpoints (no stage file) cleared NOW —
+    a crash before the first new snapshot must not resume the old
+    offsets against the new stage.
+
+    Returns (fout, actual_out, ckpt, resume_state, stage_path)."""
+    import os
+    out_path = str(out_path)
+    if not checkpoint_path:
+        try:
+            fout = audio.AudioFile(out_path, "w", samplerate=sr,
+                                   channels=ch, subtype="PCM_24")
+            return fout, out_path, None, None, None
+        except Exception as enc_err:
+            actual_out = out_path.rsplit(".", 1)[0] + ".wav"
+            print(f"[WARN] cannot encode {out_path!r} ({enc_err}); "
+                  f"writing WAV instead: {actual_out}\n"
+                  f"       convert later with e.g. "
+                  f"`ffmpeg -i {actual_out} {out_path}`")
+            fout = audio.AudioFile(actual_out, "w", samplerate=sr,
+                                   channels=ch, subtype="PCM_24")
+            return fout, actual_out, None, None, None
+
+    from tomatis_tpu.engine.checkpoint import CheckpointManager
+    from tomatis_tpu.io.wav import WavWriter
+    ckpt = CheckpointManager(checkpoint_path, config, checkpoint_every)
+    resume_state = ckpt.load()
+    stage_path = (out_path if out_path.lower().endswith(".wav")
+                  else out_path + ".part.wav")
+    if resume_state is not None and os.path.exists(stage_path):
+        sc = resume_state["__meta__"]["scalars"]
+        fout = _RawWav(WavWriter.reopen(stage_path,
+                                        sc["audio_samples_written"]), ch)
+    else:
+        if resume_state is not None:
+            ckpt.clear()
+        resume_state = None
+        fout = _RawWav(WavWriter(stage_path, sr, ch, "PCM_24"), ch)
+    return fout, out_path, ckpt, resume_state, stage_path
+
+
+def finalize_checkpointed_sink(ckpt, stage_path, out_path) -> None:
+    """Epilogue of a checkpointed run: transcode the staged WAV into the
+    requested container and drop the checkpoint. No-op without one."""
+    if ckpt is None:
+        return
+    import os
+    if stage_path != str(out_path):
+        _transcode_wav_to(stage_path, out_path)
+        os.remove(stage_path)
+    ckpt.clear()
 
 
 class _RawWav:

@@ -94,7 +94,6 @@ def process(in_path, out_path, p: XfadeParams | None = None,
     chunk-granular crash recovery as the standard processor. transport as
     in models.standard.process ("auto" = wire when the output takes raw
     PCM_24 bytes)."""
-    import os
     p = p or XfadeParams()
     # resolve BEFORE any file is opened — a rejected transport must not
     # truncate an existing output; every sink here is raw-capable PCM_24
@@ -108,48 +107,17 @@ def process(in_path, out_path, p: XfadeParams | None = None,
             if ch != 2:
                 raise ValueError(f"expected stereo, got {ch} channels")
         out_path = str(out_path)
-        ckpt = resume_state = None
-        stage_path = None
-        if checkpoint_path:
-            from tomatis_tpu.engine.checkpoint import CheckpointManager
-            from tomatis_tpu.io.wav import WavWriter
-            from tomatis_tpu.models.standard import _RawWav
-            # RESOLVED transport in the fingerprint: pending-output state
-            # formats differ per transport (see models.standard.process)
-            config = dict(asdict(p), sr=sr, ch=ch, total=total,
-                          frames_per_chunk=frames_per_chunk, model="xfade",
-                          transport=transport)
-            ckpt = CheckpointManager(checkpoint_path, config,
-                                     checkpoint_every)
-            resume_state = ckpt.load()
-            stage_path = (out_path if out_path.lower().endswith(".wav")
-                          else out_path + ".part.wav")
-            if resume_state is not None and os.path.exists(stage_path):
-                sc = resume_state["__meta__"]["scalars"]
-                fout = _RawWav(WavWriter.reopen(
-                    stage_path, sc["audio_samples_written"]), ch)
-            else:
-                if resume_state is not None:
-                    ckpt.clear()   # stale checkpoint without its stage file
-                resume_state = None
-                fout = _RawWav(WavWriter(stage_path, sr, ch, "PCM_24"), ch)
-            actual_out = out_path
-        else:
-            try:
-                fout = audio.AudioFile(out_path, "w", samplerate=sr,
-                                       channels=ch, subtype="PCM_24")
-                actual_out = out_path
-            except Exception as enc_err:
-                # WAV fallback with a conversion hint, as in
-                # models.standard.process (ref src/process_tomatis.py:
-                # 241-251,471-474)
-                actual_out = out_path.rsplit(".", 1)[0] + ".wav"
-                print(f"[WARN] cannot encode {out_path!r} ({enc_err}); "
-                      f"writing WAV instead: {actual_out}\n"
-                      f"       convert later with e.g. "
-                      f"`ffmpeg -i {actual_out} {out_path}`")
-                fout = audio.AudioFile(actual_out, "w", samplerate=sr,
-                                       channels=ch, subtype="PCM_24")
+        # RESOLVED transport + in_path in the fingerprint, as in
+        # models.standard.process
+        from tomatis_tpu.models.standard import (finalize_checkpointed_sink,
+                                                 open_checkpointed_sink)
+        config = dict(asdict(p), sr=sr, ch=ch, total=total,
+                      in_path=str(in_path),
+                      frames_per_chunk=frames_per_chunk, model="xfade",
+                      transport=transport)
+        (fout, actual_out, ckpt, resume_state,
+         stage_path) = open_checkpointed_sink(
+            out_path, sr, ch, config, checkpoint_path, checkpoint_every)
         csvw = None
         try:
             assert fout.supports_raw, "process() sinks must take raw PCM_24"
@@ -173,12 +141,7 @@ def process(in_path, out_path, p: XfadeParams | None = None,
             fout.close()
             if csvw:
                 csvw.close()
-        if ckpt is not None:
-            from tomatis_tpu.models.standard import _transcode_wav_to
-            if stage_path != out_path:
-                _transcode_wav_to(stage_path, out_path)
-                os.remove(stage_path)
-            ckpt.clear()
+        finalize_checkpointed_sink(ckpt, stage_path, out_path)
     stats.update(params=asdict(p), sr=sr, channels=ch, total=total,
                  threshold_dbfs=p.threshold_dbfs(),
                  xfade_frames=p.xfade_frames(sr), out_path=actual_out)
