@@ -170,3 +170,30 @@ def test_frame_levels_1d_blocked_matches_unblocked():
     a = frame_levels_1d(x, 4096, 2048)
     b = frame_levels_1d(x, 4096, 2048, blk=7)    # uneven block boundary
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_process_flac_encode_fallback_to_wav(tmp_path, monkeypatch, capsys):
+    """With the native codec unavailable, a .flac output request falls
+    back to a .wav next to it with a conversion hint, like the reference
+    (ref src/process_tomatis.py:241-251,471-474) — instead of failing."""
+    import numpy as np
+
+    from tomatis_tpu.io import audio
+    from tomatis_tpu.models.standard import StandardParams, process
+    from tomatis_tpu.native import build
+
+    sr = 48000
+    x = (0.05 * np.sin(2 * np.pi * 500 * np.arange(sr) / sr))
+    x = np.stack([x, x], 1).astype(np.float32)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, x, sr, subtype="PCM_24")
+
+    monkeypatch.setenv("TOMATIS_NO_NATIVE", "1")
+    monkeypatch.setattr(build, "_CACHE", {})
+    out = tmp_path / "out.flac"
+    stats = process(ip, out, StandardParams(), frames_per_chunk=16)
+    assert not out.exists()
+    assert stats["out_path"].endswith("out.wav")
+    y, osr = audio.read(stats["out_path"])
+    assert osr == sr and len(y) == len(x)
+    assert "writing WAV instead" in capsys.readouterr().out
