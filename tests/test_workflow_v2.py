@@ -142,3 +142,59 @@ def test_workflow_v2_end_to_end(tmp_path):
     # the reference's published accuracy is ~0.07-1.15 dB per band on real
     # device recordings (docs/TOMATIS_WORK_LOG.md:74-82)
     assert music_err(final) < 0.4
+
+
+def test_config3_xfade_eq_chain(tmp_path):
+    """BASELINE config 3's exact shape: crossfade processor -> Layer-2
+    static EQ -> Layer-2b Safe-B residual EQ, chained by file artifacts.
+    Asserts every stage completes, artifact lengths are consistent with
+    the uncropped-appliers contract, and the Safe-B stage's curve obeys
+    its clamps."""
+    import csv as _csvmod
+
+    from tomatis_tpu.models import eq as eqm
+    from tomatis_tpu.models.xfade import XfadeParams
+    from tomatis_tpu.models.xfade import process as xfade_process
+
+    x = _music(seconds=4.0)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, SR, subtype="PCM_24")
+
+    # stage 1: crossfade processor (linear gate, 120 ms ramp)
+    o1 = tmp_path / "s1.flac"
+    st = xfade_process(ip, o1, XfadeParams(
+        gate_ui=50.0, gate_offset=TRUE_T - 50.0, hysteresis_db=1.0,
+        up_delay_ms=0.0, xfade_ms=120.0, c1_low=6.0, c1_high=-6.0,
+        c2_low=-6.0, c2_high=6.0, require_48k_stereo=False))
+    y1, _ = audio.read(o1)
+    assert len(y1) == len(x) and st["out_path"] == str(o1)
+
+    # stage 2: static EQ from a curve CSV
+    eq_csv = tmp_path / "eq.csv"
+    with open(eq_csv, "w", newline="") as f:
+        w = _csvmod.writer(f)
+        w.writerow(["freq_hz", "delta_db_smooth"])
+        for fr, db in ((60, 2.0), (600, 1.0), (3000, -1.0), (12000, -2.0)):
+            w.writerow([fr, db])
+    o2 = tmp_path / "s2.flac"
+    r2 = eqm.apply_eq(o1, o2, eq_csv, pad=True, frames_per_chunk=16)
+    y2, _ = audio.read(r2["out_path"])
+    assert len(y2) >= len(y1)          # uncropped applier contract
+
+    # stage 3: Safe-B residual EQ from a diff-spectrum CSV
+    diff_csv = tmp_path / "diff.csv"
+    with open(diff_csv, "w", newline="") as f:
+        w = _csvmod.writer(f)
+        w.writerow(["freq_hz", "delta_db_base_minus_cand"])
+        for fr in (100, 500, 1000, 4000, 10000, 20000):
+            w.writerow([fr, 2.5])
+    o3 = tmp_path / "s3.flac"
+    r3 = eqm.apply_residual_eq(o2, o3, diff_csv, safe=True,
+                               frames_per_chunk=16)
+    y3, _ = audio.read(o3)
+    assert len(y3) >= len(y2)
+    assert float(np.max(np.abs(y3))) <= 1.0
+    eq_db = r3["eq_db"]
+    freqs = np.fft.rfftfreq(4096, 1.0 / SR)
+    assert float(eq_db.max()) <= 1.0 + 1e-6
+    assert np.all(eq_db[freqs >= 3000.0] == 0.0)
