@@ -371,7 +371,19 @@ def main() -> int:
     from tomatis_tpu.io import audio
     from tomatis_tpu.models.standard import StandardParams, process
 
-    dev = jax.devices()[0]
+    # the tunneled backend flaps: a failed attach now does not mean a
+    # failed attach in two minutes — retry before giving the run up
+    dev = None
+    for attempt in range(4):
+        try:
+            dev = jax.devices()[0]
+            break
+        except RuntimeError as e:
+            _progress(f"backend attach failed (attempt {attempt + 1}/4): "
+                      f"{e}")
+            if attempt == 3:
+                raise
+            time.sleep(90)
     p = StandardParams(require_48k_stereo=False)
 
     x = synth(args.seconds, args.sr)
