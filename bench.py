@@ -337,6 +337,9 @@ def bench_batch(p, tmp, args) -> dict:
         "audio_seconds": secs * n, "wall_seconds": round(best, 3),
         "all_runs_x": runs[1:],   # run 0 includes the vmapped compile
         "timings": timings,
+        # shipped/used > 1 is lane padding to the common bucket/page
+        # geometry — link bytes the single-file path does not pay
+        "wire": dict(batch_mod.LAST_WIRE),
     }
 
 

@@ -41,6 +41,13 @@ _VCHUNK_CACHE: dict = {}
 # (diagnostic; bench.py reports it alongside the batch metric)
 LAST_TIMINGS: dict = {}
 
+# link byte accounting of the most recent wire-transport process_batch
+# call: *_used is the sum of the lanes' exact stream lengths, *_shipped
+# what actually crossed the link (used + lane padding to the common
+# bucket/page geometry). shipped/used quantifies how much of the
+# batch-vs-single-file throughput gap is padding rather than software.
+LAST_WIRE: dict = {}
+
 
 class _Lane:
     """Host-side state of one file's stream."""
@@ -297,6 +304,8 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     import time as _time
     timings = {"stage_s": 0.0, "dispatch_s": 0.0, "block_s": 0.0,
                "consume_s": 0.0, "finish_s": 0.0, "chunks": 0}
+    wire_acct = {"in_used": 0, "in_shipped": 0,
+                 "out_used": 0, "out_shipped": 0}
 
     # Staged pipeline, depth 3 (same machine as engine/streaming.py —
     # utils.pipeline.StagedPipeline): per iteration, dispatch chunk k,
@@ -308,7 +317,15 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
 
     def pipe_start(ck):
         f0s, nfs_c, packed_c, _ = ck["ready"]
-        return _fetch_start(lanes, nfs_c, packed_c, engine, wire)
+        started = _fetch_start(lanes, nfs_c, packed_c, engine, wire)
+        if started is not None:
+            _, used, pgs = started
+            wire_acct["out_used"] += sum(used.values())
+            # every page row is fetched for every lane (vmap keeps the
+            # lane axis dense), so shipped = rows x trimmed widths
+            wire_acct["out_shipped"] += sum(
+                4 * int(np.prod(pg.shape)) for pg in pgs)
+        return started
 
     pipe = StagedPipeline(
         pipe_start,
@@ -348,6 +365,8 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                     pb = np.zeros((Bp, bucket), np.uint8)
                     for i, (_, v) in enumerate(items):
                         pb[i, :len(v)] = v
+                    wire_acct["in_used"] += sum(len(v) for _, v in items)
+                    wire_acct["in_shipped"] += pb.size
                     sig_arg = _VUNPACK(pb, engine.chunk_input_len, ch,
                                        WIRE_RICE)
             if sig_arg is None:
@@ -398,6 +417,8 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
         LAST_TIMINGS.clear()
         LAST_TIMINGS.update({k: round(v, 4) if isinstance(v, float) else v
                              for k, v in timings.items()})
+        LAST_WIRE.clear()
+        LAST_WIRE.update(wire_acct)
     finally:
         pool.shutdown(wait=False)
         # an exception escaping the dispatch loop must not leave lane
