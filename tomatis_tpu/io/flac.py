@@ -162,7 +162,7 @@ class FlacWriter:
         """Device-packed little-endian PCM_24 bytes -> int32 -> encoder."""
         if self.bits != 24:
             raise ValueError("write_raw requires PCM_24")
-        from tomatis_tpu.ops.wire import i32_from_le24
+        from tomatis_tpu.utils.pcm import i32_from_le24
         v = i32_from_le24(np.frombuffer(bytes(raw), np.uint8))
         self._lib.tflac_write(
             self._h, v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -93,7 +93,7 @@ def _decode(raw: bytes, subtype: str, channels: int) -> np.ndarray:
     elif subtype == "FLOAT":
         x = np.frombuffer(raw, "<f4").astype(np.float32)
     elif subtype == "PCM_24":
-        from tomatis_tpu.ops.wire import i32_from_le24
+        from tomatis_tpu.utils.pcm import i32_from_le24
         x = (i32_from_le24(np.frombuffer(raw, np.uint8))
              .astype(np.float32) / 8388608.0)
     else:
@@ -171,7 +171,7 @@ class WavReader:
         if st == "PCM_16":
             v = np.frombuffer(raw, "<i2").astype(np.int32) << 8
         elif st == "PCM_24":
-            from tomatis_tpu.ops.wire import i32_from_le24
+            from tomatis_tpu.utils.pcm import i32_from_le24
             v = i32_from_le24(np.frombuffer(raw, np.uint8))
         else:
             raise ValueError(f"int24 read unsupported for {st}")

@@ -41,7 +41,12 @@ import jax
 import jax.numpy as jnp
 
 C1, C2 = 1, 2
-_BIG = jnp.float32(1e9)
+# numpy, not jnp: a module-level jnp scalar would initialize the JAX
+# backend (a TPU attach, minutes on a busy tunnel) on ANY import of
+# tomatis_tpu.ops — including pure-host paths like WAV int24 reads
+import numpy as _np  # noqa: E402
+
+_BIG = _np.float32(1e9)
 
 
 def updelay_frames(up_delay_samples: int, hop: int) -> int:

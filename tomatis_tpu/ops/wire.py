@@ -117,24 +117,10 @@ def max_words(n: int, ch: int) -> int:
     return header_words(n, ch) + 8 * _WMAX * ch * n_blocks(n)
 
 
-def i32_from_le24(b: np.ndarray) -> np.ndarray:
-    """3-byte little-endian PCM_24 -> sign-extended int32 [n]. One
-    memcpy into the top 3 bytes of an i32 plus one arithmetic shift
-    (about 2x faster than or-ing the bytes together). Shared by every
-    PCM_24 byte path (wire raw escape, WAV, FLAC write_raw)."""
-    b = np.ascontiguousarray(b, np.uint8).reshape(-1, 3)
-    v = np.zeros(b.shape[0], "<i4")
-    v.view(np.uint8).reshape(-1, 4)[:, 1:] = b
-    v >>= 8
-    return v
-
-
-def le24_from_i32(v: np.ndarray) -> np.ndarray:
-    """int32 [n] (values in 24-bit range) -> flat uint8 [3n]
-    little-endian: the low 3 bytes of each little-endian i32."""
-    v = np.ascontiguousarray(v, "<i4").reshape(-1)
-    return np.ascontiguousarray(
-        v.view(np.uint8).reshape(-1, 4)[:, :3]).reshape(-1)
+# byte-level PCM_24 converters live in utils.pcm (numpy-only module) so
+# host I/O can use them without importing jax; re-exported here because
+# the wire format is their main consumer
+from tomatis_tpu.utils.pcm import i32_from_le24, le24_from_i32  # noqa: E402,F401
 
 
 def _midside_fwd_np(v: np.ndarray) -> np.ndarray:
