@@ -34,6 +34,31 @@ print("LIGHT-OK")
 """
 
 
+_PIN = """
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["TOMATIS_PLATFORM"] = "cpu"
+from tomatis_tpu.cli.main import _pin_platform
+_pin_platform()
+import jax
+assert jax.devices()[0].platform == "cpu", jax.devices()
+print("PIN-OK")
+"""
+
+
+def test_tomatis_platform_env_pins_backend():
+    """TOMATIS_PLATFORM=cpu must win even where a host plugin overrode
+    jax's platform config at interpreter start (JAX_PLATFORMS alone is
+    ignored there)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run([sys.executable, "-c", _PIN.format(repo=repo)],
+                       capture_output=True, text=True, timeout=120, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PIN-OK" in r.stdout
+
+
 def test_wav_read_does_not_initialize_backend(tmp_path):
     p = str(tmp_path / "a.wav")
     rng = np.random.default_rng(0)

@@ -7,6 +7,7 @@ stays fast and JAX is only imported by commands that compute.
 from __future__ import annotations
 
 import importlib
+import os
 import sys
 
 COMMANDS = {
@@ -94,7 +95,28 @@ COMMANDS = {
 }
 
 
+def _pin_platform() -> None:
+    """Honor TOMATIS_PLATFORM=cpu|tpu|... BEFORE any jax work.
+
+    Hosts that force-register an accelerator plugin may also override
+    jax's platform config at interpreter start, in which case the
+    standard JAX_PLATFORMS env var is silently ignored; the config
+    update wins over both. Lets analysis tools run on CPU while another
+    process owns the (possibly slow-to-attach) accelerator."""
+    plat = os.environ.get("TOMATIS_PLATFORM")
+    if not plat:
+        return
+    os.environ["JAX_PLATFORMS"] = plat
+    try:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    except Exception as e:  # unknown platform: fail at first use, not here
+        print(f"warning: TOMATIS_PLATFORM={plat!r} not applied: {e}",
+              file=sys.stderr)
+
+
 def main(argv=None) -> int:
+    _pin_platform()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: tomatis <command> [options]\n\ncommands:")
