@@ -13,6 +13,7 @@ same executable, jax.sharding does the placement.
 """
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +31,24 @@ from tomatis_tpu.utils.stateio import StateCsvWriter
 _VUNPACK = jax.jit(
     jax.vmap(wire_ops.unpack_device, in_axes=(0, None, None, None)),
     static_argnums=(1, 2, 3))
+
+# flat-staged variant: the host ships ONE tightly packed buffer holding
+# every lane's wire stream (4-byte aligned, largest lane placed last) +
+# a tiny offset vector; the device gathers each lane's bucket-sized
+# window and unpacks. Shipping the padded [lanes, bucket] matrix instead
+# costs ~bucket/2 of zeros per lane on the link (~9% of the h2d
+# direction at 4 lanes x 256 KB buckets); here the padding is one
+# lane's worth for the whole batch. Trailing garbage inside a lane's
+# window is ignored by the unpack (stream length rides its header).
+_FLAT_GRID = 64 * 1024
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _vunpack_flat(flat, offs, bucket, n, ch, rice):
+    rows = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(flat, (o,), (bucket,)))(offs)
+    return jax.vmap(wire_ops.unpack_device,
+                    in_axes=(0, None, None, None))(rows, n, ch, rice)
 
 # (chunk_fn, padded lane count, device tuple) -> jitted vmapped step. A
 # fresh jax.jit wrapper per process_batch call would re-trace and re-load
@@ -319,12 +338,11 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
         f0s, nfs_c, packed_c, _ = ck["ready"]
         started = _fetch_start(lanes, nfs_c, packed_c, engine, wire)
         if started is not None:
-            _, used, pgs = started
+            _, used, lane_pgs = started
             wire_acct["out_used"] += sum(used.values())
-            # every page row is fetched for every lane (vmap keeps the
-            # lane axis dense), so shipped = rows x trimmed widths
             wire_acct["out_shipped"] += sum(
-                4 * int(np.prod(pg.shape)) for pg in pgs)
+                4 * int(r.shape[-1]) for rws in lane_pgs.values()
+                for r in rws)
         return started
 
     pipe = StagedPipeline(
@@ -360,15 +378,30 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 items = list(pool.map(
                     lambda i: stage_encode(sigs[i], False), range(Bp)))
                 if all(k == "wire" for k, _ in items):
-                    bucket = max(-(-len(v) // WIRE_BUCKET) * WIRE_BUCKET
-                                 for _, v in items)
-                    pb = np.zeros((Bp, bucket), np.uint8)
+                    lens = [len(v) for _, v in items]
+                    bucket = max(-(-le // WIRE_BUCKET) * WIRE_BUCKET
+                                 for le in lens)
+                    # pack tightly, 4-byte aligned, largest lane last:
+                    # every lane's bucket-sized device window must stay
+                    # in bounds, so the flat tail pad is bucket minus
+                    # the LAST lane's length — smallest when that lane
+                    # is the largest
+                    order = sorted(range(Bp), key=lambda i: lens[i])
+                    offs = np.zeros(Bp, np.int32)
+                    pos = 0
+                    for j in order:
+                        offs[j] = pos
+                        pos += -(-lens[j] // 4) * 4
+                    need = int(offs[order[-1]]) + bucket
+                    flat_len = -(-need // _FLAT_GRID) * _FLAT_GRID
+                    flat = np.zeros(flat_len, np.uint8)
                     for i, (_, v) in enumerate(items):
-                        pb[i, :len(v)] = v
-                    wire_acct["in_used"] += sum(len(v) for _, v in items)
-                    wire_acct["in_shipped"] += pb.size
-                    sig_arg = _VUNPACK(pb, engine.chunk_input_len, ch,
-                                       WIRE_RICE)
+                        flat[offs[i]:offs[i] + lens[i]] = v
+                    wire_acct["in_used"] += sum(lens)
+                    wire_acct["in_shipped"] += flat_len
+                    sig_arg = _vunpack_flat(flat, offs, bucket,
+                                            engine.chunk_input_len, ch,
+                                            WIRE_RICE)
             if sig_arg is None:
                 # raw float fallback ONLY when the codec couldn't take the
                 # chunk: materializing this 60+ MB device array wastes ~2 s
@@ -430,13 +463,23 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     return [lane.stats() for lane in lanes]
 
 
+# device-side row extraction: page [Bp, PW] -> lane i's [PW] words. One
+# executable for any lane index (i is a traced argument).
+_LANE_ROW = jax.jit(
+    lambda pg, i: jax.lax.dynamic_index_in_dim(pg, i, 0, keepdims=False))
+
+
 def _fetch_start(lanes, nfs, packed, eng, wire):
     """Begin the batch readback: read the (small, already-copied) aux
-    block, issue the async page fetches of only the pages every active
-    lane's stream fits in — so the bulk device->host transfer rides the
-    link while younger chunks are staged/dispatched."""
+    block, then issue PER-LANE async page fetches — each lane ships only
+    ceil(used_i/PAGE) pages with its own 64 KB-bucketed tail trim, and
+    every fetch object is one ~1 MB row (the measured sweet spot on the
+    tunneled link; a whole [lanes, PAGE] group is a 4x larger RPC, which
+    transfers measurably slower AND forces every lane to ship the worst
+    lane's page count)."""
     if not wire:
         return None
+    from tomatis_tpu.engine.streaming import trim_tail_page
     auxw, pages = packed
     aux_np = np.asarray(auxw)
     used = {}
@@ -450,20 +493,20 @@ def _fetch_start(lanes, nfs, packed, eng, wire):
             # a malformed aux block fails ITS lane, not the whole batch —
             # same per-lane isolation as the decode/consume paths below
             lane.fail(e)
-    n_p = max((-(-u // WIRE_PAGE) for u in used.values()), default=0)
-    pgs = list(pages[:n_p])
-    if pgs:
-        # trim the shared last page to the worst lane's used 64 KB bucket
-        from tomatis_tpu.engine.streaming import trim_tail_page
-        tail_words = max(-(-u // 4) - (n_p - 1) * (WIRE_PAGE // 4)
-                         for u in used.values())
-        pgs[-1] = trim_tail_page(pgs[-1], tail_words)
-    for pg in pgs:
-        try:
-            pg.copy_to_host_async()
-        except AttributeError:
-            pass
-    return rows, used, pgs
+    PW = WIRE_PAGE // 4
+    lane_pgs = {}
+    for i, u in used.items():
+        np_i = -(-u // WIRE_PAGE)
+        rws = [_LANE_ROW(pages[p], i) for p in range(np_i)]
+        if rws:
+            rws[-1] = trim_tail_page(rws[-1], -(-u // 4) - (np_i - 1) * PW)
+        for r in rws:
+            try:
+                r.copy_to_host_async()
+            except AttributeError:
+                pass
+        lane_pgs[i] = rws
+    return rows, used, lane_pgs
 
 
 def _consume_all(lanes, frame0s, nfs, packed, out_dev, eng, wire,
@@ -486,18 +529,19 @@ def _consume_all(lanes, frame0s, nfs, packed, out_dev, eng, wire,
 def _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool=None,
                       started=None):
     """Wire-transport batch readback (page p row i is lane i's words
-    [p*PW, (p+1)*PW)): materialize the pages started by _fetch_start and
-    decode lanes on host — in parallel when a pool is given (the C++
-    decode releases the GIL)."""
+    [p*PW, (p+1)*PW)): materialize the per-lane rows started by
+    _fetch_start and decode lanes on host — in parallel when a pool is
+    given (the C++ decode releases the GIL)."""
     from tomatis_tpu.io import wirecodec
     if started is None:
         started = _fetch_start(lanes, nfs, packed, eng, True)
-    rows, _used, pgs = started
-    host_pages = [np.asarray(pg) for pg in pgs]
+    rows, _used, lane_pgs = started
+    host_pages = {i: [np.asarray(r) for r in rws]
+                  for i, rws in lane_pgs.items()}
 
     def decode_one(i):
-        buf = (np.concatenate([hp[i] for hp in host_pages])
-               if host_pages else np.zeros(0, np.uint32))
+        rws = host_pages.get(i, [])
+        buf = (np.concatenate(rws) if rws else np.zeros(0, np.uint32))
         return wirecodec.decode_pcm24(buf.view(np.uint8), eng.emit_full,
                                       eng.channels)
 
