@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass, asdict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -29,7 +29,7 @@ from tomatis_tpu.io import audio
 from tomatis_tpu.models import standard as _standard
 from tomatis_tpu.models import xfade as _xfade
 from tomatis_tpu.ops import dsp, gate as gate_ops, stft
-from tomatis_tpu.ops.dsp import EPS, PEAK_LIMIT
+from tomatis_tpu.ops.dsp import EPS
 from tomatis_tpu.parallel.sharded import (make_mesh,
                                           sharded_adaptive_stream_step,
                                           sharded_stream_step,
