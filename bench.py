@@ -407,7 +407,10 @@ def main() -> int:
                      "xla_cache"))
     cache_primed = os.path.isdir(cache_dir) and bool(os.listdir(cache_dir))
     warm_path = os.path.join(tmp, "warm.wav")
-    audio.write(warm_path, synth(30.0, args.sr, seed=1), args.sr,
+    # long enough to engage the ramp-up schedule (> 2 full chunks), so
+    # the F/4 and F/2 executables also compile here, not in timed run 1
+    warm_secs = 2.2 * args.frames_per_chunk * p.hop / args.sr
+    audio.write(warm_path, synth(warm_secs, args.sr, seed=1), args.sr,
                 subtype="PCM_24")
     _progress("warmup: compiling/loading the chunk executable")
     t0 = time.perf_counter()
@@ -435,7 +438,15 @@ def main() -> int:
         # best-of-N run additionally compares both at their best moments
         wire_st = stats.get("wire", {})
         if wire_st.get("in_bytes", 0) and wire_st.get("out_bytes", 0):
-            n_chunks = -(-stats["n_frames"] // args.frames_per_chunk)
+            # mirror the engine's ramp-up schedule (two smaller leading
+            # chunks): the replay ships the same totals over the same
+            # number of RPC rounds, sizes idealized as even
+            fpc = args.frames_per_chunk
+            nf = stats["n_frames"]
+            if nf > 2 * fpc and fpc % 4 == 0 and fpc // 4 >= 64:
+                n_chunks = 2 + -(-(nf - 3 * (fpc // 4)) // fpc)
+            else:
+                n_chunks = -(-nf // fpc)
             aux_words = 3 * (args.frames_per_chunk
                              + p.n_fft // p.hop - 1) + 2
             floor_runs.append(round(audio_sec / link_floor(

@@ -504,6 +504,25 @@ class StreamRunner:
         self.transport = transport
         self.chunk_fn = engine.make_chunk_fn(controller, transport=transport) \
             if build_chunk_fn else None
+        # Ramp-up: the pipeline's fill transient is paid at chunk
+        # granularity — the first dispatch cannot overlap anything, so a
+        # full-size first chunk serializes ~3 chunk-times of link before
+        # steady state. Starting the stream with two smaller chunks
+        # (F/4, F/2) fills the pipeline ~4x faster, shrinking the fixed
+        # per-run transient (which dominates short runs). Only for
+        # streams long enough to have a steady state; the extra
+        # executables are shape-cached like the primary.
+        F_c = engine.frames_per_chunk
+        self._by_F = {F_c: (engine, self.chunk_fn)}
+        self._ramp = bool(build_chunk_fn and self.plan.n_frames > 2 * F_c
+                          and F_c % 4 == 0 and F_c // 4 >= 64)
+        if self._ramp:
+            for f in (F_c // 4, F_c // 2):
+                e = ChunkedStftEngine(engine.n_fft, engine.hop,
+                                      engine.channels, f,
+                                      window=engine.window)
+                self._by_F[f] = (e, e.make_chunk_fn(controller,
+                                                    transport=transport))
         self.ctl_params = controller.params()
         self.gain_f32 = jnp.float32(self.output_gain)
         self.stats = {}
@@ -511,6 +530,21 @@ class StreamRunner:
         self.wire_input = wire_input
         self.wire_stats = {"in_bytes": 0, "out_bytes": 0,
                            "in_raw_chunks": 0}
+
+    def _chunk_F(self, frame0: int) -> int:
+        """Frame count of the chunk starting at absolute frame `frame0` —
+        a PURE function of frame0, so a run resumed from a checkpoint
+        reproduces the exact chunk boundaries (and therefore the exact
+        float summation order and output bytes) of an uninterrupted
+        run."""
+        F_c = self.engine.frames_per_chunk
+        if not self._ramp:
+            return F_c
+        if frame0 == 0:
+            return F_c // 4
+        if frame0 == F_c // 4:
+            return F_c // 2
+        return F_c
 
     def run(self, source, on_audio: Callable | None = None,
             on_frames: Callable | None = None, ckpt=None,
@@ -601,8 +635,8 @@ class StreamRunner:
             assembly instead of serializing after it."""
             if not wire:
                 return None
-            _, _, c_packed, _ = ready
-            return eng.fetch_wire_start(c_packed[0], c_packed[1])
+            _, _, c_packed, _, c_eng = ready
+            return c_eng.fetch_wire_start(c_packed[0], c_packed[1])
 
         def consume_materialize(ready, started=None):
             """Main thread: wait out the device->host transfers and return
@@ -627,17 +661,17 @@ class StreamRunner:
             releases the GIL) and route it — CSV rows, pending output,
             flush-cut drain, file write."""
             nonlocal out_base, cut_i
-            c_frame0, c_nf, _c_packed, c_out_dev = ready
+            c_frame0, c_nf, _c_packed, c_out_dev, c_eng = ready
             if wire:
                 from tomatis_tpu.io import wirecodec
                 aux, used_bytes, buf = mat
                 payload = wirecodec.decode_pcm24(
-                    buf.view(np.uint8), eng.emit_full, C)
+                    buf.view(np.uint8), c_eng.emit_full, C)
                 self.wire_stats["out_bytes"] += used_bytes
             elif pcm24:
-                payload, aux = eng.unpack_pcm24(mat)
+                payload, aux = c_eng.unpack_pcm24(mat)
             else:
-                payload, aux = eng.unpack_f32(mat)
+                payload, aux = c_eng.unpack_f32(mat)
             log = {"levels": aux[0, :c_nf]}
             for i, k in enumerate(log_keys):
                 log[k] = aux[1 + i, :c_nf]
@@ -648,7 +682,7 @@ class StreamRunner:
             if on_frames is not None:
                 starts = -pad + (c_frame0 + np.arange(c_nf)) * hop
                 on_frames(c_frame0, starts, log)
-            if c_nf < F_c:
+            if c_nf < c_eng.frames_per_chunk:
                 # Partial (final) chunk: the stream's OLA tail lies at
                 # nf*hop, inside the emit region, already normalized.
                 emit_n = c_nf * hop + eng.tail_len
@@ -711,19 +745,23 @@ class StreamRunner:
                                                 StagedPipeline)
 
         def produce(f0):
+            # chunk sizes must track the main loop exactly; _chunk_F is a
+            # pure function of the frame cursor, so both sides agree
             while f0 < n_frames:
-                sig = reader.window(-pad + f0 * hop, eng.chunk_input_len)
+                e_i = self._by_F[self._chunk_F(f0)][0]
+                sig = reader.window(-pad + f0 * hop, e_i.chunk_input_len)
                 item = stage_encode(sig, int_in, self.wire_input)
-                f0 += min(F_c, n_frames - f0)
+                f0 += min(e_i.frames_per_chunk, n_frames - f0)
                 if f0 < n_frames:
                     reader.advance(-pad + f0 * hop)
-                yield item
+                yield item, e_i
 
         writer = OrderedWorker()
         prefetch = Prefetcher(produce(frame0))
 
         def next_staged():
-            return stage_to_device(prefetch.get(), eng.chunk_input_len, C,
+            item, e_i = prefetch.get()
+            return stage_to_device(item, e_i.chunk_input_len, C,
                                    self.wire_stats)
 
         # Software pipeline, depth 3: each chunk's device round trip gets a
@@ -761,9 +799,12 @@ class StreamRunner:
         pipe = StagedPipeline(lambda ck: consume_start(ck["ready"]),
                               pipe_finish)
 
+        last_full = False
         try:
             while frame0 < n_frames:
-                nf = min(F_c, n_frames - frame0)
+                eng_i, fn_i = self._by_F[self._chunk_F(frame0)]
+                nf = min(eng_i.frames_per_chunk, n_frames - frame0)
+                last_full = nf == eng_i.frames_per_chunk
                 take_snap = (ckpt is not None and chunk_i > 0
                              and chunk_i % ckpt.every == 0)
                 if take_snap:
@@ -787,7 +828,7 @@ class StreamRunner:
                         _d["stage_first"] = _time.perf_counter() - _t
 
                 _t = _time.perf_counter()
-                res = self.chunk_fn(
+                res = fn_i(
                     staged, jnp.int32(nf), ctl_carry, out_tail,
                     w_tail, self.ctl_params, self.gain_f32)
                 timings["dispatch_compute_s"] += _time.perf_counter() - _t
@@ -804,7 +845,7 @@ class StreamRunner:
                     packed, ctl_carry, out_tail, w_tail = res
                     out_dev = None
                     wait_arr = packed
-                pipe.push((frame0, nf, packed, out_dev), wait_arr)
+                pipe.push((frame0, nf, packed, out_dev, eng_i), wait_arr)
                 frame0 += nf
 
                 # promote older chunks one pipeline stage each (oldest
@@ -844,7 +885,10 @@ class StreamRunner:
             prefetch.close()
             writer.close()
         # Final: if the last chunk was full, its tail is still in the carry.
-        if n_frames % F_c == 0 and n_frames > 0:
+        # (A checkpoint is always captured before dispatching the chunk at
+        # its frame0 < n_frames, so a resumed run re-enters the loop and
+        # re-derives last_full.)
+        if last_full:
             tail_np = np.asarray(out_tail) / (np.asarray(w_tail)[:, None] + EPS)
             if pcm24:
                 tail_out = tail_np * np.float32(self.output_gain)
