@@ -377,16 +377,19 @@ def main() -> int:
     # the tunneled backend flaps: a failed attach now does not mean a
     # failed attach in two minutes — retry before giving the run up
     dev = None
-    for attempt in range(4):
+    for attempt in range(8):
         try:
             dev = jax.devices()[0]
             break
         except RuntimeError as e:
-            _progress(f"backend attach failed (attempt {attempt + 1}/4): "
+            _progress(f"backend attach failed (attempt {attempt + 1}/8): "
                       f"{e}")
-            if attempt == 3:
+            if attempt == 7:
                 raise
-            time.sleep(90)
+            # observed outage stretches run tens of minutes; a single
+            # attach attempt can itself hang ~25 min before erroring, so
+            # these sleeps are the floor, not the ceiling, of the wait
+            time.sleep(120)
     p = StandardParams(require_48k_stereo=False)
 
     x = synth(args.seconds, args.sr)

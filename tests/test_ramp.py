@@ -61,7 +61,8 @@ def test_ramp_resume_byte_identical(tmp_path, monkeypatch):
     audio.write(ip, x, SR, subtype="PCM_24")
 
     ref = tmp_path / "ref.wav"
-    process(ip, ref, P, frames_per_chunk=256)
+    process(ip, ref, P, frames_per_chunk=256,
+            state_csv_path=tmp_path / "ref.csv")
 
     out = tmp_path / "out.wav"
     ck = tmp_path / "ck.npz"
@@ -78,11 +79,13 @@ def test_ramp_resume_byte_identical(tmp_path, monkeypatch):
     monkeypatch.setattr(S.StreamRunner, "_write_cut_pcm24", bomb)
     with pytest.raises(_Bomb):
         process(ip, out, P, frames_per_chunk=256, checkpoint_path=ck,
-                checkpoint_every=2)
+                checkpoint_every=2, state_csv_path=tmp_path / "out.csv")
     monkeypatch.setattr(S.StreamRunner, "_write_cut_pcm24", orig)
     assert ck.exists()
     process(ip, out, P, frames_per_chunk=256, checkpoint_path=ck,
-            checkpoint_every=2)
+            checkpoint_every=2, state_csv_path=tmp_path / "out.csv")
     assert not ck.exists()
     assert (out.read_bytes() == ref.read_bytes()), \
         "resumed ramped run diverged from the uninterrupted run"
+    assert ((tmp_path / "out.csv").read_bytes()
+            == (tmp_path / "ref.csv").read_bytes())
