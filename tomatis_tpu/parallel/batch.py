@@ -26,20 +26,15 @@ from tomatis_tpu.ops import wire as wire_ops
 from tomatis_tpu.utils.rolling import RollingReader
 from tomatis_tpu.utils.stateio import StateCsvWriter
 
-# vmapped device-side input unpack for wire-compressed lanes; jit caches
-# one trace per (bucket, n, ch)
-_VUNPACK = jax.jit(
-    jax.vmap(wire_ops.unpack_device, in_axes=(0, None, None, None)),
-    static_argnums=(1, 2, 3))
-
-# flat-staged variant: the host ships ONE tightly packed buffer holding
-# every lane's wire stream (4-byte aligned, largest lane placed last) +
-# a tiny offset vector; the device gathers each lane's bucket-sized
-# window and unpacks. Shipping the padded [lanes, bucket] matrix instead
-# costs ~bucket/2 of zeros per lane on the link (~9% of the h2d
-# direction at 4 lanes x 256 KB buckets); here the padding is one
-# lane's worth for the whole batch. Trailing garbage inside a lane's
-# window is ignored by the unpack (stream length rides its header).
+# flat-staged device-side input unpack: the host ships ONE tightly
+# packed buffer holding every lane's wire stream (4-byte aligned,
+# largest lane placed last) + a tiny offset vector; the device gathers
+# each lane's bucket-sized window and unpacks. Shipping a padded
+# [lanes, bucket] matrix instead costs ~bucket/2 of zeros per lane on
+# the link (measured 9.2% of the h2d direction at 4 lanes x 256 KB
+# buckets); here the padding is one lane's worth for the whole batch
+# (measured 2.7%). Trailing garbage inside a lane's window is ignored
+# by the unpack (stream length rides its header).
 _FLAT_GRID = 64 * 1024
 
 
