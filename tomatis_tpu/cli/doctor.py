@@ -14,6 +14,9 @@ def main(argv=None) -> int:
         description="Verify the runtime environment end to end")
     ap.add_argument("--skip_device", action="store_true",
                     help="skip the accelerator checks")
+    ap.add_argument("--device_timeout", type=float, default=60.0,
+                    help="seconds to wait for the backend attach before "
+                         "reporting the link as down (default 60)")
     args = ap.parse_args(argv)
     ok = True
 
@@ -50,9 +53,32 @@ def main(argv=None) -> int:
     def devices():
         if args.skip_device:
             return "skipped"
-        import jax
-        devs = jax.devices()
-        return f"{len(devs)} x {devs[0].platform}: {devs[0]}"
+        # time-boxed: attaching a tunneled accelerator can hang for many
+        # minutes when the link is down — an environment CHECK must
+        # report that, not reproduce it. The probe thread is a daemon;
+        # if it is still stuck at process exit it dies with the process.
+        import threading
+        res: dict = {}
+
+        def probe():
+            try:
+                import jax
+                devs = jax.devices()
+                res["ok"] = f"{len(devs)} x {devs[0].platform}: {devs[0]}"
+            except Exception as e:  # pragma: no cover - backend-specific
+                res["err"] = e
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout=args.device_timeout)
+        if t.is_alive():
+            raise TimeoutError(
+                f"no backend after {args.device_timeout:.0f}s — the "
+                "accelerator link may be down (rerun with --skip_device "
+                "or TOMATIS_PLATFORM=cpu)")
+        if "err" in res:
+            raise res["err"]
+        return res["ok"]
 
     check("jax devices", devices)
 
