@@ -1,0 +1,121 @@
+"""Property-based invariants (hypothesis) for the pure host-side layers:
+the wire codec's three-way agreement and size bound, the PCM byte
+converters, the WAV container round trip, and the flush plan's coverage
+guarantees. These layers see adversarial data in production (arbitrary
+user audio, truncated files), so random-structure testing earns its keep
+beyond the fixed-vector suites."""
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from tomatis_tpu.ops import wire
+from tomatis_tpu.io import wirecodec
+from tomatis_tpu.utils import pcm
+
+I24 = st.integers(min_value=-(1 << 23), max_value=(1 << 23) - 1)
+
+
+@st.composite
+def int24_signal(draw, max_frames=1400):
+    """Random [n, ch] int32 arrays in PCM_24 range, biased toward the
+    structures the codec keys on: constants, ramps, small residuals,
+    full-scale noise, and exact block-multiple lengths."""
+    ch = draw(st.sampled_from([1, 2]))
+    n = draw(st.one_of(st.integers(0, max_frames),
+                       st.sampled_from([0, 1, 255, 256, 257, 512, 1024])))
+    kind = draw(st.sampled_from(["noise", "quiet", "ramp", "const", "mix"]))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31 - 1)))
+    if kind == "noise":
+        v = rng.integers(-(1 << 23), 1 << 23, size=(n, ch))
+    elif kind == "quiet":
+        v = rng.integers(-300, 300, size=(n, ch))
+    elif kind == "ramp":
+        base = np.arange(n, dtype=np.int64)[:, None] * draw(I24) // max(n, 1)
+        v = np.clip(base + rng.integers(-5, 5, size=(n, ch)),
+                    -(1 << 23), (1 << 23) - 1)
+    elif kind == "const":
+        v = np.full((n, ch), draw(I24), np.int64)
+    else:
+        v = rng.integers(-(1 << 23), 1 << 23, size=(n, ch))
+        v[: n // 2] //= 1 << draw(st.integers(0, 20))
+    return v.astype(np.int32)
+
+
+@settings(max_examples=120, deadline=None)
+@given(int24_signal(), st.booleans())
+def test_wire_roundtrip_and_size_bound(v, rice):
+    """decode(encode(v)) == v for the numpy oracle AND the native codec,
+    both agreeing bit-for-bit on the stream; the stream never exceeds
+    the raw escape's size."""
+    buf = wire.encode_np(v, rice=rice)          # uint8 stream bytes
+    n, ch = v.shape
+    assert len(buf) % 4 == 0
+    assert len(buf) // 4 <= wire.raw_words(n, ch), "raw escape bound violated"
+    out = wire.decode_np(buf)
+    np.testing.assert_array_equal(out, v)
+    if wirecodec.available():
+        cbuf = wirecodec.encode_i32(v, rice=rice)
+        np.testing.assert_array_equal(np.asarray(cbuf, np.uint8),
+                                      np.asarray(buf, np.uint8))
+        got = wirecodec.decode_i32(buf, n, ch)
+        np.testing.assert_array_equal(got, v)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(I24, min_size=0, max_size=600))
+def test_pcm24_byte_converters_roundtrip(vals):
+    v = np.asarray(vals, np.int32)
+    b = pcm.le24_from_i32(v)
+    assert len(b) == 3 * len(v)
+    np.testing.assert_array_equal(pcm.i32_from_le24(b), v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 5000), st.sampled_from([1, 2, 3]),
+       st.sampled_from(["PCM_16", "PCM_24", "PCM_32", "FLOAT"]),
+       st.integers(0, 2**31 - 1))
+def test_wav_roundtrip(n, ch, subtype, seed):
+    import io as _io
+    import os
+    import tempfile
+    from tomatis_tpu.io import wav
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal((n, ch)) * 0.4).clip(-1, 1).astype(np.float32)
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.wav")
+    w = wav.WavWriter(p, 48000, ch, subtype)
+    # split writes at a random point: the writer streams
+    k = int(rng.integers(0, n + 1))
+    w.write(x[:k]); w.write(x[k:]); w.close()
+    r = wav.WavReader(p)
+    assert r.frames == n and r.channels == ch and r.subtype == subtype
+    y = r.read(-1)
+    r.close()
+    bits = {"PCM_16": 15, "PCM_24": 23, "PCM_32": 31, "FLOAT": None}[subtype]
+    tol = 0.0 if bits is None else 1.0 / (1 << bits)
+    assert y.shape == x.shape
+    assert np.max(np.abs(y - x), initial=0.0) <= tol
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, 10_000_000), st.sampled_from([4096, 2048, 1024]),
+       st.sampled_from([2048, 1024, 512]))
+def test_flush_plan_partitions_stream(total, n_fft, hop):
+    """Cuts must tile [-pad, last_frame_end) contiguously with positive
+    lengths; every cut except the last is >= the flush threshold."""
+    if n_fft % hop or (n_fft // 2) % hop:
+        return
+    from tomatis_tpu.engine.streaming import FLUSH_THRESHOLD, flush_plan
+    plan = flush_plan(total, n_fft, hop)
+    if plan.n_frames <= 0:
+        assert plan.cuts == []
+        return
+    end = -plan.pad + (plan.n_frames - 1) * hop + n_fft
+    pos = -plan.pad
+    for i, (start, ln) in enumerate(plan.cuts):
+        assert start == pos and ln > 0
+        if i < len(plan.cuts) - 1:
+            assert ln >= FLUSH_THRESHOLD
+        pos += ln
+    assert pos == end
+    # every frame the reference would emit is covered exactly once
+    assert plan.pad == n_fft // 2

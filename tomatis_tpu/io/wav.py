@@ -109,7 +109,10 @@ def _encode(data: np.ndarray, subtype: str) -> bytes:
         v = np.clip(np.rint(data * 32768.0), -32768, 32767).astype("<i2")
         return v.tobytes()
     if subtype == "PCM_32":
-        v = np.clip(np.rint(data * 2147483648.0), -2147483648, 2147483647).astype("<i4")
+        # float64 before the clip: in float32 the +2147483647 bound
+        # rounds up to 2^31, and astype(int32) then wraps +1.0 to -1.0
+        v = np.clip(np.rint(data.astype(np.float64) * 2147483648.0),
+                    -2147483648, 2147483647).astype("<i4")
         return v.tobytes()
     if subtype == "PCM_24":
         v = np.clip(np.rint(data * 8388608.0), -8388608, 8388607).astype(np.int32)
