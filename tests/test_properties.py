@@ -74,7 +74,6 @@ def test_pcm24_byte_converters_roundtrip(vals):
        st.sampled_from(["PCM_16", "PCM_24", "PCM_32", "FLOAT"]),
        st.integers(0, 2**31 - 1))
 def test_wav_roundtrip(n, ch, subtype, seed):
-    import io as _io
     import os
     import tempfile
     from tomatis_tpu.io import wav
@@ -119,3 +118,83 @@ def test_flush_plan_partitions_stream(total, n_fft, hop):
     assert pos == end
     # every frame the reference would emit is covered exactly once
     assert plan.pad == n_fft // 2
+
+
+# ---------------------------------------------------------------------------
+# Gate state machines: associative-scan forms vs the reference loop oracles
+# on random level sequences clustered around the thresholds (the fixed-
+# vector suites cover known adversarial cases; random sequences cover the
+# composition space of the transition tables).
+# ---------------------------------------------------------------------------
+
+TON, TOFF = -38.5, -41.5
+LEVELS = st.lists(
+    st.sampled_from([-55.0, -41.5, -41.4, -40.0, -38.6, -38.5, -30.0]),
+    min_size=1, max_size=400)
+
+
+@settings(max_examples=80, deadline=None)
+@given(LEVELS, st.integers(0, 5))
+def test_gate_updelay_scan_matches_loop(levels, D):
+    from tests.oracle import refdsp
+    from tomatis_tpu.ops import gate
+    hop = 2048
+    lv = np.asarray(levels, np.float32)
+    ref = refdsp.gate_updelay_loop(lv.astype(np.float64), TON, TOFF,
+                                   D * hop, hop)
+    got, _ = gate.gate_updelay(lv, TON, TOFF, D)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+@settings(max_examples=80, deadline=None)
+@given(LEVELS, st.integers(0, 8))
+def test_gate_minhold_scan_matches_loop(levels, hold):
+    from tests.oracle import refdsp
+    from tomatis_tpu.ops import gate
+    lv = np.asarray(levels, np.float32)
+    ref = refdsp.gate_minhold_loop(lv.astype(np.float64), -40.0,
+                                   hyst_db=3.0, min_hold_frames=hold)
+    got, _ = gate.gate_minhold(lv, TON, TOFF, hold)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from([0.0, 1.0]), min_size=1, max_size=300),
+       st.sampled_from([0.05, 0.1, 0.25, 1.0]),
+       st.sampled_from([0.0, 0.3, 1.0]))
+def test_alpha_ramp_matches_loop(targets, step, alpha0):
+    from tests.oracle import refdsp
+    from tomatis_tpu.ops import gate
+    t = np.asarray(targets, np.float32)
+    ref = refdsp.alpha_ramp_loop(t.astype(np.float64), step, alpha0)
+    got = np.asarray(gate.alpha_ramp(t, step, alpha0))
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 4000), st.integers(1, 6), st.integers(0, 2**31 - 1))
+def test_rolling_reader_matches_array_slices(total, nwin, seed):
+    """RollingReader windows/advance over a streamed source must equal
+    plain array slicing with zero padding outside [0, total)."""
+    from tomatis_tpu.utils.rolling import RollingReader
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((total, 2)).astype(np.float32)
+    cur = [0]
+
+    def read(n):
+        blk = x[cur[0]:cur[0] + n]
+        cur[0] += len(blk)
+        return blk
+    pad = int(rng.integers(0, 3000))
+    rr = RollingReader(read, 2, left_pad=pad, base=-pad, block=1000)
+    start = -pad
+    for _ in range(nwin):
+        n = int(rng.integers(1, 5000))
+        w = rr.window(start, n)
+        ref = np.zeros((n, 2), np.float32)
+        lo, hi = max(0, start), min(total, start + n)
+        if hi > lo:
+            ref[lo - start:hi - start] = x[lo:hi]
+        np.testing.assert_array_equal(w, ref)
+        start += int(rng.integers(0, 4000))
+        rr.advance(min(start, total))
