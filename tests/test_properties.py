@@ -198,3 +198,41 @@ def test_rolling_reader_matches_array_slices(total, nwin, seed):
         np.testing.assert_array_equal(w, ref)
         start += int(rng.integers(0, 4000))
         rr.advance(min(start, total))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(0, 120),
+       st.lists(st.tuples(st.integers(0, 5000), st.integers(1, 255)),
+                min_size=0, max_size=6))
+def test_flac_pure_decoder_survives_corruption(seed, trunc, flips):
+    """Truncations and byte-flips of a valid FLAC stream must yield data
+    or a controlled error (ValueError/EOFError/IndexError wrapped),
+    never a hang, crash, or unbounded allocation."""
+    import os
+    import tempfile
+    from tomatis_tpu.io import flac, flac_py
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal((2000, 2)) * 0.3).clip(-1, 1).astype(np.float32)
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.flac")
+    try:
+        w = flac.FlacWriter(p, 48000, 2, "PCM_24")
+    except Exception:
+        return  # no compiler: the native encoder is unavailable here
+    w.write(x)
+    w.close()
+    blob = bytearray(open(p, "rb").read())
+    if trunc:
+        blob = blob[:max(4, len(blob) - trunc)]
+    for pos, val in flips:
+        if len(blob) > 42:
+            blob[42 + pos % (len(blob) - 42)] ^= val
+    q = os.path.join(d, "c.flac")
+    open(q, "wb").write(bytes(blob))
+    try:
+        r = flac_py.PureFlacReader(q)
+        y = r.read(-1)
+        assert y.shape[0] <= 16 * 2000   # no runaway output
+        r.close()
+    except (ValueError, EOFError, OSError, NotImplementedError):
+        pass
