@@ -236,3 +236,26 @@ def test_flac_pure_decoder_survives_corruption(seed, trunc, flips):
         r.close()
     except (ValueError, EOFError, OSError, NotImplementedError):
         pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(4800, 48000), st.integers(0, 2**31 - 1))
+def test_unity_tilt_is_transparent(n, seed):
+    """With all four plateau gains at 0 dB the tilt curve is unity, so
+    the whole engine (pad, window, rFFT bank, OLA, sum-of-squares
+    normalization, crop) must reconstruct the input exactly (float32
+    tolerance) at every stream length — the classic COLA identity under
+    the reference's exact padding rules."""
+    from tomatis_tpu.models.standard import StandardParams, process_array
+    rng = np.random.default_rng(seed)
+    # keep peaks clear of the 0.999 per-flush clamp: transparency holds
+    # only where the reference's write_clamped does not rescale
+    x = (rng.standard_normal((n, 2)) * 0.1).clip(-0.9, 0.9).astype(np.float32)
+    p = StandardParams(c1_low=0.0, c1_high=0.0, c2_low=0.0, c2_high=0.0,
+                       require_48k_stereo=False)
+    y, _ = process_array(x, 48000, p, frames_per_chunk=32)
+    assert y.shape == x.shape
+    # float32 rfft+irfft roundtrip noise at n_fft=4096 reaches ~5e-6
+    # on 0.1-amplitude material (~-86 dBFS); anything structural would
+    # be orders of magnitude larger
+    np.testing.assert_allclose(y, x, atol=1e-5)
