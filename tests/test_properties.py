@@ -255,7 +255,12 @@ def test_unity_tilt_is_transparent(n, seed):
                        require_48k_stereo=False)
     y, _ = process_array(x, 48000, p, frames_per_chunk=32)
     assert y.shape == x.shape
-    # float32 rfft+irfft roundtrip noise at n_fft=4096 reaches ~5e-6
-    # on 0.1-amplitude material (~-86 dBFS); anything structural would
-    # be orders of magnitude larger
-    np.testing.assert_allclose(y, x, atol=1e-5)
+    # interior: float32 rfft+irfft roundtrip noise (~-90 dBFS on 0.1
+    # amplitude). The last few samples sit under the window's tail where
+    # the sum-of-squares normalizer is small: y = x + sum(w*noise)/sum(w^2),
+    # so the FFT noise is amplified by ~1/w at the stream edge — the
+    # reference divides identically (its float64 noise floor just hides
+    # it). Depending on where the frame grid lands, the final samples
+    # reach ~1e-4; bound them at -60 dBFS.
+    np.testing.assert_allclose(y[:-64], x[:-64], atol=1e-5)
+    np.testing.assert_allclose(y[-64:], x[-64:], atol=1e-3)
