@@ -261,6 +261,6 @@ def test_unity_tilt_is_transparent(n, seed):
     # so the FFT noise is amplified by ~1/w at the stream edge — the
     # reference divides identically (its float64 noise floor just hides
     # it). Depending on where the frame grid lands, the final samples
-    # reach ~1e-4; bound them at -60 dBFS.
-    np.testing.assert_allclose(y[:-64], x[:-64], atol=1e-5)
-    np.testing.assert_allclose(y[-64:], x[-64:], atol=1e-3)
+    # reach ~1e-4 over the final hop; bound that region at -60 dBFS.
+    np.testing.assert_allclose(y[:-2048], x[:-2048], atol=1e-5)
+    np.testing.assert_allclose(y[-2048:], x[-2048:], atol=1e-3)
