@@ -255,12 +255,21 @@ def test_unity_tilt_is_transparent(n, seed):
                        require_48k_stereo=False)
     y, _ = process_array(x, 48000, p, frames_per_chunk=32)
     assert y.shape == x.shape
-    # interior: float32 rfft+irfft roundtrip noise (~-90 dBFS on 0.1
-    # amplitude). The last few samples sit under the window's tail where
-    # the sum-of-squares normalizer is small: y = x + sum(w*noise)/sum(w^2),
-    # so the FFT noise is amplified by ~1/w at the stream edge — the
-    # reference divides identically (its float64 noise floor just hides
-    # it). Depending on where the frame grid lands, the final samples
-    # reach ~1e-4 over the final hop; bound that region at -60 dBFS.
-    np.testing.assert_allclose(y[:-2048], x[:-2048], atol=1e-5)
-    np.testing.assert_allclose(y[-2048:], x[-2048:], atol=1e-3)
+    # float32 rfft+irfft roundtrip noise is ~-90 dBFS on 0.1 amplitude in
+    # the interior. Near the stream edges the sum-of-squares normalizer
+    # shrinks: y = x + sum(w*noise)/sum(w^2), so the FFT noise is
+    # amplified by ~1/w ≈ 1/sqrt(sum(w^2)) wherever a single frame tail
+    # dominates — the reference divides identically (its float64 noise
+    # floor just hides it), and depending on where the frame grid lands
+    # (n mod hop) sum(w^2) at the last sample can be ~1e-10. Bound the
+    # error by the same model instead of a flat tail tolerance.
+    n_fft, hop = p.n_fft, p.hop
+    pad = n_fft // 2
+    pad_end = (hop - ((n - n_fft) % hop)) % hop
+    w2 = np.hanning(n_fft) ** 2
+    w2sum = np.zeros(pad + n + pad_end)
+    for start in range(0, pad + n + pad_end - n_fft + 1, hop):
+        w2sum[start:start + n_fft] += w2
+    tol = 1e-5 + 5e-7 / np.sqrt(np.maximum(w2sum[pad:pad + n], 1e-12))
+    np.testing.assert_array_less(np.abs(y - x),
+                                 np.broadcast_to(tol[:, None], y.shape))
