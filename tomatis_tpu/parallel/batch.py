@@ -115,21 +115,6 @@ class _Lane:
             except Exception:
                 pass
 
-    def next_sig(self):
-        """Prepare this lane's fixed-shape input slice; returns (sig, nf)."""
-        eng = self.eng
-        nf = min(eng.frames_per_chunk, self.n_frames - self.frame0)
-        if nf <= 0:
-            return (np.zeros((eng.chunk_input_len, eng.channels),
-                             np.float32), 0)
-        sig = self.rolling.window(-self.plan.pad + self.frame0 * eng.hop,
-                                  eng.chunk_input_len)
-        return sig, nf
-
-    def advance(self, nf):
-        self.frame0 += nf
-        self.rolling.advance(-self.plan.pad + self.frame0 * self.eng.hop)
-
     def consume(self, c_frame0, c_nf, payload, aux, out_dev):
         """Route one chunk's already-decoded PCM bytes + aux rows.
 
@@ -321,55 +306,62 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     wire_acct = {"in_used": 0, "in_shipped": 0,
                  "out_used": 0, "out_shipped": 0}
 
-    # Staged pipeline, depth 3 (same machine as engine/streaming.py —
-    # utils.pipeline.StagedPipeline): per iteration, dispatch chunk k,
-    # then wait-and-copy chunk k-1's aux, issue chunk k-2's page
-    # fetches, and materialize+decode chunk k-3 — so the main thread
-    # only ever waits for transfers that already had a full iteration of
-    # link time.
-    from tomatis_tpu.utils.pipeline import StagedPipeline
+    # Three-thread driver, same shape as engine/streaming.py: a producer
+    # thread owns the input side (file reads + C++ wire encode + flat
+    # pack, one chunk of lookahead), the main thread does ALL jax
+    # dispatch and the link waits, and an ordered worker runs the host
+    # half (wire decode, CSV rows, flush-cut drain, file writes) —
+    # overlapping the next chunk's transfers. Before this split the
+    # stage and consume halves serialized with the link on the main
+    # thread and the batch ran at ~1/3 of its own transfer floor.
+    from tomatis_tpu.utils.pipeline import (OrderedWorker, Prefetcher,
+                                            StagedPipeline)
 
-    def pipe_start(ck):
-        f0s, nfs_c, packed_c, _ = ck["ready"]
-        started = _fetch_start(lanes, nfs_c, packed_c, engine, wire)
-        if started is not None:
-            _, used, lane_pgs = started
-            wire_acct["out_used"] += sum(used.values())
-            wire_acct["out_shipped"] += sum(
-                4 * int(r.shape[-1]) for rws in lane_pgs.values()
-                for r in rws)
-        return started
+    def produce():
+        """Producer thread: stage chunk inputs one ahead of dispatch.
 
-    pipe = StagedPipeline(
-        pipe_start,
-        lambda ck: _consume_all(lanes, *ck["ready"], engine, wire, pool,
-                                ck["started"]))
-
-    try:
+        Owns the readers/rolling buffers and its own frame cursors (the
+        main thread's lane.frame0 tracks dispatch, which runs one chunk
+        behind). Per-lane read errors ride the yielded item and are
+        failed on the main thread. A lane failed on the consume side is
+        skipped from the next chunk on; at most one already-staged chunk
+        of it crosses the link as dead weight, never routed."""
+        pf0 = [0] * Bp
         while True:
-            _t = _time.perf_counter()
             sigs = np.zeros((Bp, engine.chunk_input_len, ch), np.float32)
             nfs = np.zeros(Bp, np.int32)
+            errs = {}
             active = False
             for i, lane in enumerate(lanes):
                 if lane.done or lane.failed:
                     continue
-                try:
-                    sig, nf = lane.next_sig()
-                except Exception as e:
-                    lane.fail(e)
+                nf = min(engine.frames_per_chunk, lane.n_frames - pf0[i])
+                if nf <= 0:
                     continue
-                sigs[i] = sig
+                try:
+                    sigs[i] = lane.rolling.window(
+                        -lane.plan.pad + pf0[i] * engine.hop,
+                        engine.chunk_input_len)
+                    pf0[i] += nf
+                    lane.rolling.advance(
+                        -lane.plan.pad + pf0[i] * engine.hop)
+                except Exception as e:
+                    # racing lane.fail() may close the reader mid-window;
+                    # surface whatever was raised and let the main thread
+                    # fail the lane (fail() is idempotent)
+                    errs[i] = e
+                    continue
                 nfs[i] = nf
-                active = active or nf > 0
-            if not active:
-                break
-            sig_arg = None
-            if wire:
-                # wire-compress each lane's input on host; one vmapped unpack
-                # restores all lanes on device. Any non-PCM_24-exact lane
-                # (float sources) falls the whole chunk back to raw floats.
-                # The C++ encode releases the GIL — lanes encode in parallel.
+                active = True
+            if not active and not errs:
+                return
+            item = None
+            if wire and active:
+                # wire-compress each lane's input on host; one vmapped
+                # unpack restores all lanes on device. Any non-PCM_24-
+                # exact lane (float sources) falls the whole chunk back
+                # to raw floats. The C++ encode releases the GIL — lanes
+                # encode in parallel.
                 items = list(pool.map(
                     lambda i: stage_encode(sigs[i], False), range(Bp)))
                 if all(k == "wire" for k, _ in items):
@@ -392,16 +384,80 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                     flat = np.zeros(flat_len, np.uint8)
                     for i, (_, v) in enumerate(items):
                         flat[offs[i]:offs[i] + lens[i]] = v
-                    wire_acct["in_used"] += sum(lens)
-                    wire_acct["in_shipped"] += flat_len
-                    sig_arg = _vunpack_flat(flat, offs, bucket,
-                                            engine.chunk_input_len, ch,
-                                            WIRE_RICE)
-            if sig_arg is None:
+                    item = ("wire", (flat, offs, bucket), sum(lens),
+                            flat_len)
+            if item is None:
+                item = ("f32", sigs, 0, 0)
+            yield item, nfs, errs
+
+    def pipe_start(ck):
+        f0s, nfs_c, packed_c, _ = ck["ready"]
+        started = _fetch_start(lanes, nfs_c, packed_c, engine, wire)
+        if started is not None:
+            _, used, lane_pgs = started
+            wire_acct["out_used"] += sum(used.values())
+            wire_acct["out_shipped"] += sum(
+                4 * int(r.shape[-1]) for rws in lane_pgs.values()
+                for r in rws)
+        return started
+
+    def pipe_finish(ck):
+        """S3, main thread: materialize the already-issued transfers and
+        row-slice out_dev (jax dispatch stays here); the decode + route
+        half runs on the ordered worker."""
+        f0s, nfs_c, packed_c, out_dev_c = ck["ready"]
+        if wire:
+            started = ck["started"]
+            if started is None:
+                started = pipe_start(ck)
+            rows, _used, lane_pgs = started
+            host_pages = {i: [np.asarray(r) for r in rws]
+                          for i, rws in lane_pgs.items()}
+            od = {i: out_dev_c[i] for i in rows}
+
+            def job():
+                _consume_wire_host(lanes, f0s, nfs_c, rows, host_pages,
+                                   od, engine, pool)
+        else:
+            packed_np = np.asarray(packed_c)
+            od = {i: out_dev_c[i] for i in range(len(lanes))
+                  if not lanes[i].failed and int(nfs_c[i]) > 0}
+
+            def job():
+                _consume_pcm24_host(lanes, f0s, nfs_c, packed_np, od,
+                                    engine)
+        worker.submit(job)
+
+    worker = OrderedWorker()
+    prefetch = Prefetcher(produce())
+    pipe = StagedPipeline(pipe_start, pipe_finish)
+
+    try:
+        while True:
+            _t = _time.perf_counter()
+            try:
+                item, nfs, errs = prefetch.get()
+            except StopIteration:
+                break
+            for i, e in errs.items():
+                lanes[i].fail(e)
+            kind, payload, in_used, in_shipped = item
+            if not nfs.any():
+                continue
+            if all(lane.done or lane.failed for lane in lanes):
+                break   # nothing left to route; drop the staged chunk
+            if kind == "wire":
+                flat, offs, bucket = payload
+                wire_acct["in_used"] += in_used
+                wire_acct["in_shipped"] += in_shipped
+                sig_arg = _vunpack_flat(flat, offs, bucket,
+                                        engine.chunk_input_len, ch,
+                                        WIRE_RICE)
+            else:
                 # raw float fallback ONLY when the codec couldn't take the
                 # chunk: materializing this 60+ MB device array wastes ~2 s
                 # of link time per chunk if done unconditionally
-                sig_arg = jnp.asarray(sigs)
+                sig_arg = jnp.asarray(payload)
             timings["stage_s"] += _time.perf_counter() - _t
             _t = _time.perf_counter()
             res = vchunk(sig_arg, jnp.asarray(nfs), carry_b,
@@ -418,7 +474,7 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             frame0s = [ln.frame0 for ln in lanes]
             for i, lane in enumerate(lanes):
                 if not (lane.done or lane.failed) and nfs[i] > 0:
-                    lane.advance(int(nfs[i]))
+                    lane.frame0 += int(nfs[i])
             pipe.push((frame0s, nfs, packed, out_dev), wait_arr)
 
             _t = _time.perf_counter()
@@ -429,6 +485,7 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 timings["consume_s"] += _time.perf_counter() - _t
         _t = _time.perf_counter()
         pipe.drain()
+        worker.check(join=True)
         timings["consume_s"] += _time.perf_counter() - _t
 
         _t = _time.perf_counter()
@@ -448,6 +505,8 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
         LAST_WIRE.clear()
         LAST_WIRE.update(wire_acct)
     finally:
+        prefetch.close()
+        worker.close()
         pool.shutdown(wait=False)
         # an exception escaping the dispatch loop must not leave lane
         # sinks open (WAV headers are patched and FLAC streams finalized
@@ -504,35 +563,28 @@ def _fetch_start(lanes, nfs, packed, eng, wire):
     return rows, used, lane_pgs
 
 
-def _consume_all(lanes, frame0s, nfs, packed, out_dev, eng, wire,
-                 pool=None, started=None):
-    if wire:
-        _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool,
-                          started)
-        return
-    packed_np = np.asarray(packed)
+def _consume_pcm24_host(lanes, frame0s, nfs, packed_np, od, eng):
+    """Worker-thread half of the pcm24 readback: unpack the (already
+    materialized) payload matrix and route each lane's chunk. od maps
+    lane index -> its pre-sliced out_dev row (sliced on the main thread;
+    only the rare clamped-flush path ever reads it)."""
     for i, lane in enumerate(lanes):
-        if lane.failed or int(nfs[i]) <= 0:
+        if i not in od or lane.failed:
             continue
         try:
             payload, aux = eng.unpack_pcm24(packed_np[i])
-            lane.consume(frame0s[i], int(nfs[i]), payload, aux, out_dev[i])
+            lane.consume(frame0s[i], int(nfs[i]), payload, aux, od[i])
         except Exception as e:
             lane.fail(e)
 
 
-def _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool=None,
-                      started=None):
-    """Wire-transport batch readback (page p row i is lane i's words
-    [p*PW, (p+1)*PW)): materialize the per-lane rows started by
-    _fetch_start and decode lanes on host — in parallel when a pool is
-    given (the C++ decode releases the GIL)."""
+def _consume_wire_host(lanes, frame0s, nfs, rows, host_pages, od, eng,
+                       pool=None):
+    """Worker-thread half of the wire readback (page p row i is lane i's
+    words [p*PW, (p+1)*PW)): decode the already-materialized per-lane
+    pages — in parallel when a pool is given (the C++ decode releases
+    the GIL) — and route each lane's chunk."""
     from tomatis_tpu.io import wirecodec
-    if started is None:
-        started = _fetch_start(lanes, nfs, packed, eng, True)
-    rows, _used, lane_pgs = started
-    host_pages = {i: [np.asarray(r) for r in rws]
-                  for i, rws in lane_pgs.items()}
 
     def decode_one(i):
         rws = host_pages.get(i, [])
@@ -542,11 +594,11 @@ def _consume_all_wire(lanes, frame0s, nfs, packed, out_dev, eng, pool=None,
 
     futs = {i: pool.submit(decode_one, i) for i in rows} if pool else None
     for i, lane in enumerate(lanes):
-        if i not in rows:
+        if i not in rows or lane.failed:
             continue
         try:
             payload = futs[i].result() if futs else decode_one(i)
             lane.consume(frame0s[i], int(nfs[i]), payload, rows[i],
-                         out_dev[i])
+                         od[i])
         except Exception as e:
             lane.fail(e)
