@@ -241,3 +241,80 @@ def test_batch_link_bytes_accounting(tmp_path):
     # separates the layouts cleanly.
     assert w["in_shipped"] < w["in_used"] * 1.06, w
     assert w["out_shipped"] < w["out_used"] * 1.12, w
+
+
+def test_batch_midstream_read_failure_isolated(tmp_path, monkeypatch):
+    """A lane whose READER dies mid-stream (after open succeeded) fails in
+    isolation through the producer thread's error path; the other lane
+    still matches the single-file engine byte for byte."""
+    from tomatis_tpu.parallel import batch as batch_mod
+    p = StandardParams(require_48k_stereo=False)
+    a, b = tmp_path / "a.wav", tmp_path / "b.wav"
+    audio.write(a, _sig(2.0, 1), SR, subtype="PCM_24")
+    audio.write(b, _sig(2.0, 2), SR, subtype="PCM_24")
+    out_single = tmp_path / "single.wav"
+    process(b, out_single, p, frames_per_chunk=16)
+
+    orig_open = batch_mod._Lane.open
+
+    def open_and_sabotage(self, sr, ch):
+        orig_open(self, sr, ch)
+        if self.in_path.endswith("a.wav"):
+            orig_window = self.rolling.window
+
+            def window(start, n):
+                if start > SR // 2:
+                    raise IOError("disk went away")
+                return orig_window(start, n)
+
+            self.rolling.window = window
+
+    monkeypatch.setattr(batch_mod._Lane, "open", open_and_sabotage)
+    stats = process_batch([(a, tmp_path / "oa.wav"),
+                           (b, tmp_path / "ob.wav")], p,
+                          frames_per_chunk=16)
+    assert stats[0]["failed"] is not None
+    assert "disk went away" in stats[0]["failed"]
+    assert stats[1]["failed"] is None
+    ys, _ = audio.read(out_single)
+    yb, _ = audio.read(tmp_path / "ob.wav")
+    np.testing.assert_array_equal(ys, yb)
+
+
+def test_batch_midstream_write_failure_isolated(tmp_path, monkeypatch):
+    """A lane whose WRITER dies mid-stream fails in isolation through the
+    ordered worker's error path; the other lane completes intact."""
+    from tomatis_tpu.parallel import batch as batch_mod
+    p = StandardParams(require_48k_stereo=False)
+    a, b = tmp_path / "a.wav", tmp_path / "b.wav"
+    audio.write(a, _sig(2.0, 1), SR, subtype="PCM_24")
+    audio.write(b, _sig(2.0, 2), SR, subtype="PCM_24")
+    out_single = tmp_path / "single.wav"
+    process(b, out_single, p, frames_per_chunk=16)
+
+    orig_open = batch_mod._Lane.open
+
+    def open_and_sabotage(self, sr, ch):
+        orig_open(self, sr, ch)
+        if self.in_path.endswith("a.wav"):
+            wr = self.writer
+            written = [0]
+            orig_write = wr.write_raw
+
+            def write_raw(buf):
+                written[0] += len(buf)
+                if written[0] > 8192:
+                    raise IOError("sink full")
+                return orig_write(buf)
+
+            wr.write_raw = write_raw
+
+    monkeypatch.setattr(batch_mod._Lane, "open", open_and_sabotage)
+    stats = process_batch([(a, tmp_path / "oa.wav"),
+                           (b, tmp_path / "ob.wav")], p,
+                          frames_per_chunk=16)
+    assert stats[0]["failed"] is not None and "sink full" in stats[0]["failed"]
+    assert stats[1]["failed"] is None
+    ys, _ = audio.read(out_single)
+    yb, _ = audio.read(tmp_path / "ob.wav")
+    np.testing.assert_array_equal(ys, yb)
