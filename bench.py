@@ -356,9 +356,11 @@ def main() -> int:
                          "steady-state per-chunk cost")
     ap.add_argument("--sr", type=int, default=48000)
     ap.add_argument("--frames_per_chunk", type=int, default=1024)
-    ap.add_argument("--repeats", type=int, default=6,
+    ap.add_argument("--repeats", type=int, default=8,
                     help="best-of-N (the tunneled TPU's transfer "
-                         "bandwidth varies heavily between runs)")
+                         "bandwidth varies heavily between runs: a "
+                         "6-repeat session measured 51.7-100.8x at "
+                         "identical per-chunk software cost)")
     ap.add_argument("--batch", type=int, default=4,
                     help="lane count of the batch sub-benchmark (BASELINE "
                          "config-5 shape: N files as vmapped lanes in one "
