@@ -329,7 +329,7 @@ def bench_batch(p, tmp, args) -> dict:
         if best is None or dt < best:
             best = dt
             timings = dict(batch_mod.LAST_TIMINGS)
-    ok = sum(1 for r in res if isinstance(r, dict))
+    ok = sum(1 for r in res if r.get("failed") is None)
     return {
         "value": round(secs * n / best, 1),
         "unit": "x_realtime_aggregate",

@@ -446,3 +446,45 @@ def test_truncated_streaminfo_raises_valueerror(tmp_path):
     p.write_bytes(whole[:20])         # ends mid-STREAMINFO
     with pytest.raises(ValueError):
         PureFlacReader(p)
+
+
+def test_spec_32bit_lpc_side_channel_exact(tmp_path):
+    """The 33-bit side channel through an LPC subframe must be computed at
+    full precision (regression: the LPC loop wrapped every predicted
+    sample to 32 bits, corrupting exactly the streams the native decoder
+    delegates to the pure decoder as its exact path). Second frame: the
+    same channel with wasted bits, whose restore shift must not wrap
+    either."""
+    from tomatis_tpu.io.flac import FlacReader
+
+    B = 32
+    i = np.arange(B, dtype=np.int64)
+    # smooth sequence above 2^31: every sample needs 33 signed bits
+    side = (2 ** 31 + 1000) + 37 * i + (i * i) // 4
+    assert (side >= 2 ** 31).all() and (side < 2 ** 32).all()
+    L = side // 2
+    R = L - side                      # decoder reconstructs R = L - S
+    assert (R >= -2 ** 31).all() and (R < 2 ** 31).all()
+
+    def f_lpc(bw, cbps):
+        sub_verbatim(bw, L, cbps[0])
+        sub_lpc(bw, side, coefs=[2, -1], shift=0, prec=3, ebps=cbps[1],
+                k=8)
+
+    side_w = side & ~np.int64(7)      # 3 wasted bits, still 33-bit
+    R_w = L - side_w
+
+    def f_wasted(bw, cbps):
+        sub_verbatim(bw, L, cbps[0])
+        sub_verbatim(bw, side_w, cbps[1], wasted=3)
+
+    blob = (b"fLaC" + streaminfo(48000, 2, 32, 2 * B, B)
+            + frame(0, B, 32, 8, f_lpc) + frame(1, B, 32, 8, f_wasted))
+    p = tmp_path / "b32lpc.flac"
+    p.write_bytes(blob)
+    r = FlacReader(p)
+    got = r.read_int_raw(2 * B)
+    np.testing.assert_array_equal(got[:B, 0], L)
+    np.testing.assert_array_equal(got[:B, 1], R)
+    np.testing.assert_array_equal(got[B:, 0], L)
+    np.testing.assert_array_equal(got[B:, 1], R_w)

@@ -322,3 +322,34 @@ def test_process_sharded_rejects_data_gt_1(tmp_path):
                         StandardParams(require_48k_stereo=False,
                                        n_fft=256, hop=128),
                         n_devices=4, data=2, frames_per_shard=8)
+
+
+def test_process_sharded_cli_all_variants(tmp_path, capsys):
+    """The process-sharded CLI itself must run every variant (regression:
+    the xfade branch referenced an undefined name and crashed before any
+    work; the library-level tests above never exercised the CLI)."""
+    from tomatis_tpu.cli import process_sharded as ps
+    from tomatis_tpu.io import audio
+
+    sr = 48000
+    t = np.arange(int(1.5 * sr)) / sr
+    env = 0.002 + 0.06 * (np.sin(2 * np.pi * 0.9 * t) > 0)
+    x = (env * np.sin(2 * np.pi * 700 * t)).astype(np.float32)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, np.stack([x, x], 1), sr, subtype="PCM_24")
+
+    for variant in ("standard", "xfade", "adaptive"):
+        op = tmp_path / f"out_{variant}.wav"
+        rc = ps.main(["-i", str(ip), "-o", str(op), "--variant", variant,
+                      "--devices", "2", "--allow_any_rate"])
+        assert rc == 0, f"{variant}: rc={rc}"
+        y, _ = audio.read(op)
+        assert y.shape == (len(x), 2)
+
+    # explicit non-linear gate mapping on the xfade variant prints the
+    # linear-only note (the explicit-flag detection the NameError broke)
+    rc = ps.main(["-i", str(ip), "-o", str(tmp_path / "o2.wav"),
+                  "--variant", "xfade", "--devices", "2",
+                  "--allow_any_rate", "--gate_mode", "log_percent"])
+    assert rc == 0
+    assert "LINEAR" in capsys.readouterr().out

@@ -40,17 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(args) -> int:
     from tomatis_tpu.models.eq import apply_residual_eq
-    smooth = args.smooth_win if args.smooth_win is not None \
-        else (61 if args.safe else 41)
-    clamp_hi = args.clamp_hi if args.clamp_hi is not None \
-        else (1.0 if args.safe else 6.0)
-    hf_start = args.hf_start if args.hf_start is not None \
-        else (3000.0 if args.safe else 8000.0)
+    # None smooth_win/clamp_hi/hf_start resolve PER MODE inside
+    # apply_residual_eq (standard 41/+6dB/8kHz, Safe-B 61/+1dB/3kHz) —
+    # one home for the Safe-B clamp constants
     res = apply_residual_eq(
         args.in_audio, args.out_audio, args.diff_csv,
-        n_fft=args.n_fft, hop=args.hop, smooth_win=smooth,
-        clamp_hi=clamp_hi, mid_start=args.mid_start,
-        mid_clamp_hi=args.mid_clamp_hi, hf_start=hf_start,
+        n_fft=args.n_fft, hop=args.hop, smooth_win=args.smooth_win,
+        clamp_hi=args.clamp_hi, mid_start=args.mid_start,
+        mid_clamp_hi=args.mid_clamp_hi, hf_start=args.hf_start,
         hf_clamp_hi=args.hf_clamp_hi, safe=args.safe,
         frames_per_chunk=args.frames_per_chunk,
         checkpoint_path=args.checkpoint)

@@ -103,8 +103,7 @@ def run(args) -> int:
                   "variant (reference parity: src/process_tomatis_xfade.py "
                   "has no output gain)")
             return 2
-        explicit = "--gate_mode" in (argv if argv is not None
-                                     else sys.argv[1:])
+        explicit = "--gate_mode" in getattr(args, "raw_argv", [])
         if args.gate_mode != "linear" and explicit:
             # only when the user actually asked for a non-linear mapping —
             # the flag DEFAULTS to log_percent, and warning on every
@@ -154,7 +153,11 @@ def run(args) -> int:
 
 
 def main(argv=None) -> int:
+    argv = list(argv) if argv is not None else sys.argv[1:]
     args = build_parser().parse_args(argv)
+    # run() distinguishes an explicit --gate_mode from the argparse
+    # default (the xfade variant warns only on a real user choice)
+    args.raw_argv = argv
     try:
         return run(args)
     except Exception as e:

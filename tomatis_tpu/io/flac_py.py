@@ -303,19 +303,37 @@ class PureFlacReader:
                 return None
             x = warm + [0] * (bsize - order)
             rl = res.tolist()
-            mask = 0xFFFFFFFF
-            for i in range(order, bsize):
-                p = 0
-                for j in range(order):
-                    p += coef[j] * x[i - 1 - j]
-                v = (rl[i - order] + (p >> shift)) & mask
-                x[i] = v - (1 << 32) if v >= (1 << 31) else v
+            if cbps <= 32:
+                # per-step uint32 wrap, byte-identical to the native
+                # decoder's 32-bit LPC path (conforming streams never
+                # overflow int32 here; crafted ones must wrap the same
+                # way on both decoders)
+                mask = 0xFFFFFFFF
+                for i in range(order, bsize):
+                    p = 0
+                    for j in range(order):
+                        p += coef[j] * x[i - 1 - j]
+                    v = (rl[i - order] + (p >> shift)) & mask
+                    x[i] = v - (1 << 32) if v >= (1 << 31) else v
+            else:
+                # 33-bit side channel of a 32-bit stream: this decoder
+                # is the EXACT path (flac.cpp declines bps>24), so the
+                # prediction must not wrap — true side values need 33
+                # bits and every later sample feeds off earlier ones
+                for i in range(order, bsize):
+                    p = 0
+                    for j in range(order):
+                        p += coef[j] * x[i - 1 - j]
+                    x[i] = rl[i - order] + (p >> shift)
             out = np.asarray(x, np.int64)
         else:
             return None
         if wasted:
-            out = (out << wasted) & 0xFFFFFFFF
-            out = np.where(out >= 1 << 31, out - (1 << 32), out)
+            if cbps <= 32:
+                out = (out << wasted) & 0xFFFFFFFF
+                out = np.where(out >= 1 << 31, out - (1 << 32), out)
+            else:
+                out = out << wasted   # 33-bit side channel: no wrap
         return out
 
     def _decode_residual(self, br: _BitReader, bsize: int, order: int):
