@@ -1023,10 +1023,6 @@ class StreamRunner:
 
 def _encode_pcm24(x: np.ndarray) -> np.ndarray:
     """float [n, C] -> interleaved little-endian 24-bit bytes [n*C*3]."""
+    from tomatis_tpu.utils.pcm import le24_from_i32
     v = np.clip(np.rint(x * 8388608.0), -8388608, 8388607).astype(np.int32)
-    flat = v.reshape(-1)
-    out = np.empty((flat.size, 3), np.uint8)
-    out[:, 0] = flat & 0xFF
-    out[:, 1] = (flat >> 8) & 0xFF
-    out[:, 2] = (flat >> 16) & 0xFF
-    return out.reshape(-1)
+    return le24_from_i32(v.reshape(-1))

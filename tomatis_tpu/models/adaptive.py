@@ -71,13 +71,13 @@ def frame_window(total: int, n_fft: int, hop: int):
 def compute_frame_levels(x: np.ndarray, p: AdaptiveParams,
                          frames_per_chunk: int = 4096):
     """Per-frame RMS dBFS of the in-range frames (ref :57-84), batched on
-    device in fixed-shape chunks. Returns (levels [F], valid_mask, times)."""
+    device in fixed-shape chunks. Returns (levels [F], valid_mask)."""
     n_fft, hop = p.n_fft, p.hop
     pad = n_fft // 2
     total, ch = x.shape
     k0, F = frame_window(total, n_fft, hop)
     if F == 0:
-        return np.zeros(0, np.float32), np.zeros(0, bool), []
+        return np.zeros(0, np.float32), np.zeros(0, bool)
 
     xp = np.concatenate([np.zeros((pad, ch), np.float32), x,
                          np.zeros((pad, ch), np.float32)])
@@ -95,7 +95,7 @@ def compute_frame_levels(x: np.ndarray, p: AdaptiveParams,
         levels[f0:f0 + nf] = np.asarray(stft.frame_levels_chunk(
             sig, n_fft, hop, frames_per_chunk))[:nf]
     valid = levels > p.silence_threshold
-    return levels, valid, None
+    return levels, valid
 
 
 def find_optimal_threshold(levels: np.ndarray, valid: np.ndarray,
@@ -152,7 +152,7 @@ def process_array(x: np.ndarray, sr: int, p: AdaptiveParams | None = None,
     x_atten = x * catt
 
     # 2. levels + adaptive threshold (ref :219-226)
-    levels, valid, _ = compute_frame_levels(x_atten, p)
+    levels, valid = compute_frame_levels(x_atten, p)
     F = len(levels)
     if F == 0:
         return x.copy(), dict(n_frames=0, optimal_threshold=0.0,
@@ -587,7 +587,7 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
                 if progress is not None:
                     progress(inflight[0] + inflight[1], F)
             if snap is not None:
-                stage._f.flush()   # data bytes on disk before the state is
+                stage.flush()      # data bytes on disk before the state is
                 ckpt.maybe_save(dict(
                     out_tail=snap["out_tail"], w_tail=snap["w_tail"],
                     __scalars__=dict(f0=snap["f0"],

@@ -158,45 +158,22 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
         F = max(0, (padded - n_fft) // hop + 1)
 
         out_path = str(out_path)
-        ckpt = resume = None
-        stage_path = None
         f0_start = 0
+        config = None
         if checkpoint_path:
             import hashlib
-            from tomatis_tpu.engine.checkpoint import CheckpointManager
-            from tomatis_tpu.io.wav import WavWriter
-            from tomatis_tpu.models.standard import _RawWav
             gb = np.asarray(gain_bins, np.float32)
             config = dict(model="eq_gain_stream", in_path=str(in_path),
                           sr=sr, ch=ch, total=total, n_fft=n_fft, hop=hop,
                           pad_len=pad_len, pre_gain=float(pre_gain),
                           frames_per_chunk=frames_per_chunk,
                           gain_sha=hashlib.sha256(gb.tobytes()).hexdigest())
-            ckpt = CheckpointManager(checkpoint_path, config,
-                                     checkpoint_every)
-            resume = ckpt.load()
-            stage_path = (out_path if out_path.lower().endswith(".wav")
-                          else out_path + ".part.wav")
-            import os
-            if resume is not None and os.path.exists(stage_path):
-                sc = resume["__meta__"]["scalars"]
-                fout = _RawWav(WavWriter.reopen(
-                    stage_path, sc["audio_samples_written"]), ch)
-            else:
-                if resume is not None:
-                    ckpt.clear()   # stale checkpoint without its stage file
-                resume = None
-                fout = _RawWav(WavWriter(stage_path, sr, ch, "PCM_24"), ch)
-            actual_out = out_path
-        else:
-            try:
-                fout = audio.AudioFile(out_path, "w", samplerate=sr,
-                                       channels=ch, subtype="PCM_24")
-                actual_out = out_path
-            except Exception:
-                actual_out = out_path.rsplit(".", 1)[0] + ".wav"
-                fout = audio.AudioFile(actual_out, "w", samplerate=sr,
-                                       channels=ch, subtype="PCM_24")
+        # one home for the sink semantics (WAV-fallback hint, staged WAV,
+        # stale-checkpoint clear): the standard processor's helper
+        from tomatis_tpu.models.standard import (finalize_checkpointed_sink,
+                                                 open_checkpointed_sink)
+        fout, actual_out, ckpt, resume, stage_path = open_checkpointed_sink(
+            out_path, sr, ch, config, checkpoint_path, checkpoint_every)
 
         engine = ChunkedStftEngine(n_fft, hop, ch, frames_per_chunk)
         controller = StaticGainController(gain_bins)
@@ -308,12 +285,15 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                     def job(iv=ck["ready"], m=mat):
                         consume_host(iv, m)
                         if progress is not None:
-                            progress(iv[0], F)
+                            # frames COMPLETED (start + count), so the
+                            # last call reports F/F like the standard
+                            # driver (engine/streaming.py)
+                            progress(iv[0] + iv[1], F)
                     writer_w.submit(job)
                 else:
                     consume_host(ck["ready"], mat)
                     if progress is not None:
-                        progress(ck["ready"][0], F)
+                        progress(ck["ready"][0] + ck["ready"][1], F)
 
             pipe = StagedPipeline(pipe_start, pipe_finish)
             try:
@@ -376,13 +356,7 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
             _stream()
         finally:
             fout.close()
-        if ckpt is not None:
-            import os
-            if stage_path != out_path:
-                from tomatis_tpu.models.standard import _transcode_wav_to
-                _transcode_wav_to(stage_path, out_path)
-                os.remove(stage_path)
-            ckpt.clear()
+        finalize_checkpointed_sink(ckpt, stage_path, out_path)
     return dict(peak_seen=peak_seen, out_path=actual_out, n_frames=F, sr=sr)
 
 

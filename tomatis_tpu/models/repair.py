@@ -64,7 +64,10 @@ def detect_clicks(x: np.ndarray, sr: int, k: float = 12.0,
     pad = int(round(pad_ms * sr / 1000.0))
     gap = int(round(merge_gap_ms * sr / 1000.0))
     max_fix = int(round(max_fix_ms * sr / 1000.0))
-    # hit at diff index i affects samples i and i+1 (ref :82-87)
+    # window [i-pad, i+1+pad) around diff index i, replicating the
+    # reference exactly (ref :82-87) — including its quirk that at pad=0
+    # the window covers only sample i even though the click touches i
+    # and i+1 (the default 1.5 ms pad masks this in practice)
     mask = np.zeros(n, bool)
     starts = np.maximum(0, np.flatnonzero(hit) - pad)
     ends = np.minimum(n, np.flatnonzero(hit) + 1 + pad)

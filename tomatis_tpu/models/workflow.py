@@ -66,6 +66,8 @@ def match_device(orig_path, device_path, outdir, gate_ui: float = 50.0,
                        require_48k_stereo=require_48k_stereo)
     l1 = art("layer1.flac")
     stats = process(orig_path, l1, p, state_csv_path=art("state.csv"))
+    l1 = stats["out_path"]   # may be the .wav fallback when FLAC encode
+    # is unavailable — later stages must read what was actually written
     report["stages"]["layer1"] = dict(
         c2_ratio=stats["c2_ratio"],
         realtime_factor=stats["realtime_factor"])
@@ -81,6 +83,7 @@ def match_device(orig_path, device_path, outdir, gate_ui: float = 50.0,
     l2 = art("layer2.flac")
     eq_res = eqm.apply_eq(l1, l2, art("layer2_eq_curve.csv"), pad=True,
                           n_fft=n_fft, hop=hop)
+    l2 = eq_res["out_path"]
     if eq_res.get("gain_protected_path"):
         # the plain render clipped in PCM; carry the peak-safe rescale
         # forward (compare_audio gain-anchors, so the scale is neutral)
@@ -96,6 +99,7 @@ def match_device(orig_path, device_path, outdir, gate_ui: float = 50.0,
     matched = art("matched.flac")
     res_out = eqm.apply_residual_eq(l2, matched, art("diff_spectrum.csv"),
                                     safe=safe_residual, n_fft=n_fft, hop=hop)
+    matched = res_out["out_path"]
     if res_out["peak_seen"] > 0.99:
         # The uncropped OLA stream blows up its first/last few samples
         # (window-sum ~ 0 at the edges — same artifact the reference's
@@ -111,6 +115,7 @@ def match_device(orig_path, device_path, outdir, gate_ui: float = 50.0,
             res_out = eqm.apply_residual_eq(
                 l2, matched, art("diff_spectrum.csv"), safe=safe_residual,
                 n_fft=n_fft, hop=hop, pre_gain_db=pg_db)
+            matched = res_out["out_path"]
             report["stages"].setdefault("residual", {})[
                 "peak_protect_db"] = pg_db
             progress(f"      peak-protected final render ({pg_db:+.2f} dB)")

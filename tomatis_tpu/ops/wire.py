@@ -283,12 +283,9 @@ def encode_np(v: np.ndarray, rice: bool = True) -> np.ndarray:
     if total >= RW:
         out = np.zeros(RW * 4, np.uint8)
         _put_header(out, n, K, ch, 0, 1, RW)
+        from tomatis_tpu.utils.pcm import le24_from_i32
         flat = v.reshape(-1)
-        pcm = np.empty((flat.size, 3), np.uint8)
-        pcm[:, 0] = flat & 0xFF
-        pcm[:, 1] = (flat >> 8) & 0xFF
-        pcm[:, 2] = (flat >> 16) & 0xFF
-        out[20:20 + flat.size * 3] = pcm.reshape(-1)
+        out[20:20 + flat.size * 3] = le24_from_i32(flat)
         return out
 
     out = np.zeros(total * 4, np.uint8)
