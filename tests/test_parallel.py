@@ -353,3 +353,22 @@ def test_process_sharded_cli_all_variants(tmp_path, capsys):
                   "--allow_any_rate", "--gate_mode", "log_percent"])
     assert rc == 0
     assert "LINEAR" in capsys.readouterr().out
+
+
+def test_sharded_rejects_undersized_shards():
+    """A frame's OLA overlap span (n_fft - hop) crossing more than one
+    shard boundary would silently produce wrong audio (the halo ppermute
+    moves one hop); every step factory must reject the configuration."""
+    import pytest
+
+    from tomatis_tpu.parallel.sharded import (check_halo_span, make_mesh,
+                                              sharded_stream_step)
+    with pytest.raises(ValueError, match="frames_per_shard"):
+        check_halo_span(n_fft=4096, hop=512, frames_per_shard=4)
+    check_halo_span(n_fft=4096, hop=512, frames_per_shard=7)   # 3584 == 3584
+    mesh = make_mesh(data=1)
+    with pytest.raises(ValueError, match="frames_per_shard"):
+        sharded_stream_step(mesh, 4096, 512, 4, 2, ton=-40.0, toff=-43.0,
+                            delay_frames=0,
+                            g1_lin=np.ones(2049, np.float32),
+                            g2_lin=np.ones(2049, np.float32))

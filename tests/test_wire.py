@@ -284,3 +284,18 @@ def test_native_flac_encoder_rejects_unsupported_depth(tmp_path):
     h = lib.tflac_open_write(p, 48000, 2, 24)
     assert h
     lib.tflac_close_write(h)
+
+
+def test_encode_f32_rejects_nonfinite_without_ub():
+    """NaN/inf samples in a FLOAT-subtype chunk must reject cleanly (raw
+    f32 fallback), never reach the (int)cast — UB in the C++ encoder."""
+    from tomatis_tpu.io import wirecodec
+    x = np.zeros((512, 2), np.float32)
+    x[3, 0] = np.nan
+    x[9, 1] = np.inf
+    x[11, 0] = -np.inf
+    assert wirecodec.encode_f32(x) is None
+    # full-scale boundaries stay accepted on both implementations
+    for v in (8388607 / 8388608.0, -1.0):
+        full = np.full((64, 2), v, np.float32)
+        assert wirecodec.encode_f32(full) is not None

@@ -83,6 +83,11 @@ def compare_dbfs_tracks(input_path, candidate_paths: dict, sr_target=None,
         xc = to_mono(xc).astype(np.float32)
         if sr_c != target_sr:
             xc = resample_poly(xc, target_sr, sr_c).astype(np.float32)
+        # full-rate full-mode correlation replicates the reference's
+        # align_by_xcorr estimator exactly (ref analyze_dbfs.py:29-41);
+        # scipy picks the FFT path, but hour-scale inputs still allocate
+        # multi-GB intermediates — use analysis/align.find_delay_by_corr
+        # (2 kHz power envelopes) when reference-exact lags aren't needed
         max_lag = int(max_lag_s * target_sr)
         corr = correlate(xc, xin, mode="full")
         lags = np.arange(-len(xin) + 1, len(xc))
@@ -156,6 +161,8 @@ def gate_threshold_from_csv(csv_path, diff_threshold: float = 3.0):
     out_col = (named or other)[0]
     res = gate_threshold_from_tracks(df["t"], df["in_dbfs"], df[out_col],
                                      diff_threshold)
+    if res is None:            # no switch points: the CLI prints the
+        return None            # friendly message, not a TypeError
     res["out_col"] = out_col   # so callers (the CLI plot) track the SAME
     #                            column the analysis used
     return res
@@ -222,6 +229,10 @@ def _minhold_threshold(levels, target_c2, hyst_db, min_hold_frames):
             t_high = t_mid
         else:
             t_low = t_mid
+        # unconditional overwrite (NOT best-seen tracking): replicates
+        # ref analyze_stereo_state.py:60-76 exactly — unlike the
+        # adaptive processor, whose own reference does track best
+        # (src/process_tomatis_adaptive.py:124-154)
         best_t = t_mid
     return best_t
 

@@ -103,7 +103,8 @@ def run(args) -> int:
                   "variant (reference parity: src/process_tomatis_xfade.py "
                   "has no output gain)")
             return 2
-        explicit = "--gate_mode" in getattr(args, "raw_argv", [])
+        explicit = any(a == "--gate_mode" or a.startswith("--gate_mode=")
+                       for a in getattr(args, "raw_argv", []))
         if args.gate_mode != "linear" and explicit:
             # only when the user actually asked for a non-linear mapping —
             # the flag DEFAULTS to log_percent, and warning on every

@@ -56,6 +56,12 @@ def _parse_header(f) -> WavInfo:
             # bytes as chunk headers — none of that may override this one
             data_offset = f.tell()
             data_size = csize
+            if csize == 0:
+                # crashed-writer marker: the audio bytes follow this
+                # header and nothing in them parses as chunks — stop
+                # instead of walking a possibly GB-sized region 8 bytes
+                # at a time (zero bytes parse as csize=0 chunks)
+                break
             f.seek(csize + (csize % 2), 1)
         else:
             f.seek(csize + (csize % 2), 1)
@@ -212,6 +218,13 @@ class WavWriter:
         with open(path, "rb") as f:
             info = _parse_header(f)
             end = f.seek(0, 2)
+        if info.data_offset != 44:
+            # close() rewrites the canonical 44-byte header at offset 0;
+            # resuming a WAV with extra pre-data chunks (not one of ours)
+            # would shift where readers think the samples start
+            raise ValueError(
+                f"cannot resume {path!r}: data chunk at offset "
+                f"{info.data_offset}, not a WavWriter stage file")
         on_disk = max(0, end - info.data_offset) // info.bytes_per_frame
         if on_disk < frames:
             # the checkpoint promises more audio than the stage holds

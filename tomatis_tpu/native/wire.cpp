@@ -434,6 +434,10 @@ long twire_encode_f32(const float* x, long n, int ch, uint8_t* out,
     std::vector<int32_t> v((size_t)n * ch);
     for (long i = 0; i < n * ch; i++) {
         float f = x[i] * 8388608.0f;
+        // reject non-finite and out-of-range BEFORE the int cast: a NaN
+        // or huge float (hostile FLOAT-subtype input) through
+        // (int32_t)(f) is undefined behavior
+        if (!(f >= -8388608.0f && f <= 8388608.0f)) return -1;
         int32_t q = (int32_t)(f >= 0 ? f + 0.5f : f - 0.5f);
         if (q < -8388608 || q > 8388607
             || (float)q / 8388608.0f != x[i]) return -1;  // not PCM_24-exact

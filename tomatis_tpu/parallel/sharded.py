@@ -160,6 +160,21 @@ def _sharded_alpha_ramp(targets, step, alpha0, valid):
     return alpha, final
 
 
+def check_halo_span(n_fft: int, hop: int, frames_per_shard: int) -> None:
+    """The OLA halo ppermute moves ONE shard hop, so a frame's overlap
+    span (n_fft - hop samples) must fit inside a single shard's emit
+    region (frames_per_shard * hop samples). Beyond that, shard i's tail
+    would also overlap shard i+2's head and the output would silently
+    diverge from the single-device engine. Every sharded step factory
+    calls this; raise instead of producing wrong audio."""
+    if frames_per_shard * hop < n_fft - hop:
+        raise ValueError(
+            f"frames_per_shard={frames_per_shard} too small: the OLA "
+            f"overlap span is {n_fft - hop} samples but a shard emits "
+            f"only {frames_per_shard * hop}; need frames_per_shard >= "
+            f"{-(-(n_fft - hop) // hop)} at n_fft={n_fft}, hop={hop}")
+
+
 def _ola_halo_emit(y, win2, mask, hop: int, F_loc: int, n_seq: int,
                    in_ty=None, in_tw=None, norm: str = "eps"):
     """Shared tail of every sharded per-file step: overlap-add, the
@@ -201,6 +216,7 @@ def sharded_xfade_step(mesh: Mesh, n_fft: int, hop: int,
         (emit [B, F*hop, C], states [B, F], alpha [B, F],
          gate_carry [B], alpha_carry [B])
     """
+    check_halo_span(n_fft, hop, frames_per_shard)
     win = jnp.asarray(window if window is not None
                       else stft.hann_symmetric(n_fft))
     win2 = win * win
@@ -256,6 +272,7 @@ def sharded_adaptive_step(mesh: Mesh, n_fft: int, hop: int,
         (emit [B, F*hop, C], states [B, F], alpha [B, F],
          gate_carry [B], alpha_carry [B])
     """
+    check_halo_span(n_fft, hop, frames_per_shard)
     win = jnp.asarray(window if window is not None
                       else stft.hann_symmetric(n_fft))
     win2 = win * win
@@ -321,6 +338,7 @@ def sharded_adaptive_stream_step(mesh: Mesh, n_fft: int, hop: int,
     with only the last tail block of out_tail_* meaningful (see
     sharded_stream_step). Stream start: s0 = min_hold_frames (the gate may
     switch on frame 0), alpha0 = -1.0 (snap-first sentinel)."""
+    check_halo_span(n_fft, hop, frames_per_shard)
     win = jnp.asarray(window if window is not None
                       else stft.hann_symmetric(n_fft))
     win2 = win * win
@@ -380,6 +398,7 @@ def sharded_process_step(mesh: Mesh, n_fft: int, hop: int,
     samples of the last shard (the stream tail) are dropped — callers keep
     chunk boundaries aligned to shard boundaries, as the stream engine does.
     """
+    check_halo_span(n_fft, hop, frames_per_shard)
     win = jnp.asarray(window if window is not None
                       else stft.hann_symmetric(n_fft))
     win2 = win * win
@@ -436,6 +455,7 @@ def sharded_stream_step(mesh: Mesh, n_fft: int, hop: int,
     in_tails are added to shard 0's head (the previous super-chunk's
     carried overlap), exactly like the single-device engine's carried
     (out_tail, w_tail)."""
+    check_halo_span(n_fft, hop, frames_per_shard)
     win = jnp.asarray(window if window is not None
                       else stft.hann_symmetric(n_fft))
     win2 = win * win
@@ -489,6 +509,7 @@ def sharded_xfade_stream_step(mesh: Mesh, n_fft: int, hop: int,
          out_tail_y [B, n_seq*tail, C], out_tail_w [B, n_seq*tail])
     with only the last tail block of out_tail_* meaningful (see
     sharded_stream_step)."""
+    check_halo_span(n_fft, hop, frames_per_shard)
     win = jnp.asarray(window if window is not None
                       else stft.hann_symmetric(n_fft))
     win2 = win * win

@@ -28,10 +28,13 @@ from tomatis_tpu.ops import dsp, gate as gate_ops, stft
 from tomatis_tpu.utils.stateio import read_state_csv
 
 
-def check_engineering(in_path, out_path) -> dict:
+def check_engineering(in_path, out_path, y: np.ndarray | None = None) -> dict:
+    """y: pre-decoded output audio, so callers that also analyze the
+    output (validate, verify-15db) decode the file once, not 2-3 times."""
     a = audio.info(in_path)
     b = audio.info(out_path)
-    y, _ = audio.read(out_path)
+    if y is None:
+        y, _ = audio.read(out_path)
     peak = float(np.max(np.abs(y))) if y.size else 0.0
     return dict(
         sr_in=a.samplerate, sr_out=b.samplerate,
@@ -241,7 +244,8 @@ def validate(in_path, out_path, state_csv, gate_ui=50.0, gate_scale=1.0,
     threshold = gate_scale * gate_ui + gate_offset
     results = {"pass": True, "checks": {}, "threshold_dbfs": threshold}
 
-    eng = check_engineering(in_path, out_path)
+    y, _ = audio.read(out_path)   # decoded once, reused by every check
+    eng = check_engineering(in_path, out_path, y=y)
     results["checks"]["engineering"] = eng
     if not (eng["sr_match"] and eng["ch_match"] and eng["frames_match"]
             and eng["peak_safe"]):
@@ -265,7 +269,6 @@ def validate(in_path, out_path, state_csv, gate_ui=50.0, gate_scale=1.0,
     stats["jitter_ok"] = stats.get("short_run_ratio", 0) < 0.30
     results["checks"]["gate_stats"] = stats  # WARN-only in the reference
 
-    y, _ = audio.read(out_path)
     freqs, c1_db, c2_db, n1, n2 = conditional_spectrum(
         x, y, sr, csv_states, n_fft, hop)
     c1_theory = np.asarray(dsp.build_tilt_gain_db(freqs, fc, slope,

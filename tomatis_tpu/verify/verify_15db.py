@@ -22,12 +22,14 @@ from tomatis_tpu.verify.validate_layer1 import (analyze_gate_stats,
                                                 simulate_gate)
 
 
-def check_engineering(in_path, out_path) -> dict:
+def check_engineering(in_path, out_path, y: np.ndarray | None = None) -> dict:
     """ref :66-100 — the Layer-1 engineering checks plus DC-offset and
     a dBFS peak reading (one implementation; the ±15 dB verifiers extend
-    validate_layer1's audit rather than re-deriving it)."""
-    eng = _l1.check_engineering(in_path, out_path)
-    y, _ = audio.read(out_path)
+    validate_layer1's audit rather than re-deriving it). y: pre-decoded
+    output audio (decode once per verify run)."""
+    if y is None:
+        y, _ = audio.read(out_path)
+    eng = _l1.check_engineering(in_path, out_path, y=y)
     dc = float(np.mean(y)) if y.size else 0.0
     eng.update(
         peak_dbfs=20 * np.log10(eng["peak"] + dsp.EPS),
@@ -133,7 +135,8 @@ def verify(in_path, out_path, gate_ui=50.0, gate_scale=1.0,
                "platform_freqs": dsp.tilt_platform_freqs(
                    fc, slope, c1_low, c1_high)}
 
-    eng = check_engineering(in_path, out_path)
+    y, _ = audio.read(out_path)   # decoded once, reused by every check
+    eng = check_engineering(in_path, out_path, y=y)
     eng_pass = (eng["sr_match"] and eng["ch_match"] and eng["frames_match"]
                 and eng["peak_safe"] and eng["dc_safe"])
     results["checks"]["engineering"] = dict(eng, **{"pass": eng_pass})
@@ -159,7 +162,6 @@ def verify(in_path, out_path, gate_ui=50.0, gate_scale=1.0,
             float(np.mean(sel)) if len(sel) else 0.0)
     results["checks"]["gate_stats"] = stats  # WARN-only
 
-    y, _ = audio.read(out_path)
     freqs, c1_db, c2_db, n1, n2 = conditional_spectrum(
         x, y, sr, states, n_fft, hop)
     c1_theory = np.asarray(dsp.build_tilt_gain_db(freqs, fc, slope,
