@@ -579,21 +579,16 @@ class StreamRunner:
 
         frame0 = 0         # absolute index of next chunk's first frame
         # Normalized output collector in absolute coords starting at -pad.
-        out_pend: list[np.ndarray] = []
-        peak_pend: list[np.ndarray] = []   # per-hop-block peaks (pcm24)
-        float_refs: list = []  # (abs_start, n, device/host floats) for clamps
-        out_base = -pad
-        cut_i = 0
-        states_count = np.zeros(3, np.int64)
+        sink = SinkState(pad)
         self.audio_samples_written = 0
 
         if resume_state is not None:
             sc = resume_state["__meta__"]["scalars"]
             frame0 = int(sc["frame0"])
-            out_base = int(sc["out_base"])
-            cut_i = int(sc["cut_i"])
+            sink.out_base = int(sc["out_base"])
+            sink.cut_i = int(sc["cut_i"])
             self.audio_samples_written = int(sc["audio_samples_written"])
-            states_count = resume_state["states_count"].copy()
+            sink.states_count = resume_state["states_count"].copy()
             leaves = [jnp.asarray(resume_state[f"carry{i}"])
                       for i in range(int(sc["n_carry_leaves"]))]
             treedef = jax.tree_util.tree_structure(ctl_carry)
@@ -601,12 +596,12 @@ class StreamRunner:
             out_tail = jnp.asarray(resume_state["out_tail"])
             w_tail = jnp.asarray(resume_state["w_tail"])
             if resume_state["out_pend"].size:
-                out_pend = [resume_state["out_pend"]]
+                sink.out_pend = [resume_state["out_pend"]]
             if resume_state["peak_pend"].size:
-                peak_pend = [resume_state["peak_pend"]]
+                sink.peak_pend = [resume_state["peak_pend"]]
             fr = resume_state.get("ref_floats")
             if fr is not None and fr.size:
-                float_refs = [(out_base, len(fr), fr)]
+                sink.float_refs = [(sink.out_base, len(fr), fr)]
 
         # Float-free input: when the source reads losslessly as PCM_24
         # ints and the wire codec ships the input, keep the whole host
@@ -658,9 +653,7 @@ class StreamRunner:
 
         def consume_host(ready, mat):
             """Consumer-thread half: decode the payload (C++ wire decode
-            releases the GIL) and route it — CSV rows, pending output,
-            flush-cut drain, file write."""
-            nonlocal out_base, cut_i
+            releases the GIL) and route it via the shared SinkState."""
             c_frame0, c_nf, _c_packed, c_out_dev, c_eng = ready
             if wire:
                 from tomatis_tpu.io import wirecodec
@@ -672,31 +665,8 @@ class StreamRunner:
                 payload, aux = c_eng.unpack_pcm24(mat)
             else:
                 payload, aux = c_eng.unpack_f32(mat)
-            log = {"levels": aux[0, :c_nf]}
-            for i, k in enumerate(log_keys):
-                log[k] = aux[1 + i, :c_nf]
-            if "states" in log:
-                log["states"] = log["states"].astype(np.int32)
-                states_count[1] += int(np.sum(log["states"] == 1))
-                states_count[2] += int(np.sum(log["states"] == 2))
-            if on_frames is not None:
-                starts = -pad + (c_frame0 + np.arange(c_nf)) * hop
-                on_frames(c_frame0, starts, log)
-            if c_nf < c_eng.frames_per_chunk:
-                # Partial (final) chunk: the stream's OLA tail lies at
-                # nf*hop, inside the emit region, already normalized.
-                emit_n = c_nf * hop + eng.tail_len
-            else:
-                emit_n = c_nf * hop
-            if pcm24:
-                out_pend.append(payload[:emit_n * bps])
-                peak_pend.append(aux[-1][:emit_n // hop])
-                float_refs.append((-pad + c_frame0 * hop, emit_n, c_out_dev))
-            else:
-                out_pend.append(payload[:emit_n])
-            cut_i, out_base = self._drain(
-                out_pend, peak_pend, float_refs, cut_i, out_base,
-                False, on_audio)
+            sink.route(self, c_eng, c_frame0, c_nf, payload, aux,
+                       c_out_dev, on_frames, on_audio, pcm24)
 
         def capture_snapshot(next_frame0, carry, ot, wt):
             """Pre-dispatch state for chunk `next_frame0` (host copies)."""
@@ -706,23 +676,25 @@ class StreamRunner:
                         out_tail=np.asarray(ot), w_tail=np.asarray(wt))
 
         def save_checkpoint(snap):
+            out_pend = sink.out_pend
             buf = (np.concatenate(out_pend) if len(out_pend) != 1
                    else out_pend[0]) if out_pend else np.zeros(
                 0, np.uint8 if pcm24 else np.float32)
-            pk = (np.concatenate(peak_pend) if len(peak_pend) != 1
-                  else peak_pend[0]) if peak_pend else np.zeros(0, np.float32)
+            pk = (np.concatenate(sink.peak_pend) if len(sink.peak_pend) != 1
+                  else sink.peak_pend[0]) if sink.peak_pend \
+                else np.zeros(0, np.float32)
             unit = bps if pcm24 else 1
             n_pend = len(buf) // unit
-            refs = self._gather_floats(float_refs, out_base,
-                                       out_base + n_pend, C) \
+            refs = self._gather_floats(sink.float_refs, sink.out_base,
+                                       sink.out_base + n_pend, C) \
                 if pcm24 and n_pend else np.zeros((0, C), np.float32)
             state = {f"carry{i}": l for i, l in enumerate(snap["leaves"])}
             state.update(out_tail=snap["out_tail"], w_tail=snap["w_tail"],
                          out_pend=buf, peak_pend=pk, ref_floats=refs,
-                         states_count=states_count)
+                         states_count=sink.states_count)
             state["__scalars__"] = dict(
-                frame0=int(snap["frame0"]), out_base=int(out_base),
-                cut_i=int(cut_i), n_carry_leaves=len(snap["leaves"]),
+                frame0=int(snap["frame0"]), out_base=int(sink.out_base),
+                cut_i=int(sink.cut_i), n_carry_leaves=len(snap["leaves"]),
                 audio_samples_written=int(self.audio_samples_written),
                 frames_consumed=int(snap["frame0"]))
             ckpt.maybe_save(state, force=True)
@@ -889,28 +861,17 @@ class StreamRunner:
         # its frame0 < n_frames, so a resumed run re-enters the loop and
         # re-derives last_full.)
         if last_full:
-            tail_np = np.asarray(out_tail) / (np.asarray(w_tail)[:, None] + EPS)
-            if pcm24:
-                tail_out = tail_np * np.float32(self.output_gain)
-                nblk = eng.tail_len // hop
-                if nblk:
-                    peak_pend.append(np.max(np.abs(
-                        tail_out.reshape(nblk, hop, C)), axis=(1, 2)))
-                out_pend.append(_encode_pcm24(tail_out))
-                float_refs.append((-pad + n_frames * hop, eng.tail_len,
-                                   tail_out))
-            else:
-                out_pend.append(tail_np)
-        self._drain(out_pend, peak_pend, float_refs, cut_i, out_base,
-                    True, on_audio)
+            sink.append_tail(self, eng, n_frames, out_tail, w_tail, pcm24)
+        sink.final_drain(self, on_audio)
 
-        total_f = int(states_count[1] + states_count[2])
+        sc_ = sink.states_count
+        total_f = int(sc_[1] + sc_[2])
         self.stats = dict(
             n_frames=n_frames,
-            c1_frames=int(states_count[1]),
-            c2_frames=int(states_count[2]),
-            c1_ratio=states_count[1] / total_f if total_f else 0.0,
-            c2_ratio=states_count[2] / total_f if total_f else 0.0,
+            c1_frames=int(sc_[1]),
+            c2_frames=int(sc_[2]),
+            c1_ratio=sc_[1] / total_f if total_f else 0.0,
+            c2_ratio=sc_[2] / total_f if total_f else 0.0,
             # per-stage MAIN-THREAD wall time: input staging (queue wait +
             # device unpack dispatch), device dispatch+compute wait,
             # readback link wait (decode/drain/write run on the consumer
@@ -1026,3 +987,79 @@ def _encode_pcm24(x: np.ndarray) -> np.ndarray:
     from tomatis_tpu.utils.pcm import le24_from_i32
     v = np.clip(np.rint(x * 8388608.0), -8388608, 8388607).astype(np.int32)
     return le24_from_i32(v.reshape(-1))
+
+
+class SinkState:
+    """Mutable routing state of one output stream: pending encoded
+    pieces, per-hop-block peaks, pre-quantization float refs (the
+    clamped-flush path), flush-cut cursor, and C1/C2 counters.
+
+    `route` is the ONE implementation of per-chunk output routing —
+    shared by StreamRunner's consumer thread and the batch driver's
+    lanes (previously a diverging copy, see parallel/batch.py)."""
+
+    def __init__(self, pad: int):
+        self.out_pend: list = []
+        self.peak_pend: list = []
+        self.float_refs: list = []
+        self.out_base = -pad
+        self.cut_i = 0
+        self.states_count = np.zeros(3, np.int64)
+
+    def route(self, runner, eng, c_frame0, c_nf, payload, aux, out_dev,
+              on_frames, write, pcm24: bool = True) -> None:
+        """Route one decoded chunk: per-frame log (CSV/callback), pending
+        output, flush-cut drain, file write. payload: decoded PCM_24
+        bytes (pcm24=True) or float samples. eng: the CHUNK's engine
+        (ramp-up streams use several; tail_len/channels are shared)."""
+        hop = eng.hop
+        pad = runner.plan.pad
+        log = {"levels": aux[0, :c_nf]}
+        for i, k in enumerate(eng.log_keys):
+            log[k] = aux[1 + i, :c_nf]
+        if "states" in log:
+            log["states"] = log["states"].astype(np.int32)
+            self.states_count[1] += int(np.sum(log["states"] == 1))
+            self.states_count[2] += int(np.sum(log["states"] == 2))
+        if on_frames is not None:
+            starts = -pad + (c_frame0 + np.arange(c_nf)) * hop
+            on_frames(c_frame0, starts, log)
+        if c_nf < eng.frames_per_chunk:
+            # Partial (final) chunk: the stream's OLA tail lies at
+            # nf*hop, inside the emit region, already normalized.
+            emit_n = c_nf * hop + eng.tail_len
+        else:
+            emit_n = c_nf * hop
+        if pcm24:
+            self.out_pend.append(payload[:emit_n * eng.channels * 3])
+            self.peak_pend.append(aux[-1][:emit_n // hop])
+            self.float_refs.append((-pad + c_frame0 * hop, emit_n,
+                                    out_dev))
+        else:
+            self.out_pend.append(payload[:emit_n])
+        self.cut_i, self.out_base = runner._drain(
+            self.out_pend, self.peak_pend, self.float_refs, self.cut_i,
+            self.out_base, False, write)
+
+    def append_tail(self, runner, eng, n_frames: int, out_tail, w_tail,
+                    pcm24: bool = True) -> None:
+        """After a final FULL chunk the carry still holds the stream's
+        OLA tail (past the emit region): normalize, gain, and queue it."""
+        tail_np = (np.asarray(out_tail)
+                   / (np.asarray(w_tail)[:, None] + EPS))
+        if not pcm24:
+            self.out_pend.append(tail_np)
+            return
+        hop, C = eng.hop, eng.channels
+        tail_out = tail_np * np.float32(runner.output_gain)
+        nblk = eng.tail_len // hop
+        if nblk:
+            self.peak_pend.append(np.max(np.abs(
+                tail_out.reshape(nblk, hop, C)), axis=(1, 2)))
+        self.out_pend.append(_encode_pcm24(tail_out))
+        self.float_refs.append((-runner.plan.pad + n_frames * hop,
+                                eng.tail_len, tail_out))
+
+    def final_drain(self, runner, write) -> None:
+        runner._drain(self.out_pend, self.peak_pend, self.float_refs,
+                      self.cut_i, self.out_base, True, write)

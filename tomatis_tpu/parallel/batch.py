@@ -68,6 +68,7 @@ class _Lane:
 
     def __init__(self, in_path, out_path, runner: StreamRunner,
                  state_csv_path=None):
+        from tomatis_tpu.engine.streaming import SinkState
         self.in_path = str(in_path)
         self.out_path = str(out_path)
         self.runner = runner
@@ -79,12 +80,7 @@ class _Lane:
         self.csvw = None
         self.state_csv_path = state_csv_path
         self.frame0 = 0
-        self.out_pend: list = []
-        self.peak_pend: list = []
-        self.float_refs: list = []
-        self.out_base = -self.plan.pad
-        self.cut_i = 0
-        self.states_count = np.zeros(3, np.int64)
+        self.sink = SinkState(self.plan.pad)
         self.failed = None
         self.done = False
 
@@ -116,52 +112,19 @@ class _Lane:
                 pass
 
     def consume(self, c_frame0, c_nf, payload, aux, out_dev):
-        """Route one chunk's already-decoded PCM bytes + aux rows.
-
-        Mirrors StreamRunner.consume_host (engine/streaming.py) over
-        per-lane state; the engine version closes over its run()-local
-        sinks, so sharing the body needs a sink-state object — keep the
-        two in sync until that refactor."""
-        eng, runner = self.eng, self.runner
-        hop = eng.hop
-        pad = self.plan.pad
-        log = {"levels": aux[0, :c_nf]}
-        for i, k in enumerate(eng.log_keys):
-            log[k] = aux[1 + i, :c_nf]
-        if "states" in log:
-            log["states"] = log["states"].astype(np.int32)
-            self.states_count[1] += int(np.sum(log["states"] == 1))
-            self.states_count[2] += int(np.sum(log["states"] == 2))
-        if self.csvw is not None:
-            starts = -pad + (c_frame0 + np.arange(c_nf)) * hop
-            self.csvw.on_frames(c_frame0, starts, log)
-        emit_n = c_nf * hop + (eng.tail_len
-                               if c_nf < eng.frames_per_chunk else 0)
-        self.out_pend.append(payload[:emit_n * eng.channels * 3])
-        self.peak_pend.append(aux[-1][:emit_n // hop])
-        self.float_refs.append((-pad + c_frame0 * hop, emit_n, out_dev))
-        self.cut_i, self.out_base = runner._drain(
-            self.out_pend, self.peak_pend, self.float_refs, self.cut_i,
-            self.out_base, False, self.writer.write_raw)
+        """Route one chunk's already-decoded PCM bytes + aux rows through
+        the engine's shared SinkState (one routing implementation)."""
+        self.sink.route(self.runner, self.eng, c_frame0, c_nf, payload,
+                        aux, out_dev,
+                        self.csvw.on_frames if self.csvw else None,
+                        self.writer.write_raw)
 
     def finish(self, out_tail, w_tail):
-        from tomatis_tpu.engine.streaming import EPS, _encode_pcm24
-        eng, runner = self.eng, self.runner
-        if self.n_frames % eng.frames_per_chunk == 0 and self.n_frames > 0:
-            tail = (np.asarray(out_tail)
-                    / (np.asarray(w_tail)[:, None] + EPS))
-            tail_out = tail * np.float32(runner.output_gain)
-            nblk = eng.tail_len // eng.hop
-            if nblk:
-                self.peak_pend.append(np.max(np.abs(tail_out.reshape(
-                    nblk, eng.hop, eng.channels)), axis=(1, 2)))
-            self.out_pend.append(_encode_pcm24(tail_out))
-            self.float_refs.append((-self.plan.pad
-                                    + self.n_frames * eng.hop,
-                                    eng.tail_len, tail_out))
-        runner._drain(self.out_pend, self.peak_pend, self.float_refs,
-                      self.cut_i, self.out_base, True,
-                      self.writer.write_raw)
+        if self.n_frames % self.eng.frames_per_chunk == 0 \
+                and self.n_frames > 0:
+            self.sink.append_tail(self.runner, self.eng, self.n_frames,
+                                  out_tail, w_tail)
+        self.sink.final_drain(self.runner, self.writer.write_raw)
         self.writer.close()
         self.reader.close()
         if self.csvw:
@@ -169,13 +132,13 @@ class _Lane:
         self.done = True
 
     def stats(self):
-        tf = int(self.states_count[1] + self.states_count[2])
+        sc = self.sink.states_count
+        tf = int(sc[1] + sc[2])
         return dict(in_path=self.in_path, out_path=self.out_path,
                     failed=self.failed, n_frames=self.n_frames,
                     sr=getattr(self, "sr", 0),
-                    c1_frames=int(self.states_count[1]),
-                    c2_frames=int(self.states_count[2]),
-                    c2_ratio=self.states_count[2] / tf if tf else 0.0)
+                    c1_frames=int(sc[1]), c2_frames=int(sc[2]),
+                    c2_ratio=sc[2] / tf if tf else 0.0)
 
 
 def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
