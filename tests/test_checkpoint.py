@@ -196,3 +196,37 @@ def test_checkpoint_rejects_transport_change(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="different parameters"):
         process(ip, tmp_path / "o.flac", p, frames_per_chunk=8,
                 checkpoint_path=ck, checkpoint_every=2, transport="f32")
+
+
+def test_finalize_degrades_to_wav_without_encoder(tmp_path, monkeypatch):
+    """A checkpointed run whose final FLAC transcode cannot encode (no
+    g++) must keep the completed audio as a WAV with a hint — the same
+    graceful degradation as the uncheckpointed sink open (ref
+    src/process_tomatis.py:241-251,471-474) — and still clear the
+    checkpoint."""
+    sr = 48000
+    x = _signal(4.0)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = StandardParams(require_48k_stereo=False)
+
+    out = tmp_path / "out.flac"
+    ck = tmp_path / "ck.npz"
+    # native FLAC encode unavailable only at finalize time: the input is
+    # WAV, the stage is WAV, so TOMATIS_NO_NATIVE hits exactly the
+    # transcode step (wire encode also degrades, to raw f32 chunks)
+    monkeypatch.setenv("TOMATIS_NO_NATIVE", "1")
+    from tomatis_tpu.native import build as nb
+    nb._CACHE.clear()
+    try:
+        stats = process(ip, out, p, frames_per_chunk=16,
+                        checkpoint_path=ck, checkpoint_every=4)
+    finally:
+        monkeypatch.delenv("TOMATIS_NO_NATIVE")
+        nb._CACHE.clear()
+    assert not out.exists()
+    assert stats["out_path"] == str(tmp_path / "out.wav")
+    assert not ck.exists()
+    assert not (tmp_path / "out.flac.part.wav").exists()
+    y, rsr = audio.read(stats["out_path"])
+    assert rsr == sr and len(y) == len(x)

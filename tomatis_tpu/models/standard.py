@@ -168,7 +168,8 @@ def process(in_path, out_path, p: StandardParams | None = None,
             fout.close()
             if csvw:
                 csvw.close()
-        finalize_checkpointed_sink(ckpt, stage_path, out_path)
+        actual_out = (finalize_checkpointed_sink(ckpt, stage_path,
+                                                 out_path) or actual_out)
 
     wall = time.perf_counter() - t_start
     stats.update(params=asdict(p), sr=sr, channels=ch, total=total,
@@ -228,16 +229,39 @@ def open_checkpointed_sink(out_path, sr, ch, config, checkpoint_path,
     return fout, out_path, ckpt, resume_state, stage_path
 
 
-def finalize_checkpointed_sink(ckpt, stage_path, out_path) -> None:
+def finalize_checkpointed_sink(ckpt, stage_path, out_path) -> str:
     """Epilogue of a checkpointed run: transcode the staged WAV into the
-    requested container and drop the checkpoint. No-op without one."""
+    requested container and drop the checkpoint. No-op without one.
+
+    When the requested container cannot be encoded (e.g. FLAC without
+    g++), the completed audio is kept as a WAV next to the requested
+    path with a conversion hint — same graceful degradation as the
+    uncheckpointed open (ref src/process_tomatis.py:241-251,471-474).
+    Returns the path actually holding the output, or None when there
+    was no checkpoint (the caller's sink-open already settled the
+    actual path, possibly to its own WAV fallback)."""
     if ckpt is None:
-        return
+        return None
     import os
-    if stage_path != str(out_path):
-        _transcode_wav_to(stage_path, out_path)
-        os.remove(stage_path)
+    actual = str(out_path)
+    if stage_path != actual:
+        try:
+            _transcode_wav_to(stage_path, actual)
+            os.remove(stage_path)
+        except Exception as enc_err:
+            try:   # a mid-transcode failure can leave a partial output
+                if os.path.exists(actual):
+                    os.remove(actual)
+            except OSError:
+                pass
+            actual = actual.rsplit(".", 1)[0] + ".wav"
+            os.replace(stage_path, actual)
+            print(f"[WARN] cannot encode {out_path!r} ({enc_err}); "
+                  f"kept the completed audio as WAV: {actual}\n"
+                  f"       convert later with e.g. "
+                  f"`ffmpeg -i {actual} {out_path}`")
     ckpt.clear()
+    return actual
 
 
 class _RawWav:

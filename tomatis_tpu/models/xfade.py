@@ -141,7 +141,8 @@ def process(in_path, out_path, p: XfadeParams | None = None,
             fout.close()
             if csvw:
                 csvw.close()
-        finalize_checkpointed_sink(ckpt, stage_path, out_path)
+        actual_out = (finalize_checkpointed_sink(ckpt, stage_path,
+                                                 out_path) or actual_out)
     stats.update(params=asdict(p), sr=sr, channels=ch, total=total,
                  threshold_dbfs=p.threshold_dbfs(),
                  xfade_frames=p.xfade_frames(sr), out_path=actual_out)
