@@ -49,18 +49,31 @@ FLUSH_THRESHOLD = 48000 * 5  # hard-coded in the reference (src/process_tomatis.
 WIRE_PAGE = 1024 * 1024
 WIRE_BUCKET = 256 * 1024
 
-# Engine-wide static rice switch for the wire transport. Rice coding
-# saves only ~4% of link bytes on program material (an invertible code
-# must still pay the sign bit), but its device halves cost real
-# serialized time per chunk on a tunneled TPU — the unary-region decode
-# alone measured ~150 ms per 2 M-sample chunk, an order of magnitude
-# more than the link time the bytes buy back. The engine therefore runs
-# the all-maxw TWC3 profile end to end; encoder and decoder settings
-# pair by construction (host decoders accept either stream).
-WIRE_RICE = False
+# Engine-wide static rice switches for the wire transport, one per link
+# DIRECTION (the TWC3 per-block rice mode is a stream property; encoder
+# and decoder of each direction pair by construction, and the host
+# decoders accept either stream). Rice saves ~4% of link bytes on
+# program material (an invertible code must still pay the sign bit),
+# so it is worth exactly what its DEVICE half costs:
+# - input (host C++ encode -> device unpack): OFF. The device-side
+#   unary-region decode measured ~150 ms per 2 M-sample chunk — an
+#   order of magnitude more than the link time the bytes buy back.
+# - output (device pack -> host C++ decode): ON. The device-side rice
+#   ENCODE is one bounded scatter-add (~1-2 ms per chunk) and the host
+#   decode (~52 ms) runs on the consumer thread, overlapped with the
+#   link — while the bytes come off the device->host direction, the
+#   SLOWER direction of the tunnel (measured 25-36 MB/s vs 43-57 MB/s
+#   host->device).
+WIRE_RICE_IN = False
+WIRE_RICE_OUT = True
 
 # Shared input-unpack executable; jit caches one trace per (bucket, n, ch).
-_UNPACK_INPUT = jax.jit(wire_ops.unpack_device, static_argnums=(1, 2, 3))
+_UNPACK_INPUT = jax.jit(wire_ops.unpack_device, static_argnums=(1, 2, 3, 4))
+
+# Input staging ships uint32 words with one wide-gather window of tail
+# slack (8 * _WMAX words), so the device unpack skips both the
+# byte->word bitcast relayout and the whole-buffer zero-pad copy.
+_IN_SLACK_W = 8 * wire_ops._WMAX
 
 # Tail-page trimming: the final output page of a chunk is mostly unused
 # (avg half a page wasted per chunk at 1 MB pages ≈ 7% of the d2h
@@ -87,11 +100,12 @@ def trim_tail_page(pg, used_words_in_page: int):
 
 def _bucketed_unpack(packed: np.ndarray, n: int, ch: int):
     """Pad a packed buffer to the bucket grid (bounding the number of
-    unpack executable shapes) and dispatch the on-device unpack."""
+    unpack executable shapes) plus one wide-gather window of tail slack,
+    and dispatch the on-device unpack (uint32 + padded_tail fast path)."""
     bucket = -(-len(packed) // WIRE_BUCKET) * WIRE_BUCKET
-    pb = np.zeros(bucket, np.uint8)
-    pb[:len(packed)] = packed
-    return _UNPACK_INPUT(pb, n, ch, WIRE_RICE)
+    pb = np.zeros(bucket // 4 + _IN_SLACK_W, np.uint32)
+    pb.view(np.uint8)[:len(packed)] = packed
+    return _UNPACK_INPUT(pb, n, ch, WIRE_RICE_IN, True)
 
 
 def resolve_transport(transport: str, supports_raw: bool):
@@ -123,8 +137,8 @@ def stage_encode(sig: np.ndarray, int_in: bool, wire_input: bool = True):
         return ("raw", sig)
     from tomatis_tpu.io import wirecodec
     if int_in:
-        return ("wire", wirecodec.encode_i32(sig, rice=WIRE_RICE))
-    packed = wirecodec.encode_f32(sig, rice=WIRE_RICE)
+        return ("wire", wirecodec.encode_i32(sig, rice=WIRE_RICE_IN))
+    packed = wirecodec.encode_f32(sig, rice=WIRE_RICE_IN)
     return ("raw_inexact", sig) if packed is None else ("wire", packed)
 
 
@@ -419,7 +433,7 @@ class ChunkedStftEngine:
                          -8388608, 8388607).astype(jnp.int32)
             if transport == "wire":
                 words, used = wire_ops.pack_device(
-                    v, v.shape[0], v.shape[1], rice=WIRE_RICE)
+                    v, v.shape[0], v.shape[1], rice=WIRE_RICE_OUT)
                 PW = WIRE_PAGE // 4
                 n_pages = -(-(words.size * 4) // WIRE_PAGE)
                 wpad = jnp.pad(words, (0, n_pages * PW - words.size))

@@ -624,10 +624,12 @@ def pack_device(v, n: int, ch: int, rice: bool = True):
     return out, used.astype(jnp.int32)
 
 
-def unpack_device(buf, n: int, ch: int, rice: bool = True):
+def unpack_device(buf, n: int, ch: int, rice: bool = True,
+                  padded_tail: bool = False):
     """Device-side decoder (traceable): buf uint8 [>= used bytes, mult of
-    4] -> float32 [n, ch] (PCM_24 scale v / 2^23). Order/midside/raw flags
-    are data-dependent; all handled with lax.switch / where.
+    4] or uint32 words -> float32 [n, ch] (PCM_24 scale v / 2^23).
+    Order/midside/raw flags are data-dependent; all handled with
+    lax.switch / where.
 
     rice is a STATIC switch: rice=False traces none of the unary-region
     decode (terminator search + popcount select, measured the single
@@ -635,15 +637,25 @@ def unpack_device(buf, n: int, ch: int, rice: bool = True):
     2M-sample chunk, vs single-digit ms for everything else) and is only
     correct for streams encoded with rice disabled (all-maxw blocks).
     The engine pairs encoder and decoder settings, so the contract holds
-    by construction; the general host decoders accept either stream."""
+    by construction; the general host decoders accept either stream.
+
+    padded_tail=True asserts the CALLER ships >= 8*_WMAX words of
+    readable slack beyond the stream content (the engine's bucketed
+    staging does), skipping the device-side zero-pad copy of the whole
+    buffer that the per-block wide gathers otherwise need to stay
+    aligned at the stream tail. A uint32 buf additionally skips the
+    byte->word bitcast relayout."""
     import jax
     import jax.numpy as jnp
 
     K = n_blocks(n)
     H = header_words(n, ch)
     T = ch * K
-    words = jax.lax.bitcast_convert_type(
-        buf.reshape(-1, 4), jnp.uint32).reshape(-1)
+    if buf.dtype == jnp.uint32:
+        words = buf.reshape(-1)
+    else:
+        words = jax.lax.bitcast_convert_type(
+            buf.reshape(-1, 4), jnp.uint32).reshape(-1)
     W = words.size
     flags = words[3]
     order = ((flags >> 8) & 0xFF).astype(jnp.int32)
@@ -667,7 +679,8 @@ def unpack_device(buf, n: int, ch: int, rice: bool = True):
         # speed (~80M/s, measured 3x the rest of the unpack). Over-read
         # into the next blocks' data is masked.
         PW = 8 * _WMAX
-        wpad = jnp.concatenate([words, jnp.zeros(PW, jnp.uint32)])
+        wpad = words if padded_tail \
+            else jnp.concatenate([words, jnp.zeros(PW, jnp.uint32)])
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(1,), collapsed_slice_dims=(),
             start_index_map=(0,))

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tomatis_tpu.engine.streaming import (ChunkedStftEngine, StreamRunner,
-                                          WIRE_BUCKET, WIRE_PAGE, WIRE_RICE,
+                                          WIRE_BUCKET, WIRE_PAGE, WIRE_RICE_IN,
                                           stage_encode)
 from tomatis_tpu.io import audio
 from tomatis_tpu.ops import wire as wire_ops
@@ -39,11 +39,15 @@ _FLAT_GRID = 64 * 1024
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _vunpack_flat(flat, offs, bucket, n, ch, rice):
+def _vunpack_flat(flat, offs_w, bucket_w, n, ch, rice):
+    """flat: uint32 words; offs_w: per-lane word offsets; bucket_w: lane
+    window in words INCLUDING the wide-gather tail slack (the producer
+    sizes flat so every window is in bounds — see unpack_device's
+    padded_tail contract)."""
     rows = jax.vmap(
-        lambda o: jax.lax.dynamic_slice(flat, (o,), (bucket,)))(offs)
-    return jax.vmap(wire_ops.unpack_device,
-                    in_axes=(0, None, None, None))(rows, n, ch, rice)
+        lambda o: jax.lax.dynamic_slice(flat, (o,), (bucket_w,)))(offs_w)
+    return jax.vmap(
+        lambda r: wire_ops.unpack_device(r, n, ch, rice, True))(rows)
 
 # (chunk_fn, padded lane count, device tuple) -> jitted vmapped step. A
 # fresh jax.jit wrapper per process_batch call would re-trace and re-load
@@ -328,27 +332,32 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 items = list(pool.map(
                     lambda i: stage_encode(sigs[i], False), range(Bp)))
                 if all(k == "wire" for k, _ in items):
+                    from tomatis_tpu.engine.streaming import _IN_SLACK_W
                     lens = [len(v) for _, v in items]
                     bucket = max(-(-le // WIRE_BUCKET) * WIRE_BUCKET
                                  for le in lens)
+                    # lane window in words, incl. the wide-gather tail
+                    # slack the padded_tail unpack contract requires
+                    bucket_w = bucket // 4 + _IN_SLACK_W
                     # pack tightly, 4-byte aligned, largest lane last:
-                    # every lane's bucket-sized device window must stay
-                    # in bounds, so the flat tail pad is bucket minus
-                    # the LAST lane's length — smallest when that lane
-                    # is the largest
+                    # every lane's window-sized device slice must stay
+                    # in bounds, so the flat tail pad is one window
+                    # minus the LAST lane's length — smallest when that
+                    # lane is the largest
                     order = sorted(range(Bp), key=lambda i: lens[i])
                     offs = np.zeros(Bp, np.int32)
                     pos = 0
                     for j in order:
                         offs[j] = pos
                         pos += -(-lens[j] // 4) * 4
-                    need = int(offs[order[-1]]) + bucket
+                    need = int(offs[order[-1]]) + 4 * bucket_w
                     flat_len = -(-need // _FLAT_GRID) * _FLAT_GRID
-                    flat = np.zeros(flat_len, np.uint8)
+                    flat = np.zeros(flat_len // 4, np.uint32)
+                    fbytes = flat.view(np.uint8)
                     for i, (_, v) in enumerate(items):
-                        flat[offs[i]:offs[i] + lens[i]] = v
-                    item = ("wire", (flat, offs, bucket), sum(lens),
-                            flat_len)
+                        fbytes[offs[i]:offs[i] + lens[i]] = v
+                    item = ("wire", (flat, offs // 4, bucket_w),
+                            sum(lens), flat_len)
             if item is None:
                 item = ("f32", sigs, 0, 0)
             yield item, nfs, errs
@@ -410,12 +419,12 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             if all(lane.done or lane.failed for lane in lanes):
                 break   # nothing left to route; drop the staged chunk
             if kind == "wire":
-                flat, offs, bucket = payload
+                flat, offs_w, bucket_w = payload
                 wire_acct["in_used"] += in_used
                 wire_acct["in_shipped"] += in_shipped
-                sig_arg = _vunpack_flat(flat, offs, bucket,
+                sig_arg = _vunpack_flat(flat, offs_w, bucket_w,
                                         engine.chunk_input_len, ch,
-                                        WIRE_RICE)
+                                        WIRE_RICE_IN)
             else:
                 # raw float fallback ONLY when the codec couldn't take the
                 # chunk: materializing this 60+ MB device array wastes ~2 s
