@@ -320,8 +320,9 @@ def bench_batch(p, tmp, args) -> dict:
         jobs.append((jp, os.path.join(tmp, f"bout_{i}.wav")))
     best = None
     runs = []
+    floor_runs = []
     timings = None
-    for _ in range(max(3, args.repeats // 2)):
+    for rep in range(max(3, args.repeats // 2)):
         t0 = time.perf_counter()
         res = batch_mod.process_batch(jobs, p, frames_per_chunk=fpc)
         dt = time.perf_counter() - t0
@@ -329,13 +330,34 @@ def bench_batch(p, tmp, args) -> dict:
         if best is None or dt < best:
             best = dt
             timings = dict(batch_mod.LAST_TIMINGS)
+        # paired zero-compute floor replay, same as the single-file loop:
+        # the tunnel drifts minute to minute, so batch-vs-single gaps in
+        # the artifact are only meaningful against floors measured at the
+        # SAME moment (an early session chased a 76x-vs-102x "batch gap"
+        # that was entirely link weather between bench stages)
+        wa = dict(batch_mod.LAST_WIRE)
+        if rep > 0 and wa.get("in_shipped") and wa.get("out_shipped"):
+            n_chunks = timings.get("chunks") or 1
+            aux_words = n * (3 * (fpc + p.n_fft // p.hop - 1) + 2)
+            floor_runs.append(round(secs * n / link_floor(
+                wa["in_shipped"], wa["out_shipped"], n_chunks,
+                aux_words), 1))
     ok = sum(1 for r in res if r.get("failed") is None)
+    floor_x = max(floor_runs) if floor_runs else None
     return {
         "value": round(secs * n / best, 1),
         "unit": "x_realtime_aggregate",
         "lanes": n, "frames_per_chunk": fpc, "files_ok": ok,
         "audio_seconds": secs * n, "wall_seconds": round(best, 3),
         "all_runs_x": runs[1:],   # run 0 includes the vmapped compile
+        "link_floor_x": floor_x,
+        "link_floor_runs_x": floor_runs,
+        "vs_floor_paired_runs": ([round(r / f, 2) for r, f in
+                                  zip(runs[1:], floor_runs)]
+                                 if floor_runs else None),
+        "vs_floor_paired_best": (round(max(
+            r / f for r, f in zip(runs[1:], floor_runs)), 2)
+            if floor_runs else None),
         "timings": timings,
         # shipped/used > 1 is lane padding to the common bucket/page
         # geometry — link bytes the single-file path does not pay
