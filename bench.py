@@ -343,7 +343,11 @@ def bench_batch(p, tmp, args) -> dict:
                 wa["in_shipped"], wa["out_shipped"], n_chunks,
                 aux_words), 1))
     ok = sum(1 for r in res if r.get("failed") is None)
-    floor_x = max(floor_runs) if floor_runs else None
+    # same pairing semantic as the single-file headline: the floor replay
+    # adjacent to the best post-warmup run
+    floor_x = None
+    if floor_runs:
+        floor_x = floor_runs[int(np.argmax(np.asarray(runs[1:])))]
     return {
         "value": round(secs * n / best, 1),
         "unit": "x_realtime_aggregate",
@@ -501,7 +505,14 @@ def main() -> int:
 
     rtf = audio_sec / best
     wire = best_stats.get("wire", {})
-    floor_x = max(floor_runs) if floor_runs else None
+    # link_floor_x: the floor replay PAIRED with the best timed run (it
+    # ran seconds after that run, under the same link weather). The max
+    # over all replays is also reported, but as a headline denominator
+    # it is unfair — it picks the floor's single luckiest window while
+    # the value picks the run's, and the two never coincide.
+    floor_x = None
+    if floor_runs:
+        floor_x = floor_runs[int(np.argmax(np.asarray(runs)))]
     bytes_total = (wire.get("in_bytes", 0)
                    + wire.get("out_bytes", 0)) / audio_sec
     # what the measured link alone would allow if everything else hid
@@ -535,6 +546,7 @@ def main() -> int:
         "link_bound_ceiling_x": (round(ceiling, 1)
                                  if ceiling is not None else None),
         "link_floor_x": floor_x,
+        "link_floor_max_x": max(floor_runs) if floor_runs else None,
         "link_floor_runs_x": floor_runs,
         "vs_floor": (round(rtf / floor_x, 2) if floor_x else None),
         # software efficiency with the link drift factored out: each run
