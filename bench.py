@@ -336,18 +336,26 @@ def bench_batch(p, tmp, args) -> dict:
         # SAME moment (an early session chased a 76x-vs-102x "batch gap"
         # that was entirely link weather between bench stages)
         wa = dict(batch_mod.LAST_WIRE)
-        if rep > 0 and wa.get("in_shipped") and wa.get("out_shipped"):
-            n_chunks = timings.get("chunks") or 1
-            aux_words = n * (3 * (fpc + p.n_fft // p.hop - 1) + 2)
-            floor_runs.append(round(secs * n / link_floor(
-                wa["in_shipped"], wa["out_shipped"], n_chunks,
-                aux_words), 1))
+        if rep > 0:
+            # keep floor_runs index-aligned with runs[1:] (None when the
+            # run had no wire byte stats) — pairing indexes by position
+            floor_i = None
+            if wa.get("in_shipped") and wa.get("out_shipped"):
+                n_chunks = timings.get("chunks") or 1
+                aux_words = n * (3 * (fpc + p.n_fft // p.hop - 1) + 2)
+                floor_i = round(secs * n / link_floor(
+                    wa["in_shipped"], wa["out_shipped"], n_chunks,
+                    aux_words), 1)
+            floor_runs.append(floor_i)
     ok = sum(1 for r in res if r.get("failed") is None)
     # same pairing semantic as the single-file headline: the floor replay
     # adjacent to the best post-warmup run
+    pairs = [(r, f) for r, f in zip(runs[1:], floor_runs) if f]
     floor_x = None
     if floor_runs:
         floor_x = floor_runs[int(np.argmax(np.asarray(runs[1:])))]
+    if floor_x is None and pairs:
+        floor_x = max(pairs)[1]
     return {
         "value": round(secs * n / best, 1),
         "unit": "x_realtime_aggregate",
@@ -356,12 +364,10 @@ def bench_batch(p, tmp, args) -> dict:
         "all_runs_x": runs[1:],   # run 0 includes the vmapped compile
         "link_floor_x": floor_x,
         "link_floor_runs_x": floor_runs,
-        "vs_floor_paired_runs": ([round(r / f, 2) for r, f in
-                                  zip(runs[1:], floor_runs)]
-                                 if floor_runs else None),
-        "vs_floor_paired_best": (round(max(
-            r / f for r, f in zip(runs[1:], floor_runs)), 2)
-            if floor_runs else None),
+        "vs_floor_paired_runs": ([round(r / f, 2) for r, f in pairs]
+                                 if pairs else None),
+        "vs_floor_paired_best": (round(max(r / f for r, f in pairs), 2)
+                                 if pairs else None),
         "timings": timings,
         # shipped/used > 1 is lane padding to the common bucket/page
         # geometry — link bytes the single-file path does not pay
@@ -467,7 +473,10 @@ def main() -> int:
         # honest software-efficiency ratio is the PAIRED one (each run
         # against the floor measured seconds later); best-of-N floor vs
         # best-of-N run additionally compares both at their best moments
+        # floor_runs stays index-aligned with runs (None when a run has
+        # no wire byte stats): pairing indexes into it by run position
         wire_st = stats.get("wire", {})
+        floor_i = None
         if wire_st.get("in_bytes", 0) and wire_st.get("out_bytes", 0):
             # mirror the engine's ramp-up schedule (two smaller leading
             # chunks): the replay ships the same totals over the same
@@ -480,9 +489,10 @@ def main() -> int:
                 n_chunks = -(-nf // fpc)
             aux_words = 3 * (args.frames_per_chunk
                              + p.n_fft // p.hop - 1) + 2
-            floor_runs.append(round(audio_sec / link_floor(
+            floor_i = round(audio_sec / link_floor(
                 wire_st["in_bytes"], wire_st["out_bytes"], n_chunks,
-                aux_words), 1))
+                aux_words), 1)
+        floor_runs.append(floor_i)
     steady = sorted(runs[len(runs) // 2:])   # second half: warmed, steady
     steady_median = steady[len(steady) // 2]
 
@@ -510,9 +520,15 @@ def main() -> int:
     # over all replays is also reported, but as a headline denominator
     # it is unfair — it picks the floor's single luckiest window while
     # the value picks the run's, and the two never coincide.
+    pairs = [(r, f) for r, f in zip(runs, floor_runs) if f]
+    floors_ok = [f for f in floor_runs if f]
     floor_x = None
     if floor_runs:
         floor_x = floor_runs[int(np.argmax(np.asarray(runs)))]
+    if floor_x is None and pairs:
+        # the best run had no replay (rare: wire stats missing) — pair
+        # the best run that does have one
+        floor_x = max(pairs)[1]
     bytes_total = (wire.get("in_bytes", 0)
                    + wire.get("out_bytes", 0)) / audio_sec
     # what the measured link alone would allow if everything else hid
@@ -546,7 +562,7 @@ def main() -> int:
         "link_bound_ceiling_x": (round(ceiling, 1)
                                  if ceiling is not None else None),
         "link_floor_x": floor_x,
-        "link_floor_max_x": max(floor_runs) if floor_runs else None,
+        "link_floor_max_x": max(floors_ok) if floors_ok else None,
         "link_floor_runs_x": floor_runs,
         "vs_floor": (round(rtf / floor_x, 2) if floor_x else None),
         # software efficiency with the link drift factored out: each run
@@ -556,15 +572,13 @@ def main() -> int:
         # floor replay, so even zero-overhead software pairs below 1.0
         # in bad windows), and the best pair is the existence proof
         # that the pipeline matches its own transfer replay.
-        "vs_floor_paired_runs": ([round(r / f, 2) for r, f in
-                                  zip(runs, floor_runs)]
-                                 if floor_runs else None),
+        "vs_floor_paired_runs": ([round(r / f, 2) for r, f in pairs]
+                                 if pairs else None),
         "vs_floor_paired": (round(sorted(
-            r / f for r, f in zip(runs, floor_runs))
-            [len(floor_runs) // 2], 2) if floor_runs else None),
-        "vs_floor_paired_best": (round(max(r / f for r, f in
-                                           zip(runs, floor_runs)), 2)
-                                 if floor_runs else None),
+            r / f for r, f in pairs)[len(pairs) // 2], 2)
+            if pairs else None),
+        "vs_floor_paired_best": (round(max(r / f for r, f in pairs), 2)
+                                 if pairs else None),
         "device_resident_x": (round(resident_x, 1)
                               if resident_x is not None else None),
         "device": str(dev),

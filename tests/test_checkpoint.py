@@ -230,3 +230,67 @@ def test_finalize_degrades_to_wav_without_encoder(tmp_path, monkeypatch):
     assert not (tmp_path / "out.flac.part.wav").exists()
     y, rsr = audio.read(stats["out_path"])
     assert rsr == sr and len(y) == len(x)
+
+
+def test_eq_finalize_degrades_to_wav_without_encoder(tmp_path, monkeypatch):
+    """apply_eq with a checkpoint must report the DEGRADED path in its
+    result when the final FLAC transcode cannot encode — its gain-protect
+    second pass re-reads res['out_path'], which must exist."""
+    from tomatis_tpu.models import eq as eqm
+    sr = 48000
+    x = _signal(3.0)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    csvp = tmp_path / "eq.csv"
+    csvp.write_text("freq_hz,delta_db\n100,2\n1000,0\n8000,-3\n")
+    out = tmp_path / "out.flac"
+    ck = tmp_path / "ck.npz"
+    monkeypatch.setenv("TOMATIS_NO_NATIVE", "1")
+    from tomatis_tpu.native import build as nb
+    nb._CACHE.clear()
+    try:
+        res = eqm.apply_eq(ip, out, csvp, frames_per_chunk=16,
+                           checkpoint_path=ck, checkpoint_every=4)
+    finally:
+        monkeypatch.delenv("TOMATIS_NO_NATIVE")
+        nb._CACHE.clear()
+    assert not out.exists()
+    assert res["out_path"] == str(tmp_path / "out.wav")
+    y, rsr = audio.read(res["out_path"])
+    # apply_gain_stream output is uncropped (pad + OLA tail, see test_eq)
+    assert rsr == sr and len(y) >= len(x)
+
+
+def test_finalize_keeps_output_when_stage_cleanup_fails(tmp_path,
+                                                        monkeypatch):
+    """A cleanup failure AFTER a successful transcode must not destroy
+    the just-written output (os.remove used to sit inside the same try
+    as the transcode, so its failure took the WAV-degradation path and
+    deleted the good file)."""
+    import os as _os
+    from tomatis_tpu.models import standard as std
+
+    stage = tmp_path / "out.flac.part.wav"
+    outp = tmp_path / "out.flac"
+    audio.write(stage, _signal(1.0), 48000, subtype="PCM_24")
+
+    class _Ck:
+        cleared = False
+
+        def clear(self):
+            self.cleared = True
+
+    real_remove = _os.remove
+
+    def deny_remove(path):
+        if str(path) == str(stage):
+            raise OSError("stage file held open")
+        real_remove(path)
+
+    monkeypatch.setattr(std.os if hasattr(std, "os") else _os, "remove",
+                        deny_remove)
+    ck = _Ck()
+    actual = std.finalize_checkpointed_sink(ck, str(stage), str(outp))
+    assert actual == str(outp)
+    assert outp.exists()          # the good output survived
+    assert ck.cleared

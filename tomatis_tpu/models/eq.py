@@ -356,7 +356,8 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
             _stream()
         finally:
             fout.close()
-        finalize_checkpointed_sink(ckpt, stage_path, out_path)
+        actual_out = (finalize_checkpointed_sink(ckpt, stage_path, out_path)
+                      or actual_out)
     return dict(peak_seen=peak_seen, out_path=actual_out, n_frames=F, sr=sr)
 
 
@@ -385,9 +386,10 @@ def apply_eq(in_path, out_path, eq_csv, n_fft=4096, hop=2048, pad=True,
     res["gain_protected_path"] = None
     if auto_gain_protect and res["peak_seen"] > peak_target:
         scale = peak_target / max(res["peak_seen"], 1e-12)
+        import os
         src = res["out_path"]
-        root, ext = src.rsplit(".", 1)
-        gp = f"{root}_gp.{ext}"
+        root, ext = os.path.splitext(src)   # not rsplit('.') — a dot in
+        gp = f"{root}_gp{ext}"              # a parent dir must not split
         with audio.AudioFile(src, "r") as fin, \
                 audio.AudioFile(gp, "w", samplerate=fin.samplerate,
                                 channels=fin.channels,

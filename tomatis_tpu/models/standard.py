@@ -202,7 +202,7 @@ def open_checkpointed_sink(out_path, sr, ch, config, checkpoint_path,
                                    channels=ch, subtype="PCM_24")
             return fout, out_path, None, None, None
         except Exception as enc_err:
-            actual_out = out_path.rsplit(".", 1)[0] + ".wav"
+            actual_out = _wav_sibling(out_path)
             print(f"[WARN] cannot encode {out_path!r} ({enc_err}); "
                   f"writing WAV instead: {actual_out}\n"
                   f"       convert later with e.g. "
@@ -247,21 +247,32 @@ def finalize_checkpointed_sink(ckpt, stage_path, out_path) -> str:
     if stage_path != actual:
         try:
             _transcode_wav_to(stage_path, actual)
-            os.remove(stage_path)
         except Exception as enc_err:
             try:   # a mid-transcode failure can leave a partial output
                 if os.path.exists(actual):
                     os.remove(actual)
             except OSError:
                 pass
-            actual = actual.rsplit(".", 1)[0] + ".wav"
+            actual = _wav_sibling(actual)
             os.replace(stage_path, actual)
             print(f"[WARN] cannot encode {out_path!r} ({enc_err}); "
                   f"kept the completed audio as WAV: {actual}\n"
                   f"       convert later with e.g. "
                   f"`ffmpeg -i {actual} {out_path}`")
+        else:
+            try:
+                os.remove(stage_path)
+            except OSError:
+                pass   # output is complete; a stale stage file is noise
     ckpt.clear()
     return actual
+
+
+def _wav_sibling(path: str) -> str:
+    """`x.flac` -> `x.wav`; extension-less paths just append (splitext,
+    not rsplit('.') — a dot in a PARENT directory must not truncate)."""
+    import os
+    return os.path.splitext(path)[0] + ".wav"
 
 
 class _RawWav:
