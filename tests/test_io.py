@@ -111,3 +111,36 @@ def test_wav_short_fmt_chunk_raises_valueerror(tmp_path):
     p.write_bytes(blob)
     with pytest.raises(ValueError):
         wav.WavReader(p)
+
+
+def test_convert_cli_roundtrip_bit_exact(tmp_path, capsys):
+    """tomatis convert: WAV -> FLAC -> WAV round trip is bit-exact on
+    PCM_24 payloads (raw 24-bit path, no float in between)."""
+    from tomatis_tpu.cli.convert import main as convert_main
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((48000, 2)) * 0.1).astype(np.float32)
+    p0 = tmp_path / "a.wav"
+    p1 = tmp_path / "a.flac"
+    p2 = tmp_path / "b.wav"
+    audio.write(p0, x, 48000, subtype="PCM_24")
+    assert convert_main(["-i", str(p0), "-o", str(p1)]) == 0
+    assert convert_main(["-i", str(p1), "-o", str(p2)]) == 0
+    assert "raw 24-bit copy" in capsys.readouterr().out
+    y0, _ = audio.read(p0)
+    y2, sr = audio.read(p2)
+    assert sr == 48000
+    np.testing.assert_array_equal(y0, y2)
+
+
+def test_convert_cli_float_subtype(tmp_path):
+    """FLOAT output goes through the float path and preserves values."""
+    from tomatis_tpu.cli.convert import main as convert_main
+    x = (np.linspace(-0.5, 0.5, 2000)[:, None]
+         * np.ones((1, 2))).astype(np.float32)
+    p0 = tmp_path / "a.wav"
+    p1 = tmp_path / "b.wav"
+    audio.write(p0, x, 48000, subtype="FLOAT")
+    assert convert_main(["-i", str(p0), "-o", str(p1),
+                         "--subtype", "FLOAT"]) == 0
+    y, _ = audio.read(p1)
+    np.testing.assert_allclose(y, x, atol=0)

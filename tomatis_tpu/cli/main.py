@@ -84,6 +84,9 @@ COMMANDS = {
                   "plot a diff-spectrum CSV", "plot_main"),
     "reverse-engineer": ("tomatis_tpu.cli.reverse",
                          "reverse-engineer device gate/tilt parameters"),
+    "convert": ("tomatis_tpu.cli.convert",
+                "convert audio between WAV/FLAC (replaces the "
+                "reference's ffmpeg conversion hint)"),
     "doctor": ("tomatis_tpu.cli.doctor",
                "verify the runtime environment end to end"),
     "process-batch": ("tomatis_tpu.cli.process_batch",

@@ -205,8 +205,9 @@ def open_checkpointed_sink(out_path, sr, ch, config, checkpoint_path,
             actual_out = _wav_sibling(out_path)
             print(f"[WARN] cannot encode {out_path!r} ({enc_err}); "
                   f"writing WAV instead: {actual_out}\n"
-                  f"       convert later with e.g. "
-                  f"`ffmpeg -i {actual_out} {out_path}`")
+                  f"       convert later with "
+                  f"`tomatis convert -i {actual_out} -o {out_path}` "
+                  f"(or ffmpeg)")
             fout = audio.AudioFile(actual_out, "w", samplerate=sr,
                                    channels=ch, subtype="PCM_24")
             return fout, actual_out, None, None, None
@@ -257,8 +258,9 @@ def finalize_checkpointed_sink(ckpt, stage_path, out_path) -> str:
             os.replace(stage_path, actual)
             print(f"[WARN] cannot encode {out_path!r} ({enc_err}); "
                   f"kept the completed audio as WAV: {actual}\n"
-                  f"       convert later with e.g. "
-                  f"`ffmpeg -i {actual} {out_path}`")
+                  f"       convert later with "
+                  f"`tomatis convert -i {actual} -o {out_path}` "
+                  f"(or ffmpeg)")
         else:
             try:
                 os.remove(stage_path)
