@@ -50,6 +50,16 @@ def _signals():
                       -8388608, 8388607).astype(np.int32)
         big[-1] = 8388607          # large step right at the block edge
         yield f"blockedge{nn}", big
+    # wasted-bits cases: common trailing zeros per (variant) channel
+    yield "16bit_sourced", (rng.integers(-32768, 32768, (2000, 2))
+                            .astype(np.int32) << 8)
+    yield "wasted_mixed", np.stack(
+        [rng.integers(-8388608, 8388608, 1500),
+         rng.integers(-2048, 2048, 1500) << 12], 1).astype(np.int32)
+    yield "wasted_mono", (rng.integers(-512, 512, 900)
+                          .astype(np.int32) << 10)[:, None]
+    yield "wasted_k23", np.stack([np.full(600, 8388607, np.int32),
+                                  np.full(600, -8388608, np.int32)], 1)
 
 
 @pytest.mark.parametrize("rice", [True, False], ids=["rice", "maxw"])
@@ -58,32 +68,40 @@ def test_three_way_parity(name, v, rice):
     n, ch = v.shape
     buf = wire.encode_np(v, rice=rice)           # numpy oracle encode
     assert np.array_equal(wire.decode_np(buf), v)
+    # the device pack never emits wasted bits (output-path contract);
+    # its byte-identity oracle is the wasted-free host encode
+    buf0 = wire.encode_np(v, rice=rice, wasted=False)
+    assert np.array_equal(wire.decode_np(buf0), v)
+    assert len(buf) <= len(buf0)
 
     # XLA encode must produce byte-identical output (same tie-breaks)
     words, used = jax.jit(wire.pack_device, static_argnums=(1, 2, 3))(
         jnp.asarray(v), n, ch, rice)
     words, used = np.asarray(words), int(used)
-    assert used * 4 == len(buf)
-    assert np.array_equal(words[:used].view(np.uint8)[:len(buf)], buf)
+    assert used * 4 == len(buf0)
+    assert np.array_equal(words[:used].view(np.uint8)[:len(buf0)], buf0)
     assert not words[used:].any(), "padding beyond used_words must be zero"
 
-    # XLA decode of the numpy-encoded buffer. The rice-enabled decoder
-    # handles either stream (block flags drive it); the rice-free decoder
-    # is only contracted for rice-free streams.
-    pad = (-len(buf)) % 4
-    b = np.concatenate([buf, np.zeros(pad, np.uint8)])
+    # XLA decode of the numpy-encoded buffers (with and without wasted
+    # bits). The rice-enabled decoder handles either stream (block flags
+    # drive it); the rice-free decoder is only contracted for rice-free
+    # streams.
     decoders = (True,) if rice else (True, False)
-    for dec_rice in decoders:
-        f = jax.jit(wire.unpack_device, static_argnums=(1, 2, 3))(
-            jnp.asarray(b), n, ch, dec_rice)
-        assert np.array_equal(np.asarray(f),
-                              v.astype(np.float32) / 8388608.0)
+    for src in (buf, buf0):
+        pad = (-len(src)) % 4
+        b = np.concatenate([src, np.zeros(pad, np.uint8)])
+        for dec_rice in decoders:
+            f = jax.jit(wire.unpack_device, static_argnums=(1, 2, 3))(
+                jnp.asarray(b), n, ch, dec_rice)
+            assert np.array_equal(np.asarray(f),
+                                  v.astype(np.float32) / 8388608.0)
 
     # native C++ (skipped transparently if the toolchain is missing)
     if wirecodec.available():
         cbuf = wirecodec.encode_i32(v, rice=rice)
         assert np.array_equal(cbuf, buf), "C++ encode must match numpy"
         assert np.array_equal(wirecodec.decode_i32(buf, n, ch), v)
+        assert np.array_equal(wirecodec.decode_i32(buf0, n, ch), v)
         pcm = wirecodec.decode_pcm24(buf, n, ch)
         flat = v.reshape(-1)
         exp = np.empty((flat.size, 3), np.uint8)
@@ -299,3 +317,40 @@ def test_encode_f32_rejects_nonfinite_without_ub():
     for v in (8388607 / 8388608.0, -1.0):
         full = np.full((64, 2), v, np.float32)
         assert wirecodec.encode_f32(full) is not None
+
+
+def test_wasted_bits_savings_and_flags():
+    """16-bit-sourced PCM_24 (low byte zero everywhere) must ship ~8
+    fewer bits/sample, and the k counts must ride the flags word."""
+    rng = np.random.default_rng(99)
+    v = (rng.integers(-32768, 32768, (4000, 2)) << 8).astype(np.int32)
+    a = wire.encode_np(v, rice=True)
+    a0 = wire.encode_np(v, rice=True, wasted=False)
+    assert len(a) <= 0.75 * len(a0), (len(a), len(a0))
+    flags = int(a[:20].view(np.uint32)[3])
+    k0, k1 = (flags >> 18) & 31, (flags >> 23) & 31
+    ms = (flags >> 16) & 1
+    # lr channels both have k=8; the ms mid channel has k=7, side k=8
+    assert (k0, k1) == ((7, 8) if ms else (8, 8)), (k0, k1, ms)
+    assert np.array_equal(wire.decode_np(a), v)
+
+
+def test_wasted_bits_malformed_k_rejected():
+    """Hostile k fields (k>23, or k1 set on mono) must be rejected by
+    both host decoders, and must not crash the device decoder."""
+    v = np.arange(-300, 300, dtype=np.int32)[:, None] * 2
+    a = wire.encode_np(v, rice=True)
+    n, ch = 600, 1
+    for bad_flags in ((25 << 18), (1 << 23)):   # k0=25 / k1 on mono
+        corr = a.copy()
+        w = corr[:20].view(np.uint32)
+        w[3] = np.uint32(int(w[3]) | bad_flags)
+        with pytest.raises(ValueError):
+            wire.decode_np(corr)
+        if wirecodec.available():
+            with pytest.raises(RuntimeError):
+                wirecodec.decode_i32(corr, n, ch)
+        pad = (-len(corr)) % 4
+        b = np.concatenate([corr, np.zeros(pad, np.uint8)])
+        jax.jit(wire.unpack_device, static_argnums=(1, 2, 3))(
+            jnp.asarray(b), n, ch, True)   # clamped, no crash

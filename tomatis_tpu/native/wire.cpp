@@ -88,6 +88,16 @@ void block_widths_all_orders(const int32_t* x, long n,
     }
 }
 
+// Wasted bits of one channel: trailing zeros shared by EVERY sample
+// (tz of the OR), capped at 23; 0 for all-zero channels.
+inline int wasted_bits_of(const int32_t* x, long n) {
+    uint32_t acc = 0;
+    for (long i = 0; i < n; i++) acc |= (uint32_t)x[i];
+    if (!acc) return 0;
+    int k = __builtin_ctz(acc);
+    return k > 23 ? 23 : k;
+}
+
 void diff_inplace(int32_t* r, long n) {
     int32_t prev = 0;
     for (long i = 0; i < n; i++) {
@@ -145,6 +155,22 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap,
             msv[n + i] = L - R;
         }
         n_var = 2;
+    }
+    // wasted-bits strip, per variant channel (format limit: ch <= 2);
+    // exact — shifting out shared trailing zeros commutes with the
+    // diffs and the widths below see the stripped values
+    int kvar[2][2] = {{0, 0}, {0, 0}};
+    if (ch <= 2) {
+        for (int msx = 0; msx < n_var; msx++) {
+            int32_t* x0 = msx ? msv.data() : lr.data();
+            for (int c = 0; c < ch; c++) {
+                int k = wasted_bits_of(x0 + (size_t)c * n, n);
+                kvar[msx][c] = k;
+                if (k)
+                    for (long i = 0; i < n; i++)
+                        x0[(size_t)c * n + i] >>= k;
+            }
+        }
     }
 
     long best_total = -1;
@@ -222,9 +248,12 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap,
 
     if (cap < total * 4) return -2;
     std::memset(out, 0, (size_t)total * 4);
+    uint32_t k0 = (uint32_t)kvar[best_ms][0];
+    uint32_t k1 = ch == 2 ? (uint32_t)kvar[best_ms][1] : 0u;
     uint32_t hdr[5] = {MAGIC, (uint32_t)n, (uint32_t)K,
                        (uint32_t)ch | ((uint32_t)best_o << 8)
-                           | ((uint32_t)best_ms << 16),
+                           | ((uint32_t)best_ms << 16)
+                           | (k0 << 18) | (k1 << 23),
                        (uint32_t)total};
     std::memcpy(out, hdr, 20);
     for (long t = 0; t < T; t++) {
@@ -301,9 +330,13 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
     int order = (hdr[3] >> 8) & 0xFF;
     int ms = (hdr[3] >> 16) & 1;
     int raw = (hdr[3] >> 17) & 1;
+    int kw[2] = {(int)((hdr[3] >> 18) & 31), (int)((hdr[3] >> 23) & 31)};
     long used = (long)hdr[4];
     if (order > 4 || used * 4 > nbytes) return -4;  // used is word-aligned
     if (ms && ch != 2) return -4;
+    if (!raw && (kw[0] > 23 || kw[1] > 23
+                 || (ch > 2 && (kw[0] || kw[1]))
+                 || (ch == 1 && kw[1]))) return -4;
 
     out.resize((size_t)n * ch);
     if (raw) {
@@ -400,6 +433,12 @@ int decode_core(const uint8_t* in, long nbytes, long n, int ch,
                 r[i] = (int32_t)acc;
             }
         }
+        // undo the wasted-bits strip (unsigned shift: well-defined even
+        // on descriptor-valid hostile streams; before the ms inverse)
+        int kc = ch <= 2 ? kw[c] : 0;
+        if (kc)
+            for (long i = 0; i < n; i++)
+                r[i] = (int32_t)((uint32_t)r[i] << kc);
         for (long i = 0; i < n; i++) out[i * ch + c] = r[i];
     }
     if (ms && ch == 2) {

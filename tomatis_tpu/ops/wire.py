@@ -40,11 +40,25 @@ production host side), and XLA (this file - the production device side).
 Typical program material packs to ~1.5-2.2 B/sample vs 3 B raw PCM_24 and
 4 B float32, which is what moves the link-bound realtime factor.
 
+- FLAC-style WASTED BITS, per stream channel: when every sample of a
+  (post-decorrelation) channel shares k trailing zero bits — 16-bit-
+  sourced PCM_24 material has k=8 everywhere — the channel is stored
+  right-shifted by k and the decoder shifts back after the prediction
+  cumsums. Cuts such inputs by a further ~8 bits/sample; k rides the
+  flags word, so a k=0 stream is byte-identical to the pre-wasted-bits
+  format. Host encoders always detect it (one OR-reduce per channel);
+  the device-side pack never emits it (processed audio is quantized
+  from floats — common trailing zeros are measure-zero there), which
+  keeps the output-path executables unchanged.
+
 Layout (little-endian u32 words):
     word 0   magic 0x54574333 ('TWC3')
     word 1   n samples per channel
     word 2   K = ceil(n / 256) blocks per channel
     word 3   flags = channels | order << 8 | midside << 16 | raw << 17
+             | k0 << 18 | k1 << 23 (k0/k1: wasted bits of stream
+             channel 0/1, 0..23; defined for ch <= 2, else must be 0;
+             always 0 when raw)
     word 4   used_words (total length of the stream, in u32 words)
     desc:    ceil(2*ch*K / 4) words: TWO bytes per block, channel-major.
              byte0 = rice << 7 | width (rice: remainder width k 0..24;
@@ -236,7 +250,23 @@ def _unary_words_np(zz_row: np.ndarray, k: int, uw: int) -> np.ndarray:
         axis=1, dtype=np.uint32)
 
 
-def encode_np(v: np.ndarray, rice: bool = True) -> np.ndarray:
+def _wasted_bits_np(xT: np.ndarray) -> np.ndarray:
+    """Per-channel wasted-bit counts of a [ch, n] int32 array: the
+    trailing zero bits shared by EVERY sample (tz of the OR), capped at
+    23; 0 for all-zero channels and for ch > 2 (format limit)."""
+    ch = xT.shape[0]
+    if ch > 2 or xT.shape[1] == 0:
+        return np.zeros(ch, np.int32)
+    acc = np.bitwise_or.reduce(xT.astype(np.uint32), axis=1)
+    out = np.zeros(ch, np.int32)
+    for c in range(ch):
+        a = int(acc[c])
+        out[c] = min((a & -a).bit_length() - 1, 23) if a else 0
+    return out
+
+
+def encode_np(v: np.ndarray, rice: bool = True,
+              wasted: bool = True) -> np.ndarray:
     """int32 PCM_24 samples [n, ch] -> packed uint8 array (exact size).
 
     rice=False disables the per-block Rice mode (every block stored at
@@ -246,6 +276,9 @@ def encode_np(v: np.ndarray, rice: bool = True) -> np.ndarray:
     (unary select/scatter), far more than the ~4% of link time the bytes
     buy back. All three implementations accept the same switch and stay
     bit-identical for either setting.
+
+    wasted=False disables wasted-bits detection (then bit-identical to
+    pack_device, which never emits it — see the module docstring).
     """
     v = np.ascontiguousarray(v, np.int32)
     if v.ndim == 1:
@@ -259,14 +292,16 @@ def encode_np(v: np.ndarray, rice: bool = True) -> np.ndarray:
         variants.append(_midside_fwd_np(v).T)
     best = None
     for ms, x0 in enumerate(variants):
-        r = x0
+        kbits = _wasted_bits_np(x0) if wasted \
+            else np.zeros(ch, np.int32)
+        r = x0 >> kbits[:, None]           # exact: common trailing zeros
         for o in range(5):
             w = _widths_np(r)
             total = H + 8 * int(w.sum(dtype=np.int64))
             if best is None or total < best[0]:
-                best = (total, o, ms, w, r.copy())
+                best = (total, o, ms, w, r.copy(), kbits)
             r = _diff_np(r)
-    _, order, ms, w, r = best
+    _, order, ms, w, r, kbits = best
 
     wflat = w.reshape(-1).astype(np.int64)           # [T = ch*K]
     pad = K * B - n
@@ -289,7 +324,11 @@ def encode_np(v: np.ndarray, rice: bool = True) -> np.ndarray:
         return out
 
     out = np.zeros(total * 4, np.uint8)
-    _put_header(out, n, K, ch, (order << 8) | (ms << 16), 0, total)
+    k0 = int(kbits[0])
+    k1 = int(kbits[1]) if ch == 2 else 0
+    _put_header(out, n, K, ch,
+                (order << 8) | (ms << 16) | (k0 << 18) | (k1 << 23),
+                0, total)
     T = ch * K
     desc = np.zeros(2 * T, np.uint8)
     noct = np.where(rice_f, kb, wflat)
@@ -336,6 +375,8 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
     order = (flags >> 8) & 0xFF
     ms = (flags >> 16) & 1
     raw = (flags >> 17) & 1
+    k0 = (flags >> 18) & 31
+    k1 = (flags >> 23) & 31
     used = int(hdr[4])
     if raw:
         if buf.size < 20 + n * ch * 3:
@@ -354,6 +395,10 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
         raise ValueError(f"malformed wire buffer: order={order} > 4")
     if ms and ch != 2:
         raise ValueError(f"malformed wire buffer: midside with ch={ch}")
+    if k0 > 23 or k1 > 23 or (ch > 2 and (k0 or k1)) \
+            or (ch == 1 and k1):
+        raise ValueError(f"malformed wire buffer: wasted bits "
+                         f"k0={k0} k1={k1} for ch={ch}")
     T = ch * K
     desc = buf[20:20 + 2 * T]
     rice = (desc[0::2] >> 7).astype(bool)
@@ -402,6 +447,9 @@ def decode_np(buf: np.ndarray) -> np.ndarray:
     r = r.astype(np.int32).reshape(ch, K * B)[:, :n]
     for _ in range(order):
         r = np.cumsum(r, axis=1, dtype=np.int32)
+    if k0 or k1:   # undo wasted-bits strip (before the ms inverse)
+        kv = np.array([k0, k1][:ch], np.int32)[:, None]
+        r = np.left_shift(r, kv)
     v = r.T
     if ms:
         v = _midside_inv_np(v)
@@ -661,6 +709,10 @@ def unpack_device(buf, n: int, ch: int, rice: bool = True,
     order = ((flags >> 8) & 0xFF).astype(jnp.int32)
     ms = (flags >> 16) & 1
     raw = (flags >> 17) & 1
+    # wasted-bits counts (clamped: a corrupt stream must not produce an
+    # out-of-range shift, which is undefined for int32)
+    k0 = jnp.minimum((flags >> 18) & 31, 23).astype(jnp.int32)
+    k1 = jnp.minimum((flags >> 23) & 31, 23).astype(jnp.int32)
 
     def packed_branch(_):
         t = jnp.arange(T)
@@ -758,6 +810,10 @@ def unpack_device(buf, n: int, ch: int, rice: bool = True,
             return f
         x = jax.lax.switch(jnp.clip(order, 0, 4),
                            [mk(o_) for o_ in range(5)], r)
+        if ch <= 2:   # undo wasted-bits strip (before the ms inverse)
+            kv = (jnp.stack([k0, k1])[:ch] if ch == 2
+                  else k0[None])
+            x = jnp.left_shift(x, kv[:, None])
         vT = jnp.transpose(x)                              # [n, ch]
         if ch == 2:
             m, sch = vT[:, 0], vT[:, 1]
