@@ -72,7 +72,11 @@ def test_three_way_parity(name, v, rice):
     # its byte-identity oracle is the wasted-free host encode
     buf0 = wire.encode_np(v, rice=rice, wasted=False)
     assert np.array_equal(wire.decode_np(buf0), v)
-    assert len(buf) <= len(buf0)
+    # NOT asserted: len(buf) <= len(buf0). The variant/order choice
+    # compares PRE-rice totals, and stripping can flip it to a candidate
+    # on which rice then saves slightly less (~1% on adversarial
+    # correlated-stereo shapes) — both streams stay valid and parity
+    # holds, so neither direction is an invariant.
 
     # XLA encode must produce byte-identical output (same tie-breaks)
     words, used = jax.jit(wire.pack_device, static_argnums=(1, 2, 3))(
