@@ -150,11 +150,15 @@ def link_floor(in_total: int, out_total: int, n_chunks: int,
 
 
 def device_resident_factor(p, sr: int, frames_per_chunk: int,
-                           n_chunks: int = 4) -> float:
+                           n_chunks: int = 4,
+                           rice_out: bool = True) -> float:
     """Per-chip processing rate with inputs pre-resident and outputs left
     on device: compute + HBM only, no host link. This is the number a real
     (non-tunneled, PCIe-attached) TPU host approaches; the headline
-    realtime_factor on this dev host is link-bound far below it."""
+    realtime_factor on this dev host is link-bound far below it.
+    Measured for BOTH rice_out modes: the device-side rice encode costs
+    ~40 ms/chunk (v5e, 1024-frame chunks), which only pays while the
+    stream is link-bound — see streaming.resolve_rice_out."""
     import jax
     import jax.numpy as jnp
     from tomatis_tpu.engine.streaming import ChunkedStftEngine
@@ -162,7 +166,7 @@ def device_resident_factor(p, sr: int, frames_per_chunk: int,
 
     engine = ChunkedStftEngine(p.n_fft, p.hop, 2, frames_per_chunk)
     ctl = build_controller(p, sr)
-    fn = engine.make_chunk_fn(ctl, transport="wire")
+    fn = engine.make_chunk_fn(ctl, transport="wire", rice_out=rice_out)
     params = ctl.params()
     stage = jax.jit(lambda x: x + 0.0)
     L = engine.chunk_input_len
@@ -300,7 +304,7 @@ def parity_all(p, tmp, frames_per_chunk) -> dict:
     return out
 
 
-def bench_batch(p, tmp, args) -> dict:
+def bench_batch(p, tmp, args, time_left=None) -> dict:
     """BASELINE config 5's shape on one chip: N files as vmapped lanes in
     one device dispatch; aggregate audio-sec per wall-sec, best of
     `repeats` runs (first run warms the vmapped executable). Lanes use
@@ -323,6 +327,12 @@ def bench_batch(p, tmp, args) -> dict:
     floor_runs = []
     timings = None
     for rep in range(max(3, args.repeats // 2)):
+        if rep >= 2 and time_left is not None and runs:
+            # rep 0 compiled; keep at least runs 1-2, then respect the
+            # budget: a missing extra batch rep beats a watchdog kill
+            est = (secs * n) / min(r for r in runs if r) * 2.2
+            if time_left() < est:
+                break
         t0 = time.perf_counter()
         res = batch_mod.process_batch(jobs, p, frames_per_chunk=fpc)
         dt = time.perf_counter() - t0
@@ -375,6 +385,41 @@ def bench_batch(p, tmp, args) -> dict:
     }
 
 
+# Mutable result snapshot: assembled incrementally, printed after every
+# completed stage (the driver keeps the LAST stdout JSON line, so each
+# print supersedes the previous — a watchdog kill mid-stage loses only
+# the unfinished stage, never the headline). Round 3's lesson: the bench
+# produced a 100x-capable pipeline and zero official evidence because
+# the single final print never ran.
+RESULT: dict = {"metric": "realtime_factor", "value": None,
+                "unit": "x_realtime", "stages": {}}
+
+
+def emit() -> None:
+    print(json.dumps(RESULT), flush=True)
+
+
+def _install_flush_handlers(hard_deadline_s: float) -> None:
+    """SIGTERM/SIGALRM flush the current snapshot and exit 0; the alarm
+    is an in-process backstop slightly past the soft budget, so even a
+    stage that overruns its estimate cannot reach the driver watchdog."""
+    import signal
+
+    def flush_exit(signum, frame):
+        RESULT["stages"]["aborted_by_signal"] = int(signum)
+        try:
+            emit()
+            sys.stdout.flush()
+        finally:
+            os._exit(0)
+    try:
+        signal.signal(signal.SIGTERM, flush_exit)
+        signal.signal(signal.SIGALRM, flush_exit)
+        signal.alarm(max(1, int(hard_deadline_s)))
+    except (ValueError, OSError):
+        pass  # non-main thread / exotic platform: budget checks still cap
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=960.0,
@@ -388,18 +433,22 @@ def main() -> int:
                          "steady-state per-chunk cost")
     ap.add_argument("--sr", type=int, default=48000)
     ap.add_argument("--frames_per_chunk", type=int, default=1024)
+    ap.add_argument("--budget_s", type=float, default=560.0,
+                    help="total wall-time budget; every stage is planned "
+                         "against the remainder and skipped rather than "
+                         "overrun (round 3's artifact was a watchdog "
+                         "timeout: rc=124, no JSON). A SIGALRM backstop "
+                         "fires at budget+60s and flushes the snapshot.")
     ap.add_argument("--repeats", type=int, default=8,
                     help="best-of-N (the tunneled TPU's transfer "
                          "bandwidth varies heavily between runs: a "
                          "6-repeat session measured 51.7-100.8x at "
                          "identical per-chunk software cost)")
     ap.add_argument("--extend_target", type=float, default=100.0,
-                    help="keep adding timed runs (within --extend_seconds) "
+                    help="keep adding timed runs (within the budget) "
                          "while the best is below this x-realtime AND a "
-                         "paired floor replay shows the link would allow "
-                         "it; 0 disables. BASELINE target: 100x/chip")
-    ap.add_argument("--extend_seconds", type=float, default=360.0,
-                    help="wall-time budget of the adaptive extension")
+                         "RECENT paired floor replay shows the link would "
+                         "allow it; 0 disables. BASELINE target: 100x/chip")
     ap.add_argument("--batch", type=int, default=4,
                     help="lane count of the batch sub-benchmark (BASELINE "
                          "config-5 shape: N files as vmapped lanes in one "
@@ -411,12 +460,19 @@ def main() -> int:
                          "~70 MB over the link)")
     args = ap.parse_args()
 
+    t_start = time.monotonic()
+
+    def left() -> float:
+        return args.budget_s - (time.monotonic() - t_start)
+
+    _install_flush_handlers(args.budget_s + 60)
+
     import jax
     from tomatis_tpu.io import audio
     from tomatis_tpu.models.standard import StandardParams, process
 
     # the tunneled backend flaps: a failed attach now does not mean a
-    # failed attach in two minutes — retry before giving the run up
+    # failed attach in two minutes — retry within the budget
     dev = None
     for attempt in range(8):
         try:
@@ -425,31 +481,37 @@ def main() -> int:
         except RuntimeError as e:
             _progress(f"backend attach failed (attempt {attempt + 1}/8): "
                       f"{e}")
-            if attempt == 7:
-                raise
-            # observed outage stretches run tens of minutes; a single
-            # attach attempt can itself hang ~25 min before erroring, so
-            # these sleeps are the floor, not the ceiling, of the wait
-            time.sleep(120)
+            if attempt == 7 or left() < 150:
+                RESULT["stages"]["attach"] = f"failed: {e}"
+                emit()
+                return 0
+            time.sleep(min(120, max(5, left() - 150)))
     p = StandardParams(require_48k_stereo=False)
+    RESULT["device"] = str(dev)
+    RESULT["frames_per_chunk"] = args.frames_per_chunk
+    RESULT["budget_s"] = args.budget_s
 
     x = synth(args.seconds, args.sr)
     audio_sec = len(x) / args.sr
+    RESULT["audio_seconds"] = audio_sec
 
     tmp = tempfile.mkdtemp(prefix="tomatis_bench_")
     in_path = os.path.join(tmp, "in.wav")
     out_path = os.path.join(tmp, "out.wav")
     audio.write(in_path, x, args.sr, subtype="PCM_24")
 
-    # Warm-up: compile the chunk executable on a short file with the same
-    # chunk shape (a cold XLA compile over the tunnel takes minutes; the
-    # persistent compile cache makes reruns start in seconds — record
-    # whether the cache had entries so round deltas are attributable).
-    cache_dir = os.environ.get(
-        "TOMATIS_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "tomatis_tpu",
-                     "xla_cache"))
-    cache_primed = os.path.isdir(cache_dir) and bool(os.listdir(cache_dir))
+    # Warm-up: compile/load the chunk executables on a short file with
+    # the same chunk shape. The persistent compile cache (repo-local
+    # .xla_cache when present — committed so the DRIVER environment
+    # starts primed; rounds 2-3 paid 4-minute cold warmups there while
+    # dev sessions warmed in ~20 s) makes this a load, not a compile;
+    # entry counts ride the JSON so a cold round is attributable.
+    from tomatis_tpu.utils.jaxcache import cache_path
+    cache_dir = cache_path()
+    try:
+        entries_before = len(os.listdir(cache_dir))
+    except OSError:
+        entries_before = 0
     warm_path = os.path.join(tmp, "warm.wav")
     # long enough to engage the ramp-up schedule (> 2 full chunks), so
     # the F/4 and F/2 executables also compile here, not in timed run 1
@@ -461,6 +523,16 @@ def main() -> int:
     process(warm_path, os.path.join(tmp, "warm_out.wav"), p,
             frames_per_chunk=args.frames_per_chunk)
     warmup_s = time.perf_counter() - t0
+    try:
+        entries_added = len(os.listdir(cache_dir)) - entries_before
+    except OSError:
+        entries_added = 0
+    RESULT["warmup_seconds"] = round(warmup_s, 1)
+    RESULT["compile_cache"] = {
+        "dir": cache_dir, "entries_before": entries_before,
+        "entries_added_by_warmup": entries_added,
+        "primed": entries_before > 0 and warmup_s < 60}
+    RESULT["stages"]["warmup"] = round(warmup_s, 1)
 
     best = None
     best_stats = None
@@ -503,114 +575,163 @@ def main() -> int:
                 aux_words), 1)
         floor_runs.append(floor_i)
 
+    def refresh_headline():
+        """Fold the timed-run state into RESULT (called after every run
+        batch so a kill at any point leaves a consistent snapshot)."""
+        rtf = audio_sec / best
+        steady = sorted(runs[len(runs) // 2:])
+        pairs = [(r, f) for r, f in zip(runs, floor_runs) if f]
+        floors_ok = [f for f in floor_runs if f]
+        floor_x = None
+        if floor_runs:
+            floor_x = floor_runs[int(np.argmax(np.asarray(runs)))]
+        if floor_x is None and pairs:
+            floor_x = max(pairs)[1]
+        wire = best_stats.get("wire", {})
+        RESULT.update({
+            "value": round(rtf, 1),
+            "vs_baseline": round(rtf / 18.0, 2),
+            "wall_seconds": round(best, 3),
+            "all_runs_x": runs,
+            "steady_median_x": steady[len(steady) // 2],
+            "timings": best_stats.get("timings", {}),
+            "n_frames": best_stats["n_frames"],
+            "link_bytes_per_audio_sec": {
+                "in": int(wire.get("in_bytes", 0) / audio_sec),
+                "out": int(wire.get("out_bytes", 0) / audio_sec),
+            },
+            # link_floor_x: the floor replay PAIRED with the best timed
+            # run (it ran seconds after that run, under the same link
+            # weather). The max over all replays is also reported, but
+            # as a headline denominator it is unfair — it picks the
+            # floor's single luckiest window while the value picks the
+            # run's, and the two never coincide.
+            "link_floor_x": floor_x,
+            "link_floor_max_x": max(floors_ok) if floors_ok else None,
+            "link_floor_runs_x": floor_runs,
+            "vs_floor": (round(rtf / floor_x, 2) if floor_x else None),
+            # software efficiency with the link drift factored out: each
+            # run against the floor replay that ran seconds after it.
+            # The median is the faithful single number (a timed run is
+            # exposed to tunnel dips 2x longer than its floor replay, so
+            # even zero-overhead software pairs below 1.0 in bad
+            # windows); the best pair is the existence proof that the
+            # pipeline matches its own transfer replay.
+            "vs_floor_paired_runs": ([round(r / f, 2) for r, f in pairs]
+                                     if pairs else None),
+            "vs_floor_paired": (round(sorted(
+                r / f for r, f in pairs)[len(pairs) // 2], 2)
+                if pairs else None),
+            "vs_floor_paired_best": (round(max(r / f for r, f in pairs),
+                                           2) if pairs else None),
+        })
+
+    # Stage budget: reserve tail-stage time so the headline runs never
+    # starve the batch/parity/resident stages entirely, and every stage
+    # checks the remainder before starting (skip > overrun).
+    RESERVE_TAIL = ((90 if args.batch > 0 else 0)
+                    + (0 if args.no_parity else 75)
+                    + (0 if args.no_resident else 50) + 20)
+
+    def est_run_cost() -> float:
+        done = [audio_sec / r for r in runs if r]
+        return 2.1 * (sum(done) / len(done)) if done else 45.0
+
     for rep in range(args.repeats):
+        if runs and len(runs) >= 2 and left() - RESERVE_TAIL < est_run_cost():
+            RESULT["stages"]["timed"] = f"stopped at {len(runs)} (budget)"
+            break
         timed_run(f"{rep + 1}/{args.repeats}")
+        refresh_headline()
+        if rep == 0:
+            emit()   # first headline lands as early as possible
+    RESULT["stages"].setdefault("timed", len(runs))
+    emit()
+
     # Adaptive extension: the tunnel's bandwidth swings up to ~3.5x over
     # tens of minutes, so a fixed repeat count can land entirely inside
-    # a dip. While the best run is still below the extend target AND the
-    # paired floor says the link itself would allow it (no point
-    # retrying toward a target the transfer replay cannot reach), keep
-    # sampling new weather windows within a bounded time budget. All
-    # runs are reported; the headline stays best-of-N.
-    ext_t0 = time.perf_counter()
+    # a dip. While the best run is still below the extend target AND a
+    # RECENT paired floor says the link right now would allow it (r03
+    # gated on any() over ALL floors — one good floor early kept it
+    # sampling through a 6-minute dip), keep sampling within the budget.
+    ext = 0
     while (args.extend_target > 0
            and max(runs) < args.extend_target
-           and any(f and f >= args.extend_target for f in floor_runs)
-           and time.perf_counter() - ext_t0 < args.extend_seconds):
+           and any(f and f >= args.extend_target for f in floor_runs[-3:])
+           and left() - RESERVE_TAIL > est_run_cost()):
+        ext += 1
         timed_run(f"extend {len(runs) + 1}")
-    steady = sorted(runs[len(runs) // 2:])   # second half: warmed, steady
-    steady_median = steady[len(steady) // 2]
+        refresh_headline()
+        emit()
+    if ext:
+        RESULT["stages"]["extension_runs"] = ext
 
-    batch = None
     if args.batch > 0:
-        _progress(f"batch sub-benchmark ({args.batch} lanes)")
-        batch = bench_batch(p, tmp, args)
+        if left() > (50 if args.no_parity else 125):
+            _progress(f"batch sub-benchmark ({args.batch} lanes)")
+            try:
+                RESULT["batch"] = bench_batch(
+                    p, tmp, args,
+                    time_left=lambda: left() - (RESERVE_TAIL - 90))
+                RESULT["stages"]["batch"] = "done"
+            except Exception as e:
+                RESULT["stages"]["batch"] = f"failed: {e}"
+        else:
+            RESULT["stages"]["batch"] = "skipped (budget)"
+        emit()
 
-    parity = None
     if not args.no_parity:
-        _progress("parity: all executable families on device")
-        parity = parity_all(p, tmp, args.frames_per_chunk)
-    _progress("device-resident measurement")
-    resident_x = (None if args.no_resident else
-                  device_resident_factor(p, args.sr,
-                                         args.frames_per_chunk))
+        if left() > 70:
+            _progress("parity: all executable families on device")
+            try:
+                parity = parity_all(p, tmp, args.frames_per_chunk)
+                RESULT["parity"] = parity
+                RESULT["parity_ok"] = all(v["ok"] for v in parity.values())
+                RESULT["parity_max_err"] = parity["standard"]["max_err"]
+                RESULT["stages"]["parity"] = "done"
+            except Exception as e:
+                RESULT["stages"]["parity"] = f"failed: {e}"
+        else:
+            RESULT["stages"]["parity"] = "skipped (budget)"
+        emit()
 
-    _progress("link probe")
-    link = probe_link()
+    if not args.no_resident:
+        # both rice modes: the device-side rice encode costs device time
+        # that only pays while the stream is link-bound; the pair of
+        # numbers makes the policy (streaming.resolve_rice_out) auditable
+        # from the artifact
+        for label, rice in (("device_resident_x", True),
+                            ("device_resident_norice_x", False)):
+            if left() < 40:
+                RESULT["stages"][label] = "skipped (budget)"
+                continue
+            _progress(f"device-resident measurement (rice_out={rice})")
+            try:
+                RESULT[label] = round(device_resident_factor(
+                    p, args.sr, args.frames_per_chunk, rice_out=rice), 1)
+                RESULT["stages"][label] = "done"
+            except Exception as e:
+                RESULT["stages"][label] = f"failed: {e}"
+        emit()
 
-    rtf = audio_sec / best
-    wire = best_stats.get("wire", {})
-    # link_floor_x: the floor replay PAIRED with the best timed run (it
-    # ran seconds after that run, under the same link weather). The max
-    # over all replays is also reported, but as a headline denominator
-    # it is unfair — it picks the floor's single luckiest window while
-    # the value picks the run's, and the two never coincide.
-    pairs = [(r, f) for r, f in zip(runs, floor_runs) if f]
-    floors_ok = [f for f in floor_runs if f]
-    floor_x = None
-    if floor_runs:
-        floor_x = floor_runs[int(np.argmax(np.asarray(runs)))]
-    if floor_x is None and pairs:
-        # the best run had no replay (rare: wire stats missing) — pair
-        # the best run that does have one
-        floor_x = max(pairs)[1]
-    bytes_total = (wire.get("in_bytes", 0)
-                   + wire.get("out_bytes", 0)) / audio_sec
-    # what the measured link alone would allow if everything else hid
-    # behind it (the tunnel is observed serial across directions, so all
-    # bytes share one pipe)
-    mbps = (link["d2h_mbps"] + link["h2d_mbps"]) / 2
-    ceiling = mbps * 1e6 / bytes_total if bytes_total else None
-    result = {
-        "metric": "realtime_factor",
-        "value": round(rtf, 1),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / 18.0, 2),
-        "parity_ok": (None if parity is None
-                      else all(v["ok"] for v in parity.values())),
-        "parity_max_err": (None if parity is None
-                           else parity["standard"]["max_err"]),
-        "parity": parity,
-        "batch": batch,
-        "audio_seconds": audio_sec,
-        "wall_seconds": round(best, 3),
-        "all_runs_x": runs,
-        "steady_median_x": steady_median,
-        "warmup_seconds": round(warmup_s, 1),
-        "compile_cache_primed": cache_primed,
-        "timings": best_stats.get("timings", {}),
-        "link_bytes_per_audio_sec": {
-            "in": int(wire.get("in_bytes", 0) / audio_sec),
-            "out": int(wire.get("out_bytes", 0) / audio_sec),
-        },
-        "link_probe_mbps": link,
-        "link_bound_ceiling_x": (round(ceiling, 1)
-                                 if ceiling is not None else None),
-        "link_floor_x": floor_x,
-        "link_floor_max_x": max(floors_ok) if floors_ok else None,
-        "link_floor_runs_x": floor_runs,
-        "vs_floor": (round(rtf / floor_x, 2) if floor_x else None),
-        # software efficiency with the link drift factored out: each run
-        # against the floor replay that ran seconds after it. The full
-        # list is reported; the median is the faithful single number
-        # (a timed run is exposed to tunnel dips 2x longer than its
-        # floor replay, so even zero-overhead software pairs below 1.0
-        # in bad windows), and the best pair is the existence proof
-        # that the pipeline matches its own transfer replay.
-        "vs_floor_paired_runs": ([round(r / f, 2) for r, f in pairs]
-                                 if pairs else None),
-        "vs_floor_paired": (round(sorted(
-            r / f for r, f in pairs)[len(pairs) // 2], 2)
-            if pairs else None),
-        "vs_floor_paired_best": (round(max(r / f for r, f in pairs), 2)
-                                 if pairs else None),
-        "device_resident_x": (round(resident_x, 1)
-                              if resident_x is not None else None),
-        "device": str(dev),
-        "n_frames": best_stats["n_frames"],
-        "frames_per_chunk": args.frames_per_chunk,
-    }
-    print(json.dumps(result))
+    if left() > 15:
+        _progress("link probe")
+        try:
+            link = probe_link()
+            RESULT["link_probe_mbps"] = link
+            wire = (best_stats or {}).get("wire", {})
+            bytes_total = (wire.get("in_bytes", 0)
+                           + wire.get("out_bytes", 0)) / audio_sec
+            # what the measured link alone would allow if everything else
+            # hid behind it (the tunnel is observed serial across
+            # directions, so all bytes share one pipe)
+            mbps = (link["d2h_mbps"] + link["h2d_mbps"]) / 2
+            RESULT["link_bound_ceiling_x"] = (
+                round(mbps * 1e6 / bytes_total, 1) if bytes_total else None)
+        except Exception as e:
+            RESULT["stages"]["link_probe"] = f"failed: {e}"
+    RESULT["stages"]["total_s"] = round(time.monotonic() - t_start, 1)
+    emit()
     return 0
 
 

@@ -58,14 +58,66 @@ WIRE_BUCKET = 256 * 1024
 # - input (host C++ encode -> device unpack): OFF. The device-side
 #   unary-region decode measured ~150 ms per 2 M-sample chunk — an
 #   order of magnitude more than the link time the bytes buy back.
-# - output (device pack -> host C++ decode): ON. The device-side rice
-#   ENCODE is one bounded scatter-add (~1-2 ms per chunk) and the host
-#   decode (~52 ms) runs on the consumer thread, overlapped with the
-#   link — while the bytes come off the device->host direction, the
-#   SLOWER direction of the tunnel (measured 25-36 MB/s vs 43-57 MB/s
-#   host->device).
+# - output (device pack -> host C++ decode): per measured link. The
+#   device-side rice ENCODE costs real device time per chunk (it
+#   measurably lowers the device-resident rate — bench.py reports
+#   device_resident_x with rice on AND off), but in the LINK-BOUND
+#   regime that cost is hidden behind the transfer while the ~4%
+#   byte saving comes straight off the bottleneck — the d2h
+#   direction, the slower one of the tunnel (measured 25-36 MB/s vs
+#   43-57 MB/s host->device). On a fast local link (PCIe-attached
+#   host) the pipeline is device-bound and rice is a pure slowdown.
+#   resolve_rice_out() picks per measured d2h bandwidth; the
+#   TOMATIS_WIRE_RICE_OUT env var forces 0/1.
 WIRE_RICE_IN = False
 WIRE_RICE_OUT = True
+
+# d2h bandwidth below which rice-out pays: with rice the steady
+# pipelined chunk time is max(0.96 * link, device_rice); rice wins
+# exactly while the link side still dominates, i.e. while
+# bw < 0.96 * chunk_bytes / device_rice_seconds (~60-70 MB/s measured
+# on v5e at the default 1024-frame chunk geometry — see TECHNICAL.md).
+RICE_OUT_BW_THRESHOLD_MBPS = 64.0
+
+_RICE_OUT_MEMO: dict = {}
+
+
+def probe_d2h_mbps(mb: float = 4.0) -> float:
+    """One-shot device->host bandwidth estimate (memoized per process):
+    time the host materialization of a device-generated array. Costs one
+    small compile (persistent-cached) + `mb` MB of link."""
+    if "bw" in _RICE_OUT_MEMO:
+        return _RICE_OUT_MEMO["bw"]
+    import time
+    n = int(mb * 1e6 / 4)
+    gen = jax.jit(lambda s: jnp.arange(n, dtype=jnp.float32) + s)
+    np.asarray(gen(jnp.float32(0))[:8])    # compile + device warm
+    a = gen(jnp.float32(1))
+    a.block_until_ready()
+    t0 = time.perf_counter()
+    h = np.asarray(a)
+    bw = h.nbytes / 1e6 / max(time.perf_counter() - t0, 1e-9)
+    _RICE_OUT_MEMO["bw"] = bw
+    return bw
+
+
+def resolve_rice_out() -> bool:
+    """Engine-wide rice-out policy: env force (TOMATIS_WIRE_RICE_OUT=0/1)
+    or, by default, one memoized d2h bandwidth probe against
+    RICE_OUT_BW_THRESHOLD_MBPS — slow (tunneled) links get the ~4% byte
+    saving, fast (PCIe-local) links keep the device cycles."""
+    import os
+    env = os.environ.get("TOMATIS_WIRE_RICE_OUT", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    if "choice" not in _RICE_OUT_MEMO:
+        try:
+            _RICE_OUT_MEMO["choice"] = (probe_d2h_mbps()
+                                        < RICE_OUT_BW_THRESHOLD_MBPS)
+        except Exception:
+            # no device / probe failure: keep the conservative default
+            _RICE_OUT_MEMO["choice"] = WIRE_RICE_OUT
+    return _RICE_OUT_MEMO["choice"]
 
 # Shared input-unpack executable; jit caches one trace per (bucket, n, ch).
 _UNPACK_INPUT = jax.jit(wire_ops.unpack_device, static_argnums=(1, 2, 3, 4))
@@ -293,7 +345,8 @@ class ChunkedStftEngine:
 
     def make_chunk_fn(self, controller, transport: str = "f32",
                       output_gain_db: float = 0.0,
-                      norm: str = "eps") -> Callable:
+                      norm: str = "eps",
+                      rice_out: bool | None = None) -> Callable:
         """Build (or fetch from cache) the jitted chunk step.
 
         controller must provide:
@@ -342,9 +395,16 @@ class ChunkedStftEngine:
 
         output_gain_db is accepted for call-site convenience but the value
         actually used at run time is the gain_lin argument.
+
+        rice_out: wire-transport output rice mode for THIS executable
+        (None = the module default WIRE_RICE_OUT; callers wanting the
+        measured-link policy pass resolve_rice_out()). The host decoder
+        reads the mode per block, so executables of either mode feed the
+        same sinks.
         """
         if transport not in ("f32", "pcm24", "wire"):
             raise ValueError(transport)
+        rice = WIRE_RICE_OUT if rice_out is None else bool(rice_out)
         if norm not in ("eps", "floor8"):
             # "eps": y/(w + 1e-12), the streaming processors' convention
             # (src/process_tomatis.py:421); "floor8": y/max(w, 1e-8), the
@@ -366,7 +426,7 @@ class ChunkedStftEngine:
         self.log_keys = log_keys
         self.transport = transport
         key = (self.n_fft, self.hop, self.channels, self.frames_per_chunk,
-               hash(self.window.tobytes()), transport, norm,
+               hash(self.window.tobytes()), transport, norm, rice,
                type(controller).__name__, controller.static_key())
         cached = _CHUNK_FN_CACHE.get(key)
         if cached is not None:
@@ -433,7 +493,7 @@ class ChunkedStftEngine:
                          -8388608, 8388607).astype(jnp.int32)
             if transport == "wire":
                 words, used = wire_ops.pack_device(
-                    v, v.shape[0], v.shape[1], rice=WIRE_RICE_OUT)
+                    v, v.shape[0], v.shape[1], rice=rice)
                 PW = WIRE_PAGE // 4
                 n_pages = -(-(words.size * 4) // WIRE_PAGE)
                 wpad = jnp.pad(words, (0, n_pages * PW - words.size))
@@ -492,7 +552,8 @@ class StreamRunner:
     def __init__(self, engine: ChunkedStftEngine, controller,
                  total: int, output_gain_db: float = 0.0,
                  peak_mode: str = "per_flush", transport: str = "f32",
-                 build_chunk_fn: bool = True, wire_input: bool = True):
+                 build_chunk_fn: bool = True, wire_input: bool = True,
+                 wire_rice_out: bool | None = None):
         """transport="pcm24" quantizes + packs PCM_24 bytes on-device (4x
         less device->host traffic; the host write becomes a memcpy). The
         per-flush clamp decision then uses device-computed per-hop-block
@@ -505,7 +566,10 @@ class StreamRunner:
         (native C++ encode, on-device XLA unpack) whenever the input chunk
         is exactly PCM_24-representable — bit-identical to the float32
         transfer it replaces, at ~half the bytes. Chunks that are not
-        PCM_24-exact (float sources) fall back to float32 transparently."""
+        PCM_24-exact (float sources) fall back to float32 transparently.
+
+        wire_rice_out: wire-transport output rice mode; None picks per
+        the measured link (resolve_rice_out)."""
         self.engine = engine
         self.controller = controller
         self.total = int(total)
@@ -516,7 +580,11 @@ class StreamRunner:
             raise ValueError(peak_mode)
         self.peak_mode = peak_mode
         self.transport = transport
-        self.chunk_fn = engine.make_chunk_fn(controller, transport=transport) \
+        if wire_rice_out is None and transport == "wire" and build_chunk_fn:
+            wire_rice_out = resolve_rice_out()
+        self.wire_rice_out = wire_rice_out
+        self.chunk_fn = engine.make_chunk_fn(controller, transport=transport,
+                                             rice_out=wire_rice_out) \
             if build_chunk_fn else None
         # Ramp-up: the pipeline's fill transient is paid at chunk
         # granularity — the first dispatch cannot overlap anything, so a
@@ -535,8 +603,9 @@ class StreamRunner:
                 e = ChunkedStftEngine(engine.n_fft, engine.hop,
                                       engine.channels, f,
                                       window=engine.window)
-                self._by_F[f] = (e, e.make_chunk_fn(controller,
-                                                    transport=transport))
+                self._by_F[f] = (e, e.make_chunk_fn(
+                    controller, transport=transport,
+                    rice_out=self.wire_rice_out))
         self.ctl_params = controller.params()
         self.gain_f32 = jnp.float32(self.output_gain)
         self.stats = {}

@@ -178,8 +178,10 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
         engine = ChunkedStftEngine(n_fft, hop, ch, frames_per_chunk)
         controller = StaticGainController(gain_bins)
         raw = fout.supports_raw
+        from tomatis_tpu.engine.streaming import resolve_rice_out
         chunk_fn = engine.make_chunk_fn(
-            controller, transport="wire" if raw else "f32")
+            controller, transport="wire" if raw else "f32",
+            rice_out=resolve_rice_out() if raw else None)
         ctl_params = controller.params()
         gain_one = jnp.float32(1.0)
 

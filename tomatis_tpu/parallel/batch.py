@@ -199,8 +199,10 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     # the same scheme as the streaming engine — the batch is as link-bound
     # as a single file). Sharded lanes keep the simpler pcm24 transport.
     wire = mesh_devs is None
-    chunk_fn = engine.make_chunk_fn(controller,
-                                    transport="wire" if wire else "pcm24")
+    from tomatis_tpu.engine.streaming import resolve_rice_out
+    chunk_fn = engine.make_chunk_fn(
+        controller, transport="wire" if wire else "pcm24",
+        rice_out=resolve_rice_out() if wire else None)
     ctl_params = controller.params()
     gain_f32 = jnp.float32(10.0 ** (p.output_gain_db / 20.0))
     # lanes share parameters; only the data axes are batched

@@ -12,6 +12,30 @@ import os
 
 _DONE = False
 
+# Repo-local cache directory: checked into the repo once populated on the
+# real device, so a fresh environment (e.g. the bench driver's) starts
+# primed instead of paying a multi-minute cold TPU compile. Resolved
+# relative to this file so it works from any CWD.
+_REPO_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".xla_cache")
+
+
+def cache_path() -> str:
+    """The directory the persistent XLA compilation cache lives in.
+
+    Priority: TOMATIS_COMPILE_CACHE env var > repo-local `.xla_cache`
+    (when the directory exists — i.e. was committed or created by a
+    previous run here) > per-user ~/.cache/tomatis_tpu/xla_cache.
+    """
+    env = os.environ.get("TOMATIS_COMPILE_CACHE")
+    if env:
+        return env
+    if os.path.isdir(_REPO_CACHE):
+        return _REPO_CACHE
+    return os.path.join(os.path.expanduser("~"), ".cache", "tomatis_tpu",
+                        "xla_cache")
+
 
 def enable_compilation_cache() -> None:
     """Idempotently point JAX at a per-user on-disk compilation cache."""
@@ -20,10 +44,7 @@ def enable_compilation_cache() -> None:
         _DONE = True
         return
     _DONE = True
-    path = os.environ.get(
-        "TOMATIS_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "tomatis_tpu",
-                     "xla_cache"))
+    path = cache_path()
     try:
         os.makedirs(path, exist_ok=True)
         import jax
