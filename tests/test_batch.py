@@ -216,11 +216,12 @@ def test_zero_length_file_lane(tmp_path):
 
 
 def test_batch_link_bytes_accounting(tmp_path):
-    """Flat-staged input: shipped h2d bytes must stay within a few
-    percent of the lanes' exact stream bytes (the padded [lanes, bucket]
-    layout shipped ~9% zeros at 4 lanes), and the per-lane paged
-    readback within ~2%. Guards the link layout from silently
-    regressing to per-lane padding."""
+    """Flat-staged input AND flat-merged output: shipped bytes must stay
+    within a few percent of the lanes' exact stream bytes in both
+    directions (the padded [lanes, bucket] h2d layout shipped ~9% zeros
+    at 4 lanes; the per-lane paged d2h readback ~10% at this chunk
+    size). Guards the link layout from silently regressing to per-lane
+    padding."""
     from tomatis_tpu.parallel import batch as B
     p = StandardParams(require_48k_stereo=False)
     jobs = []
@@ -240,7 +241,9 @@ def test_batch_link_bytes_accounting(tmp_path):
     # to the max lane's 256 KB-bucketed length) — the bound still
     # separates the layouts cleanly.
     assert w["in_shipped"] < w["in_used"] * 1.06, w
-    assert w["out_shipped"] < w["out_used"] * 1.12, w
+    # flat-merged d2h: padding is one 64 KB tail bucket per CHUNK (not
+    # per lane) — measured 1.012 at this geometry, was ~1.10 per-lane
+    assert w["out_shipped"] < w["out_used"] * 1.03, w
 
 
 def test_batch_midstream_read_failure_isolated(tmp_path, monkeypatch):

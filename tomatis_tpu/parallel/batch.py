@@ -365,33 +365,33 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             yield item, nfs, errs
 
     def pipe_start(ck):
-        f0s, nfs_c, packed_c, _ = ck["ready"]
-        started = _fetch_start(lanes, nfs_c, packed_c, engine, wire)
+        f0s, nfs_c, act_c, packed_c, _ = ck["ready"]
+        started = _fetch_start(lanes, nfs_c, act_c, packed_c, engine,
+                               wire)
         if started is not None:
-            _, used, lane_pgs = started
+            _, used, (pgs, _, _) = started
             wire_acct["out_used"] += sum(used.values())
             wire_acct["out_shipped"] += sum(
-                4 * int(r.shape[-1]) for rws in lane_pgs.values()
-                for r in rws)
+                4 * int(r.shape[-1]) for r in pgs)
         return started
 
     def pipe_finish(ck):
         """S3, main thread: materialize the already-issued transfers and
         row-slice out_dev (jax dispatch stays here); the decode + route
         half runs on the ordered worker."""
-        f0s, nfs_c, packed_c, out_dev_c = ck["ready"]
+        f0s, nfs_c, act_c, packed_c, out_dev_c = ck["ready"]
         if wire:
             started = ck["started"]
             if started is None:
                 started = pipe_start(ck)
-            rows, _used, lane_pgs = started
-            host_pages = {i: [np.asarray(r) for r in rws]
-                          for i, rws in lane_pgs.items()}
+            rows, _used, (pgs, offs_w, used_w) = started
+            flat_np = (np.concatenate([np.asarray(r) for r in pgs])
+                       if pgs else np.zeros(0, np.uint32))
             od = {i: out_dev_c[i] for i in rows}
 
             def job():
-                _consume_wire_host(lanes, f0s, nfs_c, rows, host_pages,
-                                   od, engine, pool)
+                _consume_wire_host(lanes, f0s, nfs_c, rows, flat_np,
+                                   (offs_w, used_w), od, engine, pool)
         else:
             packed_np = np.asarray(packed_c)
             od = {i: out_dev_c[i] for i in range(len(lanes))
@@ -434,11 +434,19 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 sig_arg = jnp.asarray(payload)
             timings["stage_s"] += _time.perf_counter() - _t
             _t = _time.perf_counter()
+            # dispatch-time active mask: decides BOTH the device-side
+            # flat compaction and the host's matching slice layout (a
+            # lane failing after this point still ships its bytes as
+            # dead weight once, never routed)
+            act = np.array([bool(nfs[i]) and not (i < len(lanes)
+                                                  and lanes[i].failed)
+                            for i in range(Bp)])
             res = vchunk(sig_arg, jnp.asarray(nfs), carry_b,
                          out_tail_b, w_tail_b, ctl_params, gain_f32)
             if wire:
                 auxw, pages, out_dev, carry_b, out_tail_b, w_tail_b = res
-                packed = (auxw, pages)
+                flat2d = _flatten_out(auxw, jnp.asarray(act), *pages)
+                packed = (auxw, flat2d)
                 wait_arr = auxw
             else:
                 packed, out_dev, carry_b, out_tail_b, w_tail_b = res
@@ -449,7 +457,7 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             for i, lane in enumerate(lanes):
                 if not (lane.done or lane.failed) and nfs[i] > 0:
                     lane.frame0 += int(nfs[i])
-            pipe.push((frame0s, nfs, packed, out_dev), wait_arr)
+            pipe.push((frame0s, nfs, act, packed, out_dev), wait_arr)
 
             _t = _time.perf_counter()
             pipe.promote()
@@ -491,50 +499,90 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     return [lane.stats() for lane in lanes]
 
 
-# device-side row extraction: page [Bp, PW] -> lane i's [PW] words. One
-# executable for any lane index (i is a traced argument).
-_LANE_ROW = jax.jit(
-    lambda pg, i: jax.lax.dynamic_index_in_dim(pg, i, 0, keepdims=False))
+# device-side row extraction: flat page matrix [NP, PW] -> page p's [PW]
+# words. One executable for any page index (p is a traced argument).
+_PAGE_ROW = jax.jit(
+    lambda pg, p: jax.lax.dynamic_index_in_dim(pg, p, 0, keepdims=False))
 
 
-def _fetch_start(lanes, nfs, packed, eng, wire):
+@jax.jit
+def _flatten_out(auxw, active, *pages):
+    """Compact every active lane's used output words into ONE tightly
+    packed stream (the d2h mirror of the flat-staged h2d input): lane
+    offsets are the exclusive cumsum of the used-word counts that ride
+    each lane's aux tail, so the host ships ceil(total_used/PAGE) pages
+    per chunk instead of per-lane page sequences — sum of per-lane
+    ceil(used_i/PAGE) pages plus a fetch RPC per (lane, page). Measured
+    r03: the per-lane pattern put the batch's own zero-compute floor at
+    42.8-56.1x vs the single-file path's 69.4x. Lane i's full-capacity
+    row is written at offset_i in INCREASING lane order, so each row's
+    garbage tail is overwritten by the next lane's write; garbage past
+    the total is never fetched. Returns the flat stream as [NP, PW]
+    page rows (uint32)."""
+    PW = WIRE_PAGE // 4
+    words = jnp.concatenate(pages, axis=1)               # [Bp, capW]
+    Bp, capW = words.shape
+    used = (auxw[:, -2].astype(jnp.int32) * 4096
+            + auxw[:, -1].astype(jnp.int32))
+    used = jnp.clip(jnp.where(active, used, 0), 0, capW)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(used)[:-1]])
+    flat = jnp.zeros(Bp * capW, words.dtype)
+    for i in range(Bp):   # static unroll over lanes (Bp <= ~16)
+        flat = jax.lax.dynamic_update_slice(flat, words[i], (offs[i],))
+    return flat.reshape(Bp * capW // PW, PW)
+
+
+def _lane_layout(aux_np, active, capW):
+    """Host replica of _flatten_out's offset arithmetic (identical
+    masking/clipping, so host slice boundaries match the device layout
+    bit for bit): per-lane used words and exclusive-cumsum offsets."""
+    used = (aux_np[:, -2].astype(np.int64) * 4096
+            + aux_np[:, -1].astype(np.int64))
+    used = np.clip(np.where(active, used, 0), 0, capW)
+    offs = np.concatenate([[0], np.cumsum(used)[:-1]]).astype(np.int64)
+    return used, offs
+
+
+def _fetch_start(lanes, nfs, active, packed, eng, wire):
     """Begin the batch readback: read the (small, already-copied) aux
-    block, then issue PER-LANE async page fetches — each lane ships only
-    ceil(used_i/PAGE) pages with its own 64 KB-bucketed tail trim, and
-    every fetch object is one ~1 MB row (the measured sweet spot on the
-    tunneled link; a whole [lanes, PAGE] group is a 4x larger RPC, which
-    transfers measurably slower AND forces every lane to ship the worst
-    lane's page count)."""
+    block, then issue the async page fetches of the flat-merged output
+    stream — ceil(total_used/PAGE) fetches per chunk, the last page
+    trimmed to its 64 KB bucket. Every fetch object is one ~1 MB row
+    (the measured sweet spot on the tunneled link; a whole [NP, PW]
+    group is one much larger RPC, which transfers measurably slower)."""
     if not wire:
         return None
     from tomatis_tpu.engine.streaming import trim_tail_page
-    auxw, pages = packed
+    auxw, flat2d = packed
     aux_np = np.asarray(auxw)
+    PW = WIRE_PAGE // 4
+    Bp = aux_np.shape[0]
+    capW = flat2d.shape[0] // Bp * PW
+    used_w, offs_w = _lane_layout(aux_np, active, capW)
     used = {}
     rows = {}
     for i, lane in enumerate(lanes):
-        if lane.failed or int(nfs[i]) <= 0:
+        if lane.failed or not active[i]:
             continue
         try:
-            rows[i], used[i] = eng.unpack_wire_aux(aux_np[i])
+            rows[i], _ = eng.unpack_wire_aux(aux_np[i])
+            used[i] = int(used_w[i]) * 4
         except Exception as e:
             # a malformed aux block fails ITS lane, not the whole batch —
             # same per-lane isolation as the decode/consume paths below
             lane.fail(e)
-    PW = WIRE_PAGE // 4
-    lane_pgs = {}
-    for i, u in used.items():
-        np_i = -(-u // WIRE_PAGE)
-        rws = [_LANE_ROW(pages[p], i) for p in range(np_i)]
-        if rws:
-            rws[-1] = trim_tail_page(rws[-1], -(-u // 4) - (np_i - 1) * PW)
-        for r in rws:
-            try:
-                r.copy_to_host_async()
-            except AttributeError:
-                pass
-        lane_pgs[i] = rws
-    return rows, used, lane_pgs
+    total_w = int(used_w.sum())
+    n_p = -(-total_w // PW)
+    pgs = [_PAGE_ROW(flat2d, p) for p in range(n_p)]
+    if pgs:
+        pgs[-1] = trim_tail_page(pgs[-1], total_w - (n_p - 1) * PW)
+    for r in pgs:
+        try:
+            r.copy_to_host_async()
+        except AttributeError:
+            pass
+    return rows, used, (pgs, offs_w, used_w)
 
 
 def _consume_pcm24_host(lanes, frame0s, nfs, packed_np, od, eng):
@@ -552,19 +600,21 @@ def _consume_pcm24_host(lanes, frame0s, nfs, packed_np, od, eng):
             lane.fail(e)
 
 
-def _consume_wire_host(lanes, frame0s, nfs, rows, host_pages, od, eng,
-                       pool=None):
-    """Worker-thread half of the wire readback (page p row i is lane i's
-    words [p*PW, (p+1)*PW)): decode the already-materialized per-lane
-    pages — in parallel when a pool is given (the C++ decode releases
-    the GIL) — and route each lane's chunk."""
+def _consume_wire_host(lanes, frame0s, nfs, rows, flat_np, layout, od,
+                       eng, pool=None):
+    """Worker-thread half of the wire readback: slice each lane's byte
+    range out of the materialized flat stream (offsets replicate the
+    device compaction's arithmetic) and decode — in parallel when a
+    pool is given (the C++ decode releases the GIL) — then route each
+    lane's chunk."""
     from tomatis_tpu.io import wirecodec
+    offs_w, used_w = layout
+    fbytes = flat_np.view(np.uint8)
 
     def decode_one(i):
-        rws = host_pages.get(i, [])
-        buf = (np.concatenate(rws) if rws else np.zeros(0, np.uint32))
-        return wirecodec.decode_pcm24(buf.view(np.uint8), eng.emit_full,
-                                      eng.channels)
+        lo = int(offs_w[i]) * 4
+        return wirecodec.decode_pcm24(fbytes[lo:lo + int(used_w[i]) * 4],
+                                      eng.emit_full, eng.channels)
 
     futs = {i: pool.submit(decode_one, i) for i in rows} if pool else None
     for i, lane in enumerate(lanes):
