@@ -68,6 +68,20 @@ def run(args) -> int:
           f"switches: {stats['switch_count']} "
           f"({stats['switches_per_min']:.1f}/min)  "
           f"short runs: {stats['short_run_ratio'] * 100:.1f}%")
+    from tomatis_tpu.cli._sidecar import write_sidecar
+    # no gate_scale/gate_offset triple here: the adaptive gate is a
+    # min-hold machine over the PRE-ATTENUATED signal, which validate's
+    # up-delay recompute cannot reproduce; verify-15db-v2 (the matching
+    # verifier) re-solves the threshold itself from target_c2
+    write_sidecar(args.output, "process-adaptive", dict(
+        target_c2=p.target_c2, hyst_db=p.hyst_db,
+        min_hold_ms=p.min_hold_ms, xfade_ms=p.xfade_ms,
+        fc=p.fc, slope=p.slope,
+        c1_low=p.c1_low, c1_high=p.c1_high,
+        c2_low=p.c2_low, c2_high=p.c2_high,
+        n_fft=p.n_fft, hop=p.hop,
+        optimal_threshold_dbfs=float(stats["optimal_threshold"]),
+        atten_db=float(stats["atten_db"])))
     print(f"output: {stats['out_path']}")
     return 0
 

@@ -66,6 +66,14 @@ def run(args) -> int:
     print(f"frames: {stats['n_frames']}  "
           f"C1: {stats['c1_frames']} ({100 * stats['c1_frames'] / n:.1f}%)  "
           f"C2: {stats['c2_frames']} ({100 * stats['c2_frames'] / n:.1f}%)")
+    from tomatis_tpu.cli._sidecar import linear_gate, write_sidecar
+    write_sidecar(args.output, "process-xfade", dict(
+        **linear_gate(p.gate_ui, p.threshold_dbfs()),
+        hyst_db=p.hysteresis_db, up_delay_ms=p.up_delay_ms,
+        xfade_ms=p.xfade_ms, fc=p.fc, slope=p.slope,
+        c1_low=p.c1_low, c1_high=p.c1_high,
+        c2_low=p.c2_low, c2_high=p.c2_high,
+        n_fft=p.n_fft, hop=p.hop))
     print(f"output: {stats['out_path']}")
     return 0
 

@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--hop", type=int, default=2048)
     ap.add_argument("--level_percentile", type=float, default=10)
     ap.add_argument("--out_prefix", default="verify_15db_v2")
+    from tomatis_tpu.cli._sidecar import add_params_flag
+    add_params_flag(ap)
     return ap
 
 
@@ -143,6 +145,8 @@ def run(args) -> int:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     try:
+        from tomatis_tpu.cli._sidecar import apply_params
+        apply_params(args, build_parser, argv)
         return run(args)
     except Exception as e:
         import traceback
