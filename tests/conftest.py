@@ -8,6 +8,14 @@ enough — override the config after import too.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep CPU-test compile-cache entries OUT of the repo-local .xla_cache:
+# that directory is committed with real-TPU entries so the bench driver
+# starts primed (r03 paid a 4-minute cold warmup), and test runs would
+# bloat it with CPU executables
+os.environ.setdefault(
+    "TOMATIS_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "tomatis_tpu",
+                 "xla_cache_cputest"))
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

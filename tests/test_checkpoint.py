@@ -294,3 +294,84 @@ def test_finalize_keeps_output_when_stage_cleanup_fails(tmp_path,
     assert actual == str(outp)
     assert outp.exists()          # the good output survived
     assert ck.cleared
+
+
+def test_sharded_resume_after_interrupt(tmp_path, monkeypatch):
+    """process_sharded --checkpoint on the 8-virtual-device CPU mesh:
+    kill mid-stream, rerun the same command, output + state CSV must be
+    byte-identical to an uninterrupted sharded run (VERDICT r3 item 7)."""
+    from tomatis_tpu.parallel.stream import process_sharded
+
+    sr = 48000
+    x = _signal(16.0)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = StandardParams(require_48k_stereo=False)
+
+    ref = tmp_path / "ref.flac"
+    process_sharded(ip, ref, p, frames_per_shard=8,
+                    state_csv_path=tmp_path / "ref.csv")
+
+    out = tmp_path / "out.flac"
+    ck = tmp_path / "ck.npz"
+    from tomatis_tpu.engine import streaming as S
+    orig_write = S.StreamRunner._write_cut_f32
+    calls = {"n": 0}
+
+    def bomb(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] > 1:   # die on the second flush cut
+            raise _Bomb()
+        return orig_write(self, *a, **k)
+
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_f32", bomb)
+    with pytest.raises(_Bomb):
+        process_sharded(ip, out, p, frames_per_shard=8,
+                        state_csv_path=tmp_path / "out.csv",
+                        checkpoint_path=ck, checkpoint_every=1)
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_f32", orig_write)
+    assert ck.exists()
+
+    stats = process_sharded(ip, out, p, frames_per_shard=8,
+                            state_csv_path=tmp_path / "out.csv",
+                            checkpoint_path=ck, checkpoint_every=1)
+    assert not ck.exists()          # cleared on success
+    assert stats["out_path"] == str(out)
+
+    y_ref, _ = audio.read(ref)
+    y_out, _ = audio.read(out)
+    np.testing.assert_array_equal(y_out, y_ref)
+    assert open(tmp_path / "out.csv").read() \
+        == open(tmp_path / "ref.csv").read()
+
+
+def test_sharded_checkpoint_refuses_other_mesh(tmp_path, monkeypatch):
+    """A sharded checkpoint is fingerprinted with the mesh geometry:
+    resuming with a different frames_per_shard must be refused (the
+    block-scan reassociation differs), not silently produce bytes."""
+    from tomatis_tpu.parallel.stream import process_sharded
+
+    sr = 48000
+    x = _signal(16.0)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = StandardParams(require_48k_stereo=False)
+    out = tmp_path / "out.flac"
+    ck = tmp_path / "ck.npz"
+
+    from tomatis_tpu.engine import streaming as S
+    orig_write = S.StreamRunner._write_cut_f32
+
+    def bomb(self, *a, **k):
+        raise _Bomb()
+
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_f32", bomb)
+    with pytest.raises(_Bomb):
+        process_sharded(ip, out, p, frames_per_shard=8,
+                        checkpoint_path=ck, checkpoint_every=1)
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_f32", orig_write)
+    assert ck.exists()
+
+    with pytest.raises(ValueError, match="different parameters"):
+        process_sharded(ip, out, p, frames_per_shard=16,
+                        checkpoint_path=ck, checkpoint_every=1)

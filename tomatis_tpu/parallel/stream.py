@@ -41,7 +41,8 @@ from tomatis_tpu.utils.stateio import StateCsvWriter
 def process_sharded(in_path, out_path, p=None,
                     n_devices: int | None = None, data: int = 1,
                     frames_per_shard: int = 256,
-                    state_csv_path=None, variant: str = "standard") -> dict:
+                    state_csv_path=None, variant: str = "standard",
+                    checkpoint_path=None, checkpoint_every: int = 8) -> dict:
     """Standard/crossfade processing of ONE file sharded over a mesh.
 
     p: StandardParams (variant="standard") or XfadeParams ("xfade").
@@ -53,6 +54,15 @@ def process_sharded(in_path, out_path, p=None,
     The xfade variant matches within 1 PCM_24 LSB on ramp frames: the
     block-composed alpha scan reassociates f32 clip-affine maps, which
     can move mid-ramp gains by one ulp.
+
+    checkpoint_path enables super-chunk-granular crash recovery with the
+    same byte-identical-resume guarantee as the single-device engine:
+    the sequential state (gate carry, xfade alpha, OLA tails, undrained
+    output, flush cursor) is persisted every checkpoint_every
+    super-chunks via engine.checkpoint; re-running the same call resumes
+    at the last snapshot. The mesh geometry (n_seq, frames_per_shard) is
+    part of the checkpoint fingerprint — resuming on a different device
+    count is refused rather than risking a reassociated-scan divergence.
     """
     t_start = time.perf_counter()
     if variant not in ("standard", "xfade"):
@@ -110,23 +120,29 @@ def process_sharded(in_path, out_path, p=None,
         pad, n_frames = plan.pad, plan.n_frames
 
         out_path = str(out_path)
-        try:
-            fout = audio.AudioFile(out_path, "w", samplerate=sr,
-                                   channels=ch, subtype="PCM_24")
-            actual_out = out_path
-        except Exception:
-            actual_out = out_path.rsplit(".", 1)[0] + ".wav"
-            fout = audio.AudioFile(actual_out, "w", samplerate=sr,
-                                   channels=ch, subtype="PCM_24")
+        from dataclasses import asdict
+        config = dict(asdict(p), sr=sr, ch=ch, total=total,
+                      in_path=str(in_path), n_seq=n_seq,
+                      frames_per_shard=frames_per_shard,
+                      model=f"sharded-{variant}")
+        (fout, actual_out, ckpt, resume_state,
+         stage_path) = _standard.open_checkpointed_sink(
+            out_path, sr, ch, config, checkpoint_path, checkpoint_every)
+        resume_frame = None
+        if resume_state is not None:
+            resume_frame = int(resume_state["__meta__"]["scalars"]
+                               ["frames_consumed"])
         if xf:
             csvw = StateCsvWriter(state_csv_path, sr, total,
                                   with_alpha=True, level_fmt="%.2f",
-                                  alpha_fmt="%.3f") \
+                                  alpha_fmt="%.3f",
+                                  resume_at_frame=resume_frame) \
                 if state_csv_path else None
             controller = _xfade.build_controller(p, sr)
             output_gain_db = 0.0
         else:
-            csvw = StateCsvWriter(state_csv_path, sr, total) \
+            csvw = StateCsvWriter(state_csv_path, sr, total,
+                                  resume_at_frame=resume_frame) \
                 if state_csv_path else None
             controller = _standard.build_controller(p, sr)
             output_gain_db = p.output_gain_db
@@ -146,13 +162,55 @@ def process_sharded(in_path, out_path, p=None,
         alpha_c = jnp.zeros((1,), jnp.float32)
         in_ty = jnp.zeros((1, tail, ch), jnp.float32)
         in_tw = jnp.zeros((1, tail), jnp.float32)
+        f0_start = 0
+        written = [0]   # samples written to the sink (checkpoint scalar)
 
-        # padded-coordinate input stream (coord 0 = abs -pad)
-        reader = RollingReader(fin.read, ch, left_pad=pad, block=hop * 512)
+        if resume_state is not None:
+            sc = resume_state["__meta__"]["scalars"]
+            f0_start = int(sc["frame0"])
+            cut_i = int(sc["cut_i"])
+            out_base = int(sc["out_base"])
+            written[0] = int(sc["audio_samples_written"])
+            states_count = resume_state["states_count"].astype(np.int64)
+            carry = jnp.asarray(resume_state["gate_carry"])
+            alpha_c = jnp.asarray(resume_state["alpha_carry"])
+            in_ty = jnp.asarray(resume_state["in_ty"])
+            in_tw = jnp.asarray(resume_state["in_tw"])
+            if resume_state["out_pend"].size:
+                out_pend = [resume_state["out_pend"]]
+
+        def write_counted(blk):
+            written[0] += len(blk)
+            fout.write(blk)
+
+        def save_snapshot(next_f0):
+            state = dict(
+                gate_carry=np.asarray(carry),
+                alpha_carry=np.asarray(alpha_c),
+                in_ty=np.asarray(in_ty), in_tw=np.asarray(in_tw),
+                out_pend=(np.concatenate(out_pend, 0) if out_pend
+                          else np.zeros((0, ch), np.float32)),
+                states_count=states_count)
+            state["__scalars__"] = dict(
+                frame0=int(next_f0), out_base=int(out_base),
+                cut_i=int(cut_i),
+                audio_samples_written=int(written[0]),
+                frames_consumed=int(next_f0))
+            ckpt.maybe_save(state)
+
+        # padded-coordinate input stream (coord c = abs c - pad, so the
+        # first file sample sits at coord `pad`); a resumed run seeks the
+        # source to the snapshot frame instead of re-reading the
+        # already-processed span
+        s_file = f0_start * hop - pad
+        if s_file > 0:
+            fin.seek(s_file)
+        reader = RollingReader(fin.read, ch, left_pad=max(0, -s_file),
+                               base=f0_start * hop, block=hop * 512)
         need = (F_tot - 1) * hop + n_fft
 
         try:
-            for f0 in range(0, max(n_frames, 0), F_tot):
+            for f0 in range(f0_start, max(n_frames, 0), F_tot):
                 nf = min(F_tot, n_frames - f0)
                 sig = reader.window(f0 * hop, need)
                 frames = stft.frame_signal(sig, n_fft, hop, F_tot)[None]
@@ -193,9 +251,12 @@ def process_sharded(in_path, out_path, p=None,
                             (t_y / (t_w[:, None] + EPS))
                             [:wanted - F_tot * hop])
                 cut_i, out_base = runner._drain(out_pend, [], [], cut_i,
-                                                out_base, last, fout.write)
+                                                out_base, last,
+                                                write_counted)
                 # pop the consumed input window (keep the n_fft-hop overlap)
                 reader.advance((f0 + nf) * hop)
+                if ckpt is not None and not last:
+                    save_snapshot(f0 + F_tot)
 
         finally:
             # close the sink even when a step fails mid-stream
@@ -203,6 +264,8 @@ def process_sharded(in_path, out_path, p=None,
             fout.close()
             if csvw:
                 csvw.close()
+        actual_out = (_standard.finalize_checkpointed_sink(
+            ckpt, stage_path, out_path) or actual_out)
 
     wall = time.perf_counter() - t_start
     total_f = int(states_count[1] + states_count[2])
