@@ -244,12 +244,20 @@ def parity_all(p, tmp, frames_per_chunk) -> dict:
     out["xfade"] = {"max_err": round(e, 8), "ok": e < 2e-4}
 
     from tomatis_tpu.models import adaptive as adm
+    pa = adm.AdaptiveParams()
     xa = test_adaptive._signal(4.0)
-    ya, _ = adm.process_array(xa, sr, adm.AdaptiveParams(),
-                              frames_per_chunk=64)
-    ya_ref = test_adaptive._oracle_adaptive(xa, sr, adm.AdaptiveParams())[0]
-    e = float(np.max(np.abs(ya - ya_ref)[64:-64]))  # see test_adaptive
-    out["adaptive"] = {"max_err": round(e, 8), "ok": e < 3e-4}
+    ya, _ = adm.process_array(xa, sr, pa, frames_per_chunk=64)
+    ya_ref = test_adaptive._oracle_adaptive(xa, sr, pa)[0]
+    da = np.abs(ya - ya_ref)
+    # interior parity: the first/last hop divides by a near-zero OLA
+    # window sum (0/0 amplification of f32-vs-f64 noise, measured up to
+    # 1.1e-4 in the first 30 samples, decaying below 2e-6 by s=1024) —
+    # reported separately as head_max_err; see test_adaptive.py
+    e = float(np.max(da[pa.hop:-pa.hop]))
+    eh = float(np.max(da))
+    out["adaptive"] = {"max_err": round(e, 8), "ok": e < 3e-5,
+                       "head_max_err": round(eh, 8),
+                       "head_ok": eh < 2e-3}
 
     from tomatis_tpu.models import eq as eqm
     xe = test_eq._tone(2.0, amp=0.04)

@@ -121,9 +121,16 @@ def test_adaptive_parity():
     assert abs(info["atten_db"] - atten_ref) < 0.01
     assert y.shape == x.shape
     d = np.abs(y - y_ref)
-    # stream-boundary samples divide by a tiny window sum, amplifying the
-    # f32-vs-f64 gap; interior must be tight
-    assert np.max(d[64:-64]) < 3e-4
+    # Error anatomy (r4 decomposition): the divergence vs the f64 oracle
+    # is ENTIRELY the stream-head/tail transient — the first/last hop of
+    # output divides by a near-zero OLA window sum (w ~ sin^2(pi*s/n_fft)
+    # -> 0 at the edges, floored at 1e-8 on both sides), so f32-vs-f64
+    # noise of a near-zero numerator is amplified ~1/w: measured 1.1e-4
+    # at s=9..27, decaying below 2e-6 by s=1024. It is NOT the threshold
+    # binary search (dev-vs-oracle 7e-5 dB), the alpha ramp (6e-8), or
+    # the pre-attenuation (1.4e-7). Interior parity sits in the same
+    # 1e-6 band as the standard/EQ families.
+    assert np.max(d[p.hop:-p.hop]) < 1e-5
     assert np.max(d) < 2e-3
 
 
