@@ -31,7 +31,15 @@ def cache_path() -> str:
     env = os.environ.get("TOMATIS_COMPILE_CACHE")
     if env:
         return env
-    if os.path.isdir(_REPO_CACHE):
+    # CPU-pinned processes (tests, analysis runs) must NOT write into the
+    # committed repo cache: XLA:CPU AOT entries bake in the compiling
+    # host's CPU features (loading one on a different machine warns of
+    # possible SIGILL), while the accelerator entries we commit are
+    # device-targeted. Only accelerator-capable processes use the repo
+    # cache.
+    pinned = (os.environ.get("TOMATIS_PLATFORM")
+              or os.environ.get("JAX_PLATFORMS", ""))
+    if pinned.strip().lower() != "cpu" and os.path.isdir(_REPO_CACHE):
         return _REPO_CACHE
     return os.path.join(os.path.expanduser("~"), ".cache", "tomatis_tpu",
                         "xla_cache")
