@@ -101,3 +101,35 @@ def test_pcm24_transport_skips_input_codec(tmp_path):
                         frames_per_chunk=16, transport=tr)
         has_wire_in = stats["wire"]["in_bytes"] > 0
         assert has_wire_in == expect_wire, (tr, stats["wire"])
+
+
+def test_wire_rice_out_modes_identical_output(tmp_path, monkeypatch):
+    """The rice-out policy is a LINK optimization only: executables built
+    with rice on and off must produce byte-identical PCM_24 output (the
+    host decoder reads the mode per block)."""
+    sr = 48000
+    x = _signal(2.0)
+    ip = tmp_path / "in.wav"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = StandardParams(require_48k_stereo=False)
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("TOMATIS_WIRE_RICE_OUT", mode)
+        op = tmp_path / f"out_{mode}.wav"
+        process(ip, op, p, frames_per_chunk=64, transport="wire")
+        outs[mode], _ = audio.read(op)
+    np.testing.assert_array_equal(outs["0"], outs["1"])
+
+
+def test_resolve_rice_out_env_force(monkeypatch):
+    """TOMATIS_WIRE_RICE_OUT=0/1 forces the policy without probing the
+    link; 'auto' falls back to the memoized probe/choice."""
+    from tomatis_tpu.engine import streaming as S
+    monkeypatch.setenv("TOMATIS_WIRE_RICE_OUT", "1")
+    assert S.resolve_rice_out() is True
+    monkeypatch.setenv("TOMATIS_WIRE_RICE_OUT", "0")
+    assert S.resolve_rice_out() is False
+    monkeypatch.delenv("TOMATIS_WIRE_RICE_OUT")
+    S._RICE_OUT_MEMO["choice"] = True      # pretend a probe already ran
+    assert S.resolve_rice_out() is True
+    S._RICE_OUT_MEMO.clear()
