@@ -312,24 +312,24 @@ def parity_all(p, tmp, frames_per_chunk) -> dict:
     return out
 
 
-def bench_batch(p, tmp, args, time_left=None) -> dict:
+def bench_batch(p, tmp, args, time_left=None, lanes=None) -> dict:
     """BASELINE config 5's shape on one chip: N files as vmapped lanes in
     one device dispatch; aggregate audio-sec per wall-sec, best of
     `repeats` runs (first run warms the vmapped executable). Lanes use
-    256-frame chunks so one N-lane dispatch carries about the same bytes
-    as a single-file 1024-frame chunk — enough chunks per file for the
-    depth-3 pipeline to fill."""
+    1024//N-frame chunks so one N-lane dispatch carries about the same
+    bytes as a single-file 1024-frame chunk — enough chunks per file for
+    the depth-3 pipeline to fill."""
     from tomatis_tpu.io import audio
     from tomatis_tpu.parallel import batch as batch_mod
-    n = args.batch
+    n = lanes or args.batch
     fpc = max(64, 1024 // n)
     secs = args.seconds / n
     jobs = []
     for i in range(n):
-        jp = os.path.join(tmp, f"bin_{i}.wav")
+        jp = os.path.join(tmp, f"bin{n}_{i}.wav")
         audio.write(jp, synth(secs, args.sr, seed=700 + i), args.sr,
                     subtype="PCM_24")
-        jobs.append((jp, os.path.join(tmp, f"bout_{i}.wav")))
+        jobs.append((jp, os.path.join(tmp, f"bout{n}_{i}.wav")))
     best = None
     runs = []
     floor_runs = []
@@ -462,6 +462,11 @@ def main() -> int:
                          "config-5 shape: N files as vmapped lanes in one "
                          "device dispatch, aggregate audio-sec/sec rides "
                          "the JSON as 'batch'); 0 disables")
+    ap.add_argument("--batch16", type=int, default=16,
+                    help="lane count of the second batch sub-benchmark "
+                         "(BASELINE config 5's literal 16 files, rides "
+                         "the JSON as 'batch16'); runs only when the "
+                         "budget comfortably allows; 0 disables")
     ap.add_argument("--no_parity", action="store_true")
     ap.add_argument("--no_resident", action="store_true",
                     help="skip the device-resident measurement (stages "
@@ -686,6 +691,22 @@ def main() -> int:
                 RESULT["stages"]["batch"] = f"failed: {e}"
         else:
             RESULT["stages"]["batch"] = "skipped (budget)"
+        emit()
+
+    if args.batch16 > 0:
+        # BASELINE config 5's literal lane count; only when the 4-lane
+        # batch and the tail stages still fit comfortably afterwards
+        if left() > (110 if args.no_parity else 185):
+            _progress(f"batch sub-benchmark ({args.batch16} lanes)")
+            try:
+                RESULT["batch16"] = bench_batch(
+                    p, tmp, args, lanes=args.batch16,
+                    time_left=lambda: left() - (RESERVE_TAIL - 90))
+                RESULT["stages"]["batch16"] = "done"
+            except Exception as e:
+                RESULT["stages"]["batch16"] = f"failed: {e}"
+        else:
+            RESULT["stages"]["batch16"] = "skipped (budget)"
         emit()
 
     if not args.no_parity:
