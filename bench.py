@@ -533,9 +533,13 @@ def main() -> int:
                 subtype="PCM_24")
     _progress("warmup: compiling/loading the chunk executable")
     t0 = time.perf_counter()
-    process(warm_path, os.path.join(tmp, "warm_out.wav"), p,
-            frames_per_chunk=args.frames_per_chunk)
+    wstats = process(warm_path, os.path.join(tmp, "warm_out.wav"), p,
+                     frames_per_chunk=args.frames_per_chunk)
     warmup_s = time.perf_counter() - t0
+    # where warmup time goes (compile/load lands in the first dispatch's
+    # block wait): attribution for the 150-350 s warmups observed even
+    # with a fully hit compile cache
+    RESULT["warmup_detail"] = wstats.get("timings", {})
     try:
         entries_added = len(os.listdir(cache_dir)) - entries_before
     except OSError:
