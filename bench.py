@@ -503,6 +503,30 @@ def main() -> int:
     RESULT["device"] = str(dev)
     RESULT["frames_per_chunk"] = args.frames_per_chunk
     RESULT["budget_s"] = args.budget_s
+    emit()
+
+    # cheap pre-flight link probe (4 MB d2h, memoized — the rice-out
+    # policy reuses it): when the tunnel is in one of its observed
+    # outage phases (<8 MB/s; runs have measured 25-55 MB/s healthy),
+    # a 960-s workload cannot finish inside any budget — shrink the
+    # workload so the artifact still records real, attributable numbers
+    # instead of dying inside the warmup.
+    from tomatis_tpu.engine.streaming import probe_d2h_mbps
+    try:
+        pre_bw = probe_d2h_mbps()
+    except Exception as e:
+        pre_bw = None
+        RESULT["stages"]["preflight_probe"] = f"failed: {e}"
+    RESULT["preflight_d2h_mbps"] = (round(pre_bw, 1)
+                                    if pre_bw is not None else None)
+    if pre_bw is not None and pre_bw < 8.0:
+        args.seconds = min(args.seconds, 240.0)
+        args.repeats = min(args.repeats, 3)
+        args.batch16 = 0
+        RESULT["weather_degraded"] = True
+        _progress(f"link degraded ({pre_bw:.1f} MB/s d2h): shrinking the "
+                  f"workload to {args.seconds:.0f}s x {args.repeats}")
+    emit()
 
     x = synth(args.seconds, args.sr)
     audio_sec = len(x) / args.sr
@@ -550,6 +574,7 @@ def main() -> int:
         "entries_added_by_warmup": entries_added,
         "primed": entries_before > 0 and warmup_s < 60}
     RESULT["stages"]["warmup"] = round(warmup_s, 1)
+    emit()
 
     best = None
     best_stats = None
