@@ -83,6 +83,9 @@ def probe_link(mb: float = 8.0) -> dict:
     return {"d2h_mbps": round(d2h, 1), "h2d_mbps": round(h2d, 1)}
 
 
+_FLOOR_JITS: dict = {}
+
+
 def link_floor(in_total: int, out_total: int, n_chunks: int,
                aux_words: int) -> float:
     """Replay the timed run's host<->device transfer pattern with ZERO
@@ -112,12 +115,21 @@ def link_floor(in_total: int, out_total: int, n_chunks: int,
         ceil_div(out_chunk - (n_pages - 1) * WIRE_PAGE, 4),
         _TAIL_BUCKET_W) * _TAIL_BUCKET_W)
 
-    sink = jax.jit(lambda x: x.reshape(-1)[:4] + 1.0)
-    make = jax.jit(lambda s: tuple(
-        jnp.arange(tail_w if i == n_pages - 1 else PW,
-                   dtype=jnp.uint32) + s + i for i in range(n_pages)))
-    make_aux = jax.jit(
-        lambda s: jnp.arange(aux_words, dtype=jnp.float32) + s)
+    # memoized per shape: a fresh jax.jit wrapper per link_floor call
+    # would re-trace AND RE-LOAD the executables on every floor replay —
+    # the axon tunnel's executable-load path is latency-bound and was
+    # measured costing minutes per reload in degraded weather
+    key = (in_bucket, n_pages, tail_w, aux_words)
+    cached = _FLOOR_JITS.get(key)
+    if cached is None:
+        sink = jax.jit(lambda x: x.reshape(-1)[:4] + 1.0)
+        make = jax.jit(lambda s: tuple(
+            jnp.arange(tail_w if i == n_pages - 1 else PW,
+                       dtype=jnp.uint32) + s + i for i in range(n_pages)))
+        make_aux = jax.jit(
+            lambda s: jnp.arange(aux_words, dtype=jnp.float32) + s)
+        cached = _FLOOR_JITS[key] = (sink, make, make_aux)
+    sink, make, make_aux = cached
 
     def run(seed):
         inflight = None

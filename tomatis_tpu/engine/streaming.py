@@ -150,14 +150,35 @@ def trim_tail_page(pg, used_words_in_page: int):
         return pg
 
 
+# Device-side pad of a bucketed input buffer to the canonical per-(n,ch)
+# unpack shape. The pad executables are tiny (~10 KB) and one exists per
+# bucket count, but the 12 MB unpack executable exists ONCE per (n, ch):
+# before this, every distinct bucketed stream length compiled AND loaded
+# its own 12 MB unpack — 8 variants (~100 MB) in a 960-s run, and the
+# axon tunnel's executable-load path is latency-bound (minutes of warmup
+# with a fully hit compile cache).
+_PAD_TO = jax.jit(
+    lambda pb, W: jnp.concatenate(
+        [pb, jnp.zeros(W - pb.shape[0], jnp.uint32)]) if W > pb.shape[0]
+    else pb,
+    static_argnums=1)
+
+
 def _bucketed_unpack(packed: np.ndarray, n: int, ch: int):
     """Pad a packed buffer to the bucket grid (bounding the number of
-    unpack executable shapes) plus one wide-gather window of tail slack,
-    and dispatch the on-device unpack (uint32 + padded_tail fast path)."""
+    tiny device-pad executable shapes), ship it, zero-extend ON DEVICE to
+    the canonical max_words(n, ch) shape, and dispatch the one on-device
+    unpack executable for this (n, ch) (uint32 + padded_tail fast path)."""
     bucket = -(-len(packed) // WIRE_BUCKET) * WIRE_BUCKET
     pb = np.zeros(bucket // 4 + _IN_SLACK_W, np.uint32)
     pb.view(np.uint8)[:len(packed)] = packed
-    return _UNPACK_INPUT(pb, n, ch, WIRE_RICE_IN, True)
+    # canonical shape: the raw escape guarantees every encoded stream
+    # fits in raw_words (the encoder picks min(packed variants, raw)),
+    # so raw_words + slack covers any stream the decoder can receive
+    W = wire_ops.raw_words(n, ch) + _IN_SLACK_W
+    if pb.shape[0] >= W:   # already at/above the cap: dispatch as-is
+        return _UNPACK_INPUT(pb, n, ch, WIRE_RICE_IN, True)
+    return _UNPACK_INPUT(_PAD_TO(pb, W), n, ch, WIRE_RICE_IN, True)
 
 
 def resolve_transport(transport: str, supports_raw: bool):

@@ -41,13 +41,31 @@ _FLAT_GRID = 64 * 1024
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _vunpack_flat(flat, offs_w, bucket_w, n, ch, rice):
     """flat: uint32 words; offs_w: per-lane word offsets; bucket_w: lane
-    window in words INCLUDING the wide-gather tail slack (the producer
-    sizes flat so every window is in bounds — see unpack_device's
+    window in words INCLUDING the wide-gather tail slack (the flat
+    buffer is padded so every window is in bounds — see unpack_device's
     padded_tail contract)."""
     rows = jax.vmap(
         lambda o: jax.lax.dynamic_slice(flat, (o,), (bucket_w,)))(offs_w)
     return jax.vmap(
         lambda r: wire_ops.unpack_device(r, n, ch, rice, True))(rows)
+
+
+def _flat_canonical(n: int, ch: int, Bp: int):
+    """Canonical (lane window, flat length) in words for the vmapped
+    unpack: the raw escape caps every lane at raw_words, so ONE 12 MB+
+    unpack executable per (n, ch, Bp) serves every chunk — before this,
+    each distinct grid-rounded flat length (and per-chunk max-lane
+    bucket) compiled AND loaded its own; the axon tunnel's executable-
+    load path is latency-bound (measured minutes per reload in degraded
+    weather). The host ships the tight buffer; a tiny per-size device
+    pad zero-extends it to the canonical shape."""
+    from tomatis_tpu.engine.streaming import _IN_SLACK_W
+    capW = wire_ops.raw_words(n, ch) + _IN_SLACK_W
+    # one extra grid unit absorbs the tight buffer's grid rounding even
+    # in the pathological all-lanes-raw case
+    T = (-(-(Bp * capW * 4 + _FLAT_GRID) // _FLAT_GRID)
+         * _FLAT_GRID) // 4
+    return capW, T
 
 # (chunk_fn, padded lane count, device tuple) -> jitted vmapped step. A
 # fresh jax.jit wrapper per process_batch call would re-trace and re-load
@@ -334,31 +352,25 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 items = list(pool.map(
                     lambda i: stage_encode(sigs[i], False), range(Bp)))
                 if all(k == "wire" for k, _ in items):
-                    from tomatis_tpu.engine.streaming import _IN_SLACK_W
                     lens = [len(v) for _, v in items]
-                    bucket = max(-(-le // WIRE_BUCKET) * WIRE_BUCKET
-                                 for le in lens)
-                    # lane window in words, incl. the wide-gather tail
-                    # slack the padded_tail unpack contract requires
-                    bucket_w = bucket // 4 + _IN_SLACK_W
                     # pack tightly, 4-byte aligned, largest lane last:
                     # every lane's window-sized device slice must stay
-                    # in bounds, so the flat tail pad is one window
-                    # minus the LAST lane's length — smallest when that
-                    # lane is the largest
+                    # in bounds after the device-side pad to the
+                    # canonical shape, so the flat tail pad is one
+                    # window minus the LAST lane's length — smallest
+                    # when that lane is the largest
                     order = sorted(range(Bp), key=lambda i: lens[i])
                     offs = np.zeros(Bp, np.int32)
                     pos = 0
                     for j in order:
                         offs[j] = pos
                         pos += -(-lens[j] // 4) * 4
-                    need = int(offs[order[-1]]) + 4 * bucket_w
-                    flat_len = -(-need // _FLAT_GRID) * _FLAT_GRID
+                    flat_len = -(-pos // _FLAT_GRID) * _FLAT_GRID
                     flat = np.zeros(flat_len // 4, np.uint32)
                     fbytes = flat.view(np.uint8)
                     for i, (_, v) in enumerate(items):
                         fbytes[offs[i]:offs[i] + lens[i]] = v
-                    item = ("wire", (flat, offs // 4, bucket_w),
+                    item = ("wire", (flat, offs // 4),
                             sum(lens), flat_len)
             if item is None:
                 item = ("f32", sigs, 0, 0)
@@ -421,10 +433,16 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             if all(lane.done or lane.failed for lane in lanes):
                 break   # nothing left to route; drop the staged chunk
             if kind == "wire":
-                flat, offs_w, bucket_w = payload
+                flat, offs_w = payload
                 wire_acct["in_used"] += in_used
                 wire_acct["in_shipped"] += in_shipped
-                sig_arg = _vunpack_flat(flat, offs_w, bucket_w,
+                # zero-extend the tight flat buffer ON DEVICE to the
+                # canonical length so one unpack executable per
+                # (n, ch, Bp) serves every chunk (pads are tiny)
+                from tomatis_tpu.engine.streaming import _PAD_TO
+                capW, T = _flat_canonical(engine.chunk_input_len, ch, Bp)
+                fdev = flat if flat.shape[0] >= T else _PAD_TO(flat, T)
+                sig_arg = _vunpack_flat(fdev, offs_w, capW,
                                         engine.chunk_input_len, ch,
                                         WIRE_RICE_IN)
             else:
