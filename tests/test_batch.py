@@ -190,12 +190,16 @@ def test_batch_reuses_jitted_step_across_calls(tmp_path):
     ip = tmp_path / "in.flac"
     audio.write(ip, _sig(1.0, 1), SR, subtype="PCM_24")
     before = dict(B._VCHUNK_CACHE)
+    before_v = dict(B._VSTEP_CACHE)
     process_batch([(ip, tmp_path / "o1.flac")], p, frames_per_chunk=16)
     grew = len(B._VCHUNK_CACHE) - len(before)
     assert grew <= 1   # at most one new entry for this config
+    assert len(B._VSTEP_CACHE) - len(before_v) <= 1
     n_after_first = len(B._VCHUNK_CACHE)
+    nv_after_first = len(B._VSTEP_CACHE)
     process_batch([(ip, tmp_path / "o2.flac")], p, frames_per_chunk=16)
     assert len(B._VCHUNK_CACHE) == n_after_first   # second call reused it
+    assert len(B._VSTEP_CACHE) == nv_after_first
 
 
 def test_zero_length_file_lane(tmp_path):

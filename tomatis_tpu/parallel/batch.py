@@ -13,7 +13,6 @@ same executable, jax.sharding does the placement.
 """
 from __future__ import annotations
 
-import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,18 +37,6 @@ from tomatis_tpu.utils.stateio import StateCsvWriter
 _FLAT_GRID = 64 * 1024
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _vunpack_flat(flat, offs_w, bucket_w, n, ch, rice):
-    """flat: uint32 words; offs_w: per-lane word offsets; bucket_w: lane
-    window in words INCLUDING the wide-gather tail slack (the flat
-    buffer is padded so every window is in bounds — see unpack_device's
-    padded_tail contract)."""
-    rows = jax.vmap(
-        lambda o: jax.lax.dynamic_slice(flat, (o,), (bucket_w,)))(offs_w)
-    return jax.vmap(
-        lambda r: wire_ops.unpack_device(r, n, ch, rice, True))(rows)
-
-
 def _flat_canonical(n: int, ch: int, Bp: int):
     """Canonical (lane window, flat length) in words for the vmapped
     unpack: the raw escape caps every lane at raw_words, so ONE 12 MB+
@@ -72,6 +59,40 @@ def _flat_canonical(n: int, ch: int, Bp: int):
 # the (large) executable every call — the repeat cost dominates on a
 # tunneled TPU even with the persistent compile cache.
 _VCHUNK_CACHE: dict = {}
+
+# (chunk_fn, Bp) -> the fused wire-path step (input unpack + vmapped
+# chunk + output flat-merge in ONE executable). The unfused path issued
+# ~3 + n_pages separate jit dispatches per chunk (pad, unpack, chunk,
+# flatten, then one _PAGE_ROW per output page); each dispatch is an RPC
+# round on the tunneled backend, and the single-file engine pays none of
+# them (its chunk executable returns the page rows directly). The fused
+# step matches that: one dispatch, page rows as separate outputs.
+_VSTEP_CACHE: dict = {}
+
+
+def _make_vstep(chunk_fn, Bp: int, capW: int, n: int, ch: int):
+    """Fused wire-path step for one (chunk_fn, lane count): canonical
+    flat input buffer -> per-lane unpack -> vmapped chunk -> flat-merged
+    output page rows. Returns a jitted fn
+    (flat, offs_w, nfs, act, carry, ot, wt, params, gain) ->
+    (auxw, page_rows tuple, out_dev, carry, ot, wt)."""
+    vmapped = jax.vmap(chunk_fn, in_axes=(0, 0, 0, 0, 0, None, None))
+    PW = WIRE_PAGE // 4
+
+    def step(flat, offs_w, nfs, act, carry, ot, wt, params, gain):
+        rows = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(flat, (o,), (capW,)))(offs_w)
+        sig = jax.vmap(
+            lambda r: wire_ops.unpack_device(r, n, ch, WIRE_RICE_IN,
+                                             True))(rows)
+        auxw, pages, out, carry, ot, wt = vmapped(sig, nfs, carry, ot,
+                                                  wt, params, gain)
+        flat_out = _flatten_words(auxw, act, pages)
+        page_rows = tuple(flat_out[i * PW:(i + 1) * PW]
+                          for i in range(flat_out.shape[0] // PW))
+        return (auxw, page_rows, out, carry, ot, wt)
+
+    return jax.jit(step)
 
 # main-thread wall time per stage of the most recent process_batch call
 # (diagnostic; bench.py reports it alongside the batch metric)
@@ -432,26 +453,6 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 continue
             if all(lane.done or lane.failed for lane in lanes):
                 break   # nothing left to route; drop the staged chunk
-            if kind == "wire":
-                flat, offs_w = payload
-                wire_acct["in_used"] += in_used
-                wire_acct["in_shipped"] += in_shipped
-                # zero-extend the tight flat buffer ON DEVICE to the
-                # canonical length so one unpack executable per
-                # (n, ch, Bp) serves every chunk (pads are tiny)
-                from tomatis_tpu.engine.streaming import _PAD_TO
-                capW, T = _flat_canonical(engine.chunk_input_len, ch, Bp)
-                fdev = flat if flat.shape[0] >= T else _PAD_TO(flat, T)
-                sig_arg = _vunpack_flat(fdev, offs_w, capW,
-                                        engine.chunk_input_len, ch,
-                                        WIRE_RICE_IN)
-            else:
-                # raw float fallback ONLY when the codec couldn't take the
-                # chunk: materializing this 60+ MB device array wastes ~2 s
-                # of link time per chunk if done unconditionally
-                sig_arg = jnp.asarray(payload)
-            timings["stage_s"] += _time.perf_counter() - _t
-            _t = _time.perf_counter()
             # dispatch-time active mask: decides BOTH the device-side
             # flat compaction and the host's matching slice layout (a
             # lane failing after this point still ships its bytes as
@@ -459,16 +460,46 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
             act = np.array([bool(nfs[i]) and not (i < len(lanes)
                                                   and lanes[i].failed)
                             for i in range(Bp)])
-            res = vchunk(sig_arg, jnp.asarray(nfs), carry_b,
-                         out_tail_b, w_tail_b, ctl_params, gain_f32)
-            if wire:
-                auxw, pages, out_dev, carry_b, out_tail_b, w_tail_b = res
-                flat2d = _flatten_out(auxw, jnp.asarray(act), *pages)
-                packed = (auxw, flat2d)
+            if kind == "wire":
+                flat, offs_w = payload
+                wire_acct["in_used"] += in_used
+                wire_acct["in_shipped"] += in_shipped
+                # zero-extend the tight flat buffer ON DEVICE to the
+                # canonical length so one fused executable per
+                # (chunk_fn, Bp) serves every chunk (pads are tiny)
+                from tomatis_tpu.engine.streaming import _PAD_TO
+                capW, T = _flat_canonical(engine.chunk_input_len, ch, Bp)
+                fdev = flat if flat.shape[0] >= T else _PAD_TO(flat, T)
+                vstep = _VSTEP_CACHE.get((chunk_fn, Bp))
+                if vstep is None:
+                    vstep = _VSTEP_CACHE[(chunk_fn, Bp)] = _make_vstep(
+                        chunk_fn, Bp, capW, engine.chunk_input_len, ch)
+                timings["stage_s"] += _time.perf_counter() - _t
+                _t = _time.perf_counter()
+                auxw, page_rows, out_dev, carry_b, out_tail_b, w_tail_b \
+                    = vstep(fdev, offs_w, jnp.asarray(nfs),
+                            jnp.asarray(act), carry_b, out_tail_b,
+                            w_tail_b, ctl_params, gain_f32)
+                packed = (auxw, page_rows)
                 wait_arr = auxw
             else:
-                packed, out_dev, carry_b, out_tail_b, w_tail_b = res
-                wait_arr = packed
+                # raw float fallback ONLY when the codec couldn't take the
+                # chunk: materializing this 60+ MB device array wastes ~2 s
+                # of link time per chunk if done unconditionally
+                sig_arg = jnp.asarray(payload)
+                timings["stage_s"] += _time.perf_counter() - _t
+                _t = _time.perf_counter()
+                res = vchunk(sig_arg, jnp.asarray(nfs), carry_b,
+                             out_tail_b, w_tail_b, ctl_params, gain_f32)
+                if wire:
+                    auxw, pages, out_dev, carry_b, out_tail_b, w_tail_b \
+                        = res
+                    flat2d = _flatten_out(auxw, jnp.asarray(act), *pages)
+                    packed = (auxw, flat2d)
+                    wait_arr = auxw
+                else:
+                    packed, out_dev, carry_b, out_tail_b, w_tail_b = res
+                    wait_arr = packed
             timings["dispatch_s"] += _time.perf_counter() - _t
             timings["chunks"] += 1
             frame0s = [ln.frame0 for ln in lanes]
@@ -523,8 +554,7 @@ _PAGE_ROW = jax.jit(
     lambda pg, p: jax.lax.dynamic_index_in_dim(pg, p, 0, keepdims=False))
 
 
-@jax.jit
-def _flatten_out(auxw, active, *pages):
+def _flatten_words(auxw, active, pages):
     """Compact every active lane's used output words into ONE tightly
     packed stream (the d2h mirror of the flat-staged h2d input): lane
     offsets are the exclusive cumsum of the used-word counts that ride
@@ -535,9 +565,8 @@ def _flatten_out(auxw, active, *pages):
     42.8-56.1x vs the single-file path's 69.4x. Lane i's full-capacity
     row is written at offset_i in INCREASING lane order, so each row's
     garbage tail is overwritten by the next lane's write; garbage past
-    the total is never fetched. Returns the flat stream as [NP, PW]
-    page rows (uint32)."""
-    PW = WIRE_PAGE // 4
+    the total is never fetched. Returns the flat stream [Bp*capW]
+    (uint32, a whole number of pages)."""
     words = jnp.concatenate(pages, axis=1)               # [Bp, capW]
     Bp, capW = words.shape
     used = (auxw[:, -2].astype(jnp.int32) * 4096
@@ -548,7 +577,16 @@ def _flatten_out(auxw, active, *pages):
     flat = jnp.zeros(Bp * capW, words.dtype)
     for i in range(Bp):   # static unroll over lanes (Bp <= ~16)
         flat = jax.lax.dynamic_update_slice(flat, words[i], (offs[i],))
-    return flat.reshape(Bp * capW // PW, PW)
+    return flat
+
+
+@jax.jit
+def _flatten_out(auxw, active, *pages):
+    """Standalone [NP, PW] flat-merge — only the raw-f32-input fallback
+    path uses it (the wire path's merge is fused into _make_vstep)."""
+    PW = WIRE_PAGE // 4
+    flat = _flatten_words(auxw, active, pages)
+    return flat.reshape(flat.shape[0] // PW, PW)
 
 
 def _lane_layout(aux_np, active, capW):
@@ -572,11 +610,15 @@ def _fetch_start(lanes, nfs, active, packed, eng, wire):
     if not wire:
         return None
     from tomatis_tpu.engine.streaming import trim_tail_page
-    auxw, flat2d = packed
+    auxw, flat = packed
     aux_np = np.asarray(auxw)
     PW = WIRE_PAGE // 4
     Bp = aux_np.shape[0]
-    capW = flat2d.shape[0] // Bp * PW
+    # fused wire path hands page rows as a tuple of [PW] device arrays
+    # (outputs of ONE executable — no per-page dispatch); the raw-f32
+    # fallback hands one [NP, PW] matrix that needs _PAGE_ROW slicing
+    fused = isinstance(flat, tuple)
+    capW = (len(flat) if fused else flat.shape[0]) * PW // Bp
     used_w, offs_w = _lane_layout(aux_np, active, capW)
     used = {}
     rows = {}
@@ -592,7 +634,8 @@ def _fetch_start(lanes, nfs, active, packed, eng, wire):
             lane.fail(e)
     total_w = int(used_w.sum())
     n_p = -(-total_w // PW)
-    pgs = [_PAGE_ROW(flat2d, p) for p in range(n_p)]
+    pgs = (list(flat[:n_p]) if fused
+           else [_PAGE_ROW(flat, p) for p in range(n_p)])
     if pgs:
         pgs[-1] = trim_tail_page(pgs[-1], total_w - (n_p - 1) * PW)
     for r in pgs:

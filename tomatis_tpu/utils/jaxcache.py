@@ -12,10 +12,11 @@ import os
 
 _DONE = False
 
-# Repo-local cache directory: checked into the repo once populated on the
-# real device, so a fresh environment (e.g. the bench driver's) starts
-# primed instead of paying a multi-minute cold TPU compile. Resolved
-# relative to this file so it works from any CWD.
+# Repo-local cache directory: persists across processes in this worktree
+# (gitignored, ~360 MB once warm — and measured warmups show a cache HIT
+# still pays 150-350 s of executable LOAD over the tunnel, so committing
+# it would not speed the driver's bench run). Resolved relative to this
+# file so it works from any CWD.
 _REPO_CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".xla_cache")
