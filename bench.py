@@ -502,22 +502,40 @@ def main() -> int:
     from tomatis_tpu.io import audio
     from tomatis_tpu.models.standard import StandardParams, process
 
-    # the tunneled backend flaps: a failed attach now does not mean a
-    # failed attach in two minutes — retry within the budget
+    # the tunneled backend flaps two ways: attach can RAISE (retry it)
+    # or HANG inside jax.devices() for minutes (observed: a 120 s-bounded
+    # probe died inside attach during an outage window). Run the attach
+    # in a daemon thread and poll, so a hang is waited out against the
+    # budget instead of silently consuming it.
+    import threading as _thr
     t_attach = time.monotonic()
-    dev = None
-    for attempt in range(8):
-        try:
-            dev = jax.devices()[0]
-            break
-        except RuntimeError as e:
-            _progress(f"backend attach failed (attempt {attempt + 1}/8): "
-                      f"{e}")
-            if attempt == 7 or left() < 150:
-                RESULT["stages"]["attach"] = f"failed: {e}"
-                emit()
-                return 0
-            time.sleep(min(120, max(5, left() - 150)))
+    attach_out: list = []
+
+    def _attach():
+        for attempt in range(8):
+            try:
+                attach_out.append(jax.devices()[0])
+                return
+            except RuntimeError as e:
+                _progress(f"backend attach failed (attempt "
+                          f"{attempt + 1}/8): {e}")
+                if attempt == 7:
+                    attach_out.append(e)
+                    return
+                time.sleep(min(120, max(5, 30 * (attempt + 1))))
+    _thr.Thread(target=_attach, daemon=True).start()
+    # minimum 20 s grace regardless of budget (a healthy attach returns
+    # in <1 s; a tight --budget_s must not misread that as a stall),
+    # then keep waiting only while the budget can still fund a run
+    while not attach_out and (time.monotonic() - t_attach < 20.0
+                              or left() > 420.0):
+        time.sleep(0.25 if time.monotonic() - t_attach < 20.0 else 5)
+    if not attach_out or isinstance(attach_out[0], Exception):
+        why = ("stalled" if not attach_out else str(attach_out[0]))
+        RESULT["stages"]["attach"] = f"failed: {why}"
+        emit()
+        return 0
+    dev = attach_out[0]
     p = StandardParams(require_48k_stereo=False)
     # attribution for the minutes that can pass before the first stderr
     # stage marker in degraded weather (r04 dev: ~5 min between the jax
@@ -535,16 +553,65 @@ def main() -> int:
     # workload so the artifact still records real, attributable numbers
     # instead of dying inside the warmup.
     from tomatis_tpu.engine.streaming import probe_d2h_mbps
+    import threading
+
+    def bounded_probe(timeout_s: float, fresh: bool = False):
+        """probe_d2h_mbps in a daemon thread with a join timeout. A
+        stalled tunnel transfer can block for MANY minutes (a dev run
+        burned its entire 700 s budget inside this 4 MB pre-flight
+        fetch and flushed value=null); the timeout converts the stall
+        into a measured outage (None) the caller can wait out. Stuck
+        threads are daemons — they complete or die with the process."""
+        out: list = []
+
+        def _p():
+            try:
+                out.append(probe_d2h_mbps(fresh=fresh))
+            except Exception as e:
+                out.append(e)
+        th = threading.Thread(target=_p, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        if not out:
+            return None
+        if isinstance(out[0], Exception):
+            RESULT["stages"]["preflight_probe"] = f"failed: {out[0]}"
+            return None
+        return out[0]
+
     t_pre = time.monotonic()
-    try:
-        pre_bw = probe_d2h_mbps()
-    except Exception as e:
-        pre_bw = None
-        RESULT["stages"]["preflight_probe"] = f"failed: {e}"
+    pre_bw = bounded_probe(min(75.0, max(15.0, left() * 0.1)))
+    # outage (<2 MB/s or a probe that never returned): the observed
+    # failure mode is a multi-minute dip, not a permanent state — wait
+    # it out with bounded re-probes while enough budget remains for
+    # warmup + timed runs afterwards, instead of starting a warmup that
+    # cannot finish.
+    wait_probes = 0
+    while ((pre_bw is None or pre_bw < 2.0) and left() > 560.0):
+        wait_probes += 1
+        _progress(f"link outage ({'stalled' if pre_bw is None else f'{pre_bw:.2f} MB/s'}): "
+                  f"waiting for weather (re-probe {wait_probes}, "
+                  f"{left():.0f}s budget left)")
+        time.sleep(30)
+        pre_bw = bounded_probe(45.0, fresh=True)
+    if wait_probes:
+        RESULT["stages"]["weather_wait_probes"] = wait_probes
     RESULT["stages"]["preflight_s"] = round(time.monotonic() - t_pre, 1)
     RESULT["preflight_d2h_mbps"] = (round(pre_bw, 1)
                                     if pre_bw is not None else None)
-    if pre_bw is not None and pre_bw < 8.0:
+    if pre_bw is None or pre_bw < 2.0:
+        # still out after waiting: attempt a micro workload anyway so a
+        # late recovery still lands a real number; the per-stage budget
+        # checks and the SIGALRM flush bound the damage either way
+        args.seconds = min(args.seconds, 60.0)
+        args.repeats = min(args.repeats, 2)
+        args.batch = 0
+        args.batch16 = 0
+        args.no_resident = True
+        RESULT["link_outage"] = True
+        _progress("link still out: attempting a micro workload "
+                  f"({args.seconds:.0f}s x {args.repeats})")
+    elif pre_bw < 8.0:
         args.seconds = min(args.seconds, 240.0)
         args.repeats = min(args.repeats, 3)
         args.batch16 = 0

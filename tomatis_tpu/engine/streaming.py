@@ -82,11 +82,13 @@ RICE_OUT_BW_THRESHOLD_MBPS = 64.0
 _RICE_OUT_MEMO: dict = {}
 
 
-def probe_d2h_mbps(mb: float = 4.0) -> float:
+def probe_d2h_mbps(mb: float = 4.0, fresh: bool = False) -> float:
     """One-shot device->host bandwidth estimate (memoized per process):
     time the host materialization of a device-generated array. Costs one
-    small compile (persistent-cached) + `mb` MB of link."""
-    if "bw" in _RICE_OUT_MEMO:
+    small compile (persistent-cached) + `mb` MB of link. `fresh=True`
+    bypasses and refreshes the memo (the tunneled link's weather changes
+    minute to minute; bench.py re-probes while waiting out an outage)."""
+    if not fresh and "bw" in _RICE_OUT_MEMO:
         return _RICE_OUT_MEMO["bw"]
     import time
     n = int(mb * 1e6 / 4)
