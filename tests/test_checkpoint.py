@@ -375,3 +375,94 @@ def test_sharded_checkpoint_refuses_other_mesh(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="different parameters"):
         process_sharded(ip, out, p, frames_per_shard=16,
                         checkpoint_path=ck, checkpoint_every=1)
+
+
+def test_sharded_adaptive_resume_after_interrupt(tmp_path, monkeypatch):
+    """process-sharded --variant adaptive --checkpoint: kill pass 3
+    mid-stream, rerun the same command, output + state CSV must be
+    byte-identical to an uninterrupted sharded adaptive run."""
+    from tomatis_tpu.models import adaptive as A
+    from tomatis_tpu.models.adaptive import AdaptiveParams
+    from tomatis_tpu.parallel.stream import process_sharded_adaptive
+
+    sr = 48000
+    x = _signal(16.0)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = AdaptiveParams()
+
+    ref = tmp_path / "ref.flac"
+    process_sharded_adaptive(ip, ref, p, frames_per_shard=8,
+                             state_csv_path=tmp_path / "ref.csv")
+
+    out = tmp_path / "out.flac"
+    ck = tmp_path / "ck.npz"
+    orig_emit = A.StageEmitter.emit
+    calls = {"n": 0}
+
+    def bomb(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] > 2:   # die on the third super-chunk's emission
+            raise _Bomb()
+        return orig_emit(self, *a, **k)
+
+    monkeypatch.setattr(A.StageEmitter, "emit", bomb)
+    with pytest.raises(_Bomb):
+        process_sharded_adaptive(ip, out, p, frames_per_shard=8,
+                                 state_csv_path=tmp_path / "out.csv",
+                                 checkpoint_path=ck, checkpoint_every=1)
+    monkeypatch.setattr(A.StageEmitter, "emit", orig_emit)
+    assert ck.exists()
+    assert (tmp_path / "out.flac.stage.wav").exists()
+
+    stats = process_sharded_adaptive(ip, out, p, frames_per_shard=8,
+                                     state_csv_path=tmp_path / "out.csv",
+                                     checkpoint_path=ck,
+                                     checkpoint_every=1)
+    assert not ck.exists()               # cleared on success
+    assert not (tmp_path / "out.flac.stage.wav").exists()
+    assert stats["out_path"] == str(out)
+
+    y_ref, _ = audio.read(ref)
+    y_out, _ = audio.read(out)
+    np.testing.assert_array_equal(y_out, y_ref)
+    assert open(tmp_path / "out.csv").read() \
+        == open(tmp_path / "ref.csv").read()
+
+
+def test_sharded_adaptive_checkpoint_refuses_other_mesh(tmp_path,
+                                                        monkeypatch):
+    """The sharded-adaptive checkpoint is fingerprinted with the mesh
+    geometry: resuming with a different frames_per_shard must be refused
+    (the block-scan reassociation differs), not silently produce bytes."""
+    from tomatis_tpu.models import adaptive as A
+    from tomatis_tpu.models.adaptive import AdaptiveParams
+    from tomatis_tpu.parallel.stream import process_sharded_adaptive
+
+    sr = 48000
+    x = _signal(16.0)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = AdaptiveParams()
+    out = tmp_path / "out.flac"
+    ck = tmp_path / "ck.npz"
+
+    orig_emit = A.StageEmitter.emit
+    calls = {"n": 0}
+
+    def bomb(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise _Bomb()
+        return orig_emit(self, *a, **k)
+
+    monkeypatch.setattr(A.StageEmitter, "emit", bomb)
+    with pytest.raises(_Bomb):
+        process_sharded_adaptive(ip, out, p, frames_per_shard=8,
+                                 checkpoint_path=ck, checkpoint_every=1)
+    monkeypatch.setattr(A.StageEmitter, "emit", orig_emit)
+    assert ck.exists()
+
+    with pytest.raises(ValueError, match="different parameters"):
+        process_sharded_adaptive(ip, out, p, frames_per_shard=16,
+                                 checkpoint_path=ck, checkpoint_every=1)

@@ -58,9 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--headroom_margin", type=float, default=2.0,
                     help="adaptive: pre-attenuation margin (dB)")
     ap.add_argument("--checkpoint", default=None,
-                    help="checkpoint file for crash recovery (standard/"
-                         "xfade variants); re-running the same command on "
-                         "the same mesh resumes with byte-identical output")
+                    help="checkpoint file for crash recovery; re-running "
+                         "the same command on the same mesh resumes with "
+                         "byte-identical output (the adaptive variant "
+                         "resumes its heavy STFT pass; its cheap "
+                         "level/threshold passes recompute)")
     ap.add_argument("--checkpoint_every", type=int, default=8,
                     help="super-chunks between checkpoints")
     return ap
@@ -71,11 +73,6 @@ def run(args) -> int:
                                              process_sharded_adaptive)
     if args.variant == "adaptive":
         from tomatis_tpu.models.adaptive import AdaptiveParams
-        if args.checkpoint:
-            print("[ERR] --checkpoint supports the standard/xfade "
-                  "variants; the adaptive variant's sharded pass stages "
-                  "through a float WAV and re-runs cheaply instead")
-            return 2
         if args.output_gain_db:
             print("[ERR] --output_gain_db is not supported by the adaptive "
                   "variant (reference parity: src/process_tomatis_adaptive"
@@ -93,7 +90,9 @@ def run(args) -> int:
         stats = process_sharded_adaptive(
             args.input, args.output, p, n_devices=args.devices,
             frames_per_shard=args.frames_per_shard,
-            state_csv_path=args.state_csv)
+            state_csv_path=args.state_csv,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every)
         m = stats["mesh"]
         print(f"mesh: data={m['data']} seq={m['seq']}  "
               f"frames/shard: {stats['frames_per_shard']}")

@@ -284,7 +284,9 @@ def process_sharded(in_path, out_path, p=None,
 def process_sharded_adaptive(in_path, out_path, p=None,
                              n_devices: int | None = None,
                              frames_per_shard: int = 256,
-                             state_csv_path=None) -> dict:
+                             state_csv_path=None,
+                             checkpoint_path=None,
+                             checkpoint_every: int = 8) -> dict:
     """Adaptive processing of ONE file sharded over a ('data', 'seq') mesh.
 
     The three-pass structure of models.adaptive.process is kept exactly —
@@ -295,7 +297,15 @@ def process_sharded_adaptive(in_path, out_path, p=None,
     finalized with the global peak protect (ref
     src/process_tomatis_adaptive.py:201-345). Output matches the
     single-device adaptive processor within 1 PCM_24 LSB (the alpha block
-    scan reassociates f32 clip-affine maps)."""
+    scan reassociates f32 clip-affine maps).
+
+    checkpoint_path enables super-chunk-granular crash recovery of pass 3
+    (the expensive one), exactly like the single-device adaptive: passes
+    1-2 are recomputed deterministically on resume, the float staging WAV
+    is truncated to the snapshot cursor and appended to, and the mesh
+    geometry (n_seq, frames_per_shard) is part of the checkpoint
+    fingerprint — resuming on a different mesh is refused rather than
+    risking a reassociated-scan divergence."""
     from dataclasses import asdict
 
     from tomatis_tpu.io.wav import WavWriter
@@ -368,23 +378,77 @@ def process_sharded_adaptive(in_path, out_path, p=None,
         base = k0 * hop - pad
 
         stage_path = out_path + ".stage.wav"
-        stage = WavWriter(stage_path, sr, ch, "FLOAT")
-        emitter = _adaptive.StageEmitter(stage, base, total, ch, restore)
+        import os as _os
+
+        ckpt = resume = None
+        f0_start = 0
+        abs_written = 0
+        peak = 0.0
+        if checkpoint_path:
+            from tomatis_tpu.engine.checkpoint import CheckpointManager
+            config = dict(asdict(p), sr=sr, ch=ch, total=total,
+                          in_path=str(in_path), n_seq=n_seq,
+                          frames_per_shard=frames_per_shard,
+                          model="sharded-adaptive")
+            ckpt = CheckpointManager(checkpoint_path, config,
+                                     checkpoint_every)
+            resume = ckpt.load()
+        if resume is not None and _os.path.exists(stage_path):
+            sc = resume["__meta__"]["scalars"]
+            f0_start = int(sc["f0"])
+            abs_written = int(sc["abs_written"])
+            peak = float(sc["peak"])
+            carry = jnp.asarray(resume["gate_carry"])
+            alpha_c = jnp.asarray(resume["alpha_carry"])
+            in_ty = jnp.asarray(resume["in_ty"])
+            in_tw = jnp.asarray(resume["in_tw"])
+            stage = WavWriter.reopen(stage_path, abs_written)
+        else:
+            if resume is not None and ckpt is not None:
+                # checkpoint without its stage file: starting fresh — drop
+                # the stale state NOW, or a crash before the first new
+                # snapshot would resume the old offsets against the new
+                # stage and silently corrupt the output
+                ckpt.clear()
+            resume = None
+            carry = jnp.full((1,), min_hold, jnp.int32)  # h = H: may switch
+            alpha_c = jnp.full((1,), -1.0, jnp.float32)  # snap-first
+            in_ty = jnp.zeros((1, tail, ch), jnp.float32)
+            in_tw = jnp.zeros((1, tail), jnp.float32)
+            stage = WavWriter(stage_path, sr, ch, "FLOAT")
+        emitter = _adaptive.StageEmitter(stage, base, total, ch, restore,
+                                         abs_written=abs_written, peak=peak)
         emit_piece = emitter.emit
 
-        fin.seek(0)
-        reader = RollingReader(fin.read, ch, scale=catt, left_pad=pad,
-                               block=hop * 512)
+        if f0_start == 0:
+            fin.seek(0)
+            reader = RollingReader(fin.read, ch, scale=catt, left_pad=pad,
+                                   block=hop * 512)
+        else:
+            pos0 = (k0 + f0_start) * hop
+            fin.seek(min(pos0 - pad, total))  # k0*hop >= pad, so >= 0
+            reader = RollingReader(fin.read, ch, scale=catt,
+                                   block=hop * 512, base=pos0)
         need = (F_tot - 1) * hop + n_fft
-        carry = jnp.full((1,), min_hold, jnp.int32)   # h = H: may switch
-        alpha_c = jnp.full((1,), -1.0, jnp.float32)   # snap-first sentinel
-        in_ty = jnp.zeros((1, tail, ch), jnp.float32)
-        in_tw = jnp.zeros((1, tail), jnp.float32)
         try:
-            for f0 in range(0, F, F_tot):
+            for f0 in range(f0_start, F, F_tot):
                 nf = min(F_tot, F - f0)
                 s = (k0 + f0) * hop
                 reader.advance(s)
+                if (ckpt is not None and f0 > f0_start
+                        and ((f0 - f0_start) // F_tot) % ckpt.every == 0):
+                    # state ENTERING super-chunk f0: the synchronous loop
+                    # has already emitted every piece before f0, so the
+                    # emitter cursor and the carries are consistent here
+                    stage.flush()  # data bytes on disk before the state
+                    ckpt.maybe_save(dict(
+                        gate_carry=np.asarray(carry),
+                        alpha_carry=np.asarray(alpha_c),
+                        in_ty=np.asarray(in_ty), in_tw=np.asarray(in_tw),
+                        __scalars__=dict(
+                            f0=int(f0),
+                            abs_written=int(emitter.abs_written),
+                            peak=float(emitter.peak))), force=True)
                 sig = reader.window(s, need)
                 frames = stft.frame_signal(sig, n_fft, hop, F_tot)[None]
                 nv = jnp.full((1,), nf, jnp.int32)
@@ -413,6 +477,8 @@ def process_sharded_adaptive(in_path, out_path, p=None,
 
         # ---- finalize: global peak protect + quantize to PCM_24 ----
         _adaptive.finalize_stage(stage_path, out_path, sr, ch, emitter.peak)
+        if ckpt is not None:
+            ckpt.clear()
 
     wall = time.perf_counter() - t_start
     return dict(
