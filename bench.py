@@ -488,6 +488,15 @@ def main() -> int:
                          "(BASELINE config 5's literal 16 files, rides "
                          "the JSON as 'batch16'); runs only when the "
                          "budget comfortably allows; 0 disables")
+    ap.add_argument("--ab_rice", type=int, default=2,
+                    help="extra timed runs with the OTHER wire rice-out "
+                         "mode forced (A/B under the same weather, paired "
+                         "floors, rides the JSON as 'rice_ab'). The auto "
+                         "policy assumes the device rice encode hides "
+                         "behind the link transfer; if this backend "
+                         "serializes compute with transfers, rice-out "
+                         "loses ~40 ms/chunk outright — the A/B decides "
+                         "from measurement, not the model. 0 disables")
     ap.add_argument("--no_parity", action="store_true")
     ap.add_argument("--no_resident", action="store_true",
                     help="skip the device-resident measurement (stages "
@@ -730,15 +739,20 @@ def main() -> int:
     runs = []
     floor_runs = []
 
-    def timed_run(label):
+    def timed_run(label, dest=None):
+        """One full-length run + paired floor replay. dest=None appends
+        to the headline lists; dest=(runs_list, floors_list) keeps a side
+        experiment (the rice A/B) out of the headline's best-of."""
         nonlocal best, best_stats
+        is_main = dest is None
+        rl, fl = (runs, floor_runs) if is_main else dest
         _progress(f"timed run {label}")
         t0 = time.perf_counter()
         stats = process(in_path, out_path, p,
                         frames_per_chunk=args.frames_per_chunk)
         dt = time.perf_counter() - t0
-        runs.append(round(audio_sec / dt, 1))
-        if best is None or dt < best:
+        rl.append(round(audio_sec / dt, 1))
+        if is_main and (best is None or dt < best):
             best, best_stats = dt, stats
         # interleave a zero-compute floor replay after EVERY timed run:
         # the tunnel's bandwidth drifts minute to minute, so the only
@@ -764,7 +778,7 @@ def main() -> int:
             floor_i = round(audio_sec / link_floor(
                 wire_st["in_bytes"], wire_st["out_bytes"], n_chunks,
                 aux_words), 1)
-        floor_runs.append(floor_i)
+        fl.append(floor_i)
 
     def refresh_headline():
         """Fold the timed-run state into RESULT (called after every run
@@ -856,6 +870,45 @@ def main() -> int:
         emit()
     if ext:
         RESULT["stages"]["extension_runs"] = ext
+
+    # Rice A/B: re-run the headline workload with the OTHER wire rice-out
+    # mode forced, same session so both sides share the weather. The auto
+    # policy (streaming.resolve_rice_out) models the steady chunk time as
+    # max(link, device) — true only if compute hides behind transfers; the
+    # good-weather r4 artifact's run-vs-floor gap (~104 ms/chunk) matches
+    # the rice-on device time (~114 ms/chunk) almost exactly, suggesting
+    # this backend SERIALIZES them, making rice a net loss. Measure it.
+    if args.ab_rice > 0 and runs:
+        from tomatis_tpu.engine.streaming import resolve_rice_out
+        # one executable load for the other mode + the runs themselves
+        if left() - RESERVE_TAIL > (args.ab_rice + 1.2) * est_run_cost():
+            auto_mode = resolve_rice_out()
+            forced = "0" if auto_mode else "1"
+            ab_runs: list = []
+            ab_floors: list = []
+            os.environ["TOMATIS_WIRE_RICE_OUT"] = forced
+            try:
+                for i in range(args.ab_rice):
+                    if left() - RESERVE_TAIL < est_run_cost():
+                        break
+                    timed_run(f"rice_ab {i + 1}/{args.ab_rice}",
+                              dest=(ab_runs, ab_floors))
+            finally:
+                os.environ.pop("TOMATIS_WIRE_RICE_OUT", None)
+            ab_pairs = [(r, f) for r, f in zip(ab_runs, ab_floors) if f]
+            RESULT["rice_ab"] = {
+                "headline_rice_out": auto_mode,
+                "forced_rice_out": forced == "1",
+                "runs_x": ab_runs,
+                "link_floor_runs_x": ab_floors,
+                "vs_floor_paired_runs": [round(r / f, 2)
+                                         for r, f in ab_pairs],
+                "best_x": max(ab_runs) if ab_runs else None,
+            }
+            RESULT["stages"]["rice_ab"] = len(ab_runs)
+        else:
+            RESULT["stages"]["rice_ab"] = "skipped (budget)"
+        emit()
 
     if args.batch > 0:
         if left() > (50 if args.no_parity else 125):
