@@ -81,6 +81,22 @@ RICE_OUT_BW_THRESHOLD_MBPS = 64.0
 
 _RICE_OUT_MEMO: dict = {}
 
+# nf -> device int32 scalar, shared across runs/engines (the frame count
+# of a full chunk repeats every chunk; see the dispatch loop)
+_nf_scalars: dict = {}
+
+
+def nf_scalar(nf: int):
+    """Memoized device int32 scalar: jnp.int32(nf) builds a fresh device
+    array per call — one h2d RPC per chunk on the tunneled backend for a
+    value that is frames_per_chunk on every full chunk (only ramp and
+    tail chunks differ). Every chunked dispatch loop uses this."""
+    nf = int(nf)
+    dev = _nf_scalars.get(nf)
+    if dev is None:
+        dev = _nf_scalars[nf] = jnp.int32(nf)
+    return dev
+
 
 def probe_d2h_mbps(mb: float = 4.0, fresh: bool = False) -> float:
     """One-shot device->host bandwidth estimate (memoized per process):
@@ -907,7 +923,7 @@ class StreamRunner:
 
                 _t = _time.perf_counter()
                 res = fn_i(
-                    staged, jnp.int32(nf), ctl_carry, out_tail,
+                    staged, nf_scalar(nf), ctl_carry, out_tail,
                     w_tail, self.ctl_params, self.gain_f32)
                 timings["dispatch_compute_s"] += _time.perf_counter() - _t
                 if _d is not None:

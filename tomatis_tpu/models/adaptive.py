@@ -21,7 +21,8 @@ from dataclasses import dataclass, asdict
 import jax.numpy as jnp
 import numpy as np
 
-from tomatis_tpu.engine.streaming import ChunkedStftEngine
+from tomatis_tpu.engine.streaming import (ChunkedStftEngine,
+                                          nf_scalar)
 from tomatis_tpu.io import audio
 from tomatis_tpu.models.controllers import AlphaGainController
 from tomatis_tpu.ops import dsp, gate as gate_ops, stft
@@ -198,7 +199,7 @@ def process_array(x: np.ndarray, sr: int, p: AdaptiveParams | None = None,
             sig = np.concatenate(
                 [sig, np.zeros((need - len(sig), ch), np.float32)])
         packed, ctl_carry, out_tail, w_tail = chunk_fn(
-            sig, jnp.int32(nf), ctl_carry, out_tail, w_tail,
+            sig, nf_scalar(nf), ctl_carry, out_tail, w_tail,
             ctl_params, gain_one)
         try:
             packed.block_until_ready()
@@ -575,7 +576,7 @@ def process(in_path, out_path, p: AdaptiveParams | None = None,
                             w_tail=np.asarray(w_tail))
             sig = reader.window(s, need)
             packed, ctl_carry, out_tail, w_tail = chunk_fn(
-                sig, jnp.int32(nf), ctl_carry, out_tail,
+                sig, nf_scalar(nf), ctl_carry, out_tail,
                 w_tail, ctl_params, gain_one)
             try:
                 packed.block_until_ready()

@@ -334,7 +334,8 @@ def apply_gain_stream(in_path, out_path, gain_bins: np.ndarray,
                             audio_samples_written=f0 * hop)), force=True)
                 if staged is None:
                     staged = to_device(prefetch.get())
-                res = chunk_fn(staged, jnp.int32(nf),
+                from tomatis_tpu.engine.streaming import nf_scalar
+                res = chunk_fn(staged, nf_scalar(nf),
                                ctl_carry, out_tail, w_tail, ctl_params,
                                gain_one)
                 if raw:

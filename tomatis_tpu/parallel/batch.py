@@ -37,6 +37,18 @@ from tomatis_tpu.utils.stateio import StateCsvWriter
 _FLAT_GRID = 64 * 1024
 
 
+def _hdr_words(Bp: int) -> int:
+    """Control header riding at the FRONT of the flat h2d buffer: Bp lane
+    word-offsets, Bp frame counts, Bp active flags. Packing these into
+    the one buffer the chunk already ships means each batch chunk costs
+    exactly ONE h2d transfer — shipping them as three separate jit
+    arguments cost three extra RPC rounds per chunk on the tunneled
+    backend (the link is latency-bound; the single-file engine pays one
+    upload per chunk and the batch must match it to reach the same
+    floor)."""
+    return 3 * Bp
+
+
 def _flat_canonical(n: int, ch: int, Bp: int):
     """Canonical (lane window, flat length) in words for the vmapped
     unpack: the raw escape caps every lane at raw_words, so ONE 12 MB+
@@ -50,8 +62,8 @@ def _flat_canonical(n: int, ch: int, Bp: int):
     capW = wire_ops.raw_words(n, ch) + _IN_SLACK_W
     # one extra grid unit absorbs the tight buffer's grid rounding even
     # in the pathological all-lanes-raw case
-    T = (-(-(Bp * capW * 4 + _FLAT_GRID) // _FLAT_GRID)
-         * _FLAT_GRID) // 4
+    T = (-(-((_hdr_words(Bp) + Bp * capW) * 4 + _FLAT_GRID)
+           // _FLAT_GRID) * _FLAT_GRID) // 4
     return capW, T
 
 # (chunk_fn, padded lane count, device tuple) -> jitted vmapped step. A
@@ -72,14 +84,18 @@ _VSTEP_CACHE: dict = {}
 
 def _make_vstep(chunk_fn, Bp: int, capW: int, n: int, ch: int):
     """Fused wire-path step for one (chunk_fn, lane count): canonical
-    flat input buffer -> per-lane unpack -> vmapped chunk -> flat-merged
-    output page rows. Returns a jitted fn
-    (flat, offs_w, nfs, act, carry, ot, wt, params, gain) ->
+    flat input buffer (control header + lane streams, see _hdr_words)
+    -> per-lane unpack -> vmapped chunk -> flat-merged output page rows.
+    Returns a jitted fn
+    (flat, carry, ot, wt, params, gain) ->
     (auxw, page_rows tuple, out_dev, carry, ot, wt)."""
     vmapped = jax.vmap(chunk_fn, in_axes=(0, 0, 0, 0, 0, None, None))
     PW = WIRE_PAGE // 4
 
-    def step(flat, offs_w, nfs, act, carry, ot, wt, params, gain):
+    def step(flat, carry, ot, wt, params, gain):
+        offs_w = flat[:Bp].astype(jnp.int32)
+        nfs = flat[Bp:2 * Bp].astype(jnp.int32)
+        act = flat[2 * Bp:3 * Bp].astype(jnp.bool_)
         rows = jax.vmap(
             lambda o: jax.lax.dynamic_slice(flat, (o,), (capW,)))(offs_w)
         sig = jax.vmap(
@@ -379,20 +395,26 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                     # in bounds after the device-side pad to the
                     # canonical shape, so the flat tail pad is one
                     # window minus the LAST lane's length — smallest
-                    # when that lane is the largest
+                    # when that lane is the largest. Lane data starts
+                    # after the control header (offs/nfs/act words);
+                    # the producer fills offs+nfs here, the main thread
+                    # patches act at dispatch time (it may fail a lane
+                    # after staging) — all in the ONE shipped buffer.
+                    HW = _hdr_words(Bp)
                     order = sorted(range(Bp), key=lambda i: lens[i])
-                    offs = np.zeros(Bp, np.int32)
-                    pos = 0
+                    offs = np.zeros(Bp, np.int64)
+                    pos = HW * 4
                     for j in order:
                         offs[j] = pos
                         pos += -(-lens[j] // 4) * 4
                     flat_len = -(-pos // _FLAT_GRID) * _FLAT_GRID
                     flat = np.zeros(flat_len // 4, np.uint32)
+                    flat[:Bp] = (offs // 4).astype(np.uint32)
+                    flat[Bp:2 * Bp] = nfs.astype(np.uint32)
                     fbytes = flat.view(np.uint8)
                     for i, (_, v) in enumerate(items):
                         fbytes[offs[i]:offs[i] + lens[i]] = v
-                    item = ("wire", (flat, offs // 4),
-                            sum(lens), flat_len)
+                    item = ("wire", flat, sum(lens), flat_len)
             if item is None:
                 item = ("f32", sigs, 0, 0)
             yield item, nfs, errs
@@ -461,7 +483,12 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                                                   and lanes[i].failed)
                             for i in range(Bp)])
             if kind == "wire":
-                flat, offs_w = payload
+                flat = payload
+                # dispatch-time active mask rides the header words of the
+                # one shipped buffer (the producer staged offs+nfs; a lane
+                # can fail between staging and dispatch, so act is patched
+                # here) — no separate control-array transfers
+                flat[2 * Bp:3 * Bp] = act.astype(np.uint32)
                 wire_acct["in_used"] += in_used
                 wire_acct["in_shipped"] += in_shipped
                 # zero-extend the tight flat buffer ON DEVICE to the
@@ -477,8 +504,7 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 timings["stage_s"] += _time.perf_counter() - _t
                 _t = _time.perf_counter()
                 auxw, page_rows, out_dev, carry_b, out_tail_b, w_tail_b \
-                    = vstep(fdev, offs_w, jnp.asarray(nfs),
-                            jnp.asarray(act), carry_b, out_tail_b,
+                    = vstep(fdev, carry_b, out_tail_b,
                             w_tail_b, ctl_params, gain_f32)
                 packed = (auxw, page_rows)
                 wait_arr = auxw
