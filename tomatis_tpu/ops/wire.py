@@ -586,74 +586,6 @@ def pack_device(v, n: int, ch: int, rice: bool = True):
     bwords = 8 * noct + uwb                                # [T]
     total = (H + jnp.sum(bwords)).astype(jnp.int32)
 
-    # ---- packed layout: bit-plane transform + one word-row gather ----
-    # Per block: 5 masked-shift rounds turn 256 masked residuals into
-    # noct 8-word planes (dense vector ops); rice blocks emit their
-    # unary terminator words (one bounded scatter-add) into the separate
-    # trailing unary region; compaction is a gather driven by a
-    # cummax-scan over 2T pieces (all plane regions, then all unary
-    # regions) at fixed source strides. No per-sample variable-length
-    # packing anywhere.
-    mask = jnp.where(noct > 0,
-                     (jnp.uint32(1) << noct.astype(jnp.uint32))
-                     - jnp.uint32(1), jnp.uint32(0))
-    zsel = jnp.where(rice_b[:, None], zz,
-                     rp.astype(jnp.uint32)) & mask[:, None]
-    X = _bit_transpose32_jnp(zsel.reshape(T, 8, 32))       # [t, j, l]
-    planes = jnp.swapaxes(X[:, :, ::-1], 1, 2)[:, :_WMAX]  # [t, o, j]
-
-    PW = 8 * _WMAX                                         # 240 words
-    tt = jnp.arange(T, dtype=jnp.int32)
-    if rice:
-        # unary terminator bitmap per rice block: positions p_i =
-        # cumsum(q+1)-1 < 2048 for valid blocks; everything else is dropped
-        q = zz >> kb[:, None].astype(jnp.uint32)
-        p = jnp.cumsum(q + jnp.uint32(1), axis=1) - jnp.uint32(1)
-        widx = (p >> 5).astype(jnp.int32)
-        dest = jnp.where(rice_b[:, None] & (widx < _UWMAX),
-                         tt[:, None] * _UWMAX + widx, T * _UWMAX)
-        unary = jnp.zeros(T * _UWMAX, jnp.uint32).at[dest.reshape(-1)].add(
-            (jnp.uint32(1) << (p & 31)).reshape(-1),
-            mode="drop").reshape(T, _UWMAX)
-        region_flat = jnp.concatenate(
-            [planes.reshape(-1), unary.reshape(-1),
-             jnp.zeros(1, jnp.uint32)])
-        # pieces in OUTPUT order: all blocks' plane regions, then all rice
-        # blocks' unary regions (the separated TWC3 layout)
-        plen = jnp.concatenate([8 * noct, uwb])            # [2T]
-        psrc = jnp.concatenate([PW * tt, PW * T + _UWMAX * tt])
-    else:
-        region_flat = jnp.concatenate(
-            [planes.reshape(-1), jnp.zeros(1, jnp.uint32)])
-        plen = 8 * noct                                    # [T]
-        psrc = PW * tt
-    pdst = jnp.cumsum(plen) - plen
-    corr = psrc - pdst     # nondecreasing: piece lengths <= source strides
-    S_tot = jnp.sum(plen)
-    marks = jnp.zeros(S_max, jnp.int32).at[
-        jnp.where(plen > 0, pdst, S_max)].max(corr, mode="drop")
-    corr_s = jax.lax.cummax(marks)
-    s = jnp.arange(S_max, dtype=jnp.int32)
-    idx = jnp.where(s < S_tot, s + corr_s, region_flat.size - 1)
-    stream = region_flat[idx]                              # [S_max]
-
-    # header + block descriptors (static-length prefix)
-    b0 = (rice_b.astype(jnp.uint32) << 7) | noct.astype(jnp.uint32)
-    b1 = uwb.astype(jnp.uint32)
-    dbytes = jnp.stack([b0, b1], 1).reshape(2 * T)
-    w8 = jnp.pad(dbytes, (0, (H - 5) * 4 - 2 * T))
-    w4 = w8.reshape(-1, 4)
-    wwords = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
-              | (w4[:, 3] << 24))
-
-    # ---- raw escape layout ----
-    flat = v.reshape(-1)
-    pcm = jnp.stack([flat & 255, (flat >> 8) & 255, (flat >> 16) & 255],
-                    axis=-1).astype(jnp.uint32).reshape(-1)
-    pcm = jnp.pad(pcm, (0, (RW - 5) * 4 - pcm.size)).reshape(-1, 4)
-    rawwords = (pcm[:, 0] | (pcm[:, 1] << 8) | (pcm[:, 2] << 16)
-                | (pcm[:, 3] << 24))
-
     use_raw = (total >= RW).astype(jnp.uint32)
     used = jnp.where(use_raw == 1, RW, total).astype(jnp.uint32)
     flags = (jnp.uint32(ch) | (order << 8) | (ms << 16)
@@ -662,12 +594,113 @@ def pack_device(v, n: int, ch: int, rice: bool = True):
     hdr = jnp.stack([jnp.uint32(MAGIC), jnp.uint32(n), jnp.uint32(K),
                      flags, used])
 
-    body_p = jnp.concatenate([wwords.astype(jnp.uint32), stream])
-    body_r = jnp.pad(rawwords.astype(jnp.uint32), (0, M - 5 - (RW - 5)))
-    mr = jnp.arange(M - 5, dtype=jnp.int32)
-    body = jnp.where(use_raw == 1,
-                     jnp.where(mr < RW - 5, body_r, 0),
-                     body_p)
+    # The body layouts live in a lax.cond so only the WINNING one runs:
+    # the raw escape's 3-byte PCM relayout and the packed compaction are
+    # each real device work, and the previous jnp.where select paid both
+    # every chunk for a flag that almost never flips (raw wins only when
+    # the packed stream out-sizes 24-bit PCM).
+    PW = 8 * _WMAX                                         # 240 words
+    tt = jnp.arange(T, dtype=jnp.int32)
+
+    def _packed_body(_):
+        # ---- bit-plane transform + row-granularity compaction ----
+        # Per block: 5 masked-shift rounds turn 256 masked residuals
+        # into noct 8-word planes (dense vector ops); rice blocks emit
+        # their unary terminator words (one bounded scatter-add) into
+        # the separate trailing unary region; compaction is a gather
+        # driven by a cummax-scan over the pieces at fixed source
+        # strides. No per-sample variable-length packing anywhere.
+        mask = jnp.where(noct > 0,
+                         (jnp.uint32(1) << noct.astype(jnp.uint32))
+                         - jnp.uint32(1), jnp.uint32(0))
+        zsel = jnp.where(rice_b[:, None], zz,
+                         rp.astype(jnp.uint32)) & mask[:, None]
+        X = _bit_transpose32_jnp(zsel.reshape(T, 8, 32))   # [t, j, l]
+        planes = jnp.swapaxes(X[:, :, ::-1], 1, 2)[:, :_WMAX]  # [t, o, j]
+
+        if rice:
+            # unary terminator bitmap per rice block: positions p_i =
+            # cumsum(q+1)-1 < 2048 for valid blocks; everything else is
+            # dropped. The unary pieces have arbitrary word lengths, so
+            # the stream interleave stays a word-granularity gather.
+            q = zz >> kb[:, None].astype(jnp.uint32)
+            p = jnp.cumsum(q + jnp.uint32(1), axis=1) - jnp.uint32(1)
+            widx = (p >> 5).astype(jnp.int32)
+            dest = jnp.where(rice_b[:, None] & (widx < _UWMAX),
+                             tt[:, None] * _UWMAX + widx, T * _UWMAX)
+            unary = jnp.zeros(T * _UWMAX, jnp.uint32) \
+                .at[dest.reshape(-1)].add(
+                    (jnp.uint32(1) << (p & 31)).reshape(-1),
+                    mode="drop").reshape(T, _UWMAX)
+            region_flat = jnp.concatenate(
+                [planes.reshape(-1), unary.reshape(-1),
+                 jnp.zeros(1, jnp.uint32)])
+            # pieces in OUTPUT order: all blocks' plane regions, then
+            # all rice blocks' unary regions (the separated TWC3 layout)
+            plen = jnp.concatenate([8 * noct, uwb])        # [2T]
+            psrc = jnp.concatenate([PW * tt, PW * T + _UWMAX * tt])
+            pdst = jnp.cumsum(plen) - plen
+            corr = psrc - pdst   # nondecreasing: lengths <= src strides
+            S_tot = jnp.sum(plen)
+            marks = jnp.zeros(S_max, jnp.int32).at[
+                jnp.where(plen > 0, pdst, S_max)].max(corr, mode="drop")
+            corr_s = jax.lax.cummax(marks)
+            s = jnp.arange(S_max, dtype=jnp.int32)
+            idx = jnp.where(s < S_tot, s + corr_s, region_flat.size - 1)
+            stream = region_flat[idx]                      # [S_max]
+        else:
+            # Without rice every piece is 8*noct words at an 8-aligned
+            # source offset (PW*t) AND an 8-aligned destination (a
+            # cumsum of 8-word multiples), so compact 8-word ROWS:
+            # single-word gathers measured ~80M elements/s on a v5e
+            # (~45 ms for the S_max=3.9M-word stream of a 2M-sample
+            # chunk); row gathers cut the element count 8x and each
+            # element is one contiguous 32 B slice in the lane tiles.
+            R_max = _WMAX * T                              # S_max // 8
+            rows = jnp.concatenate(
+                [planes.reshape(R_max, 8),
+                 jnp.zeros((1, 8), jnp.uint32)])           # + zero row
+            prow_dst = jnp.cumsum(noct) - noct
+            corr_r = _WMAX * tt - prow_dst   # == word corr // 8
+            rows_tot = jnp.sum(noct)
+            marks = jnp.zeros(R_max, jnp.int32).at[
+                jnp.where(noct > 0, prow_dst, R_max)].max(
+                    corr_r, mode="drop")
+            corr_s = jax.lax.cummax(marks)
+            rr = jnp.arange(R_max, dtype=jnp.int32)
+            idxr = jnp.where(rr < rows_tot, rr + corr_s, R_max)
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(0,),
+                start_index_map=(0,))
+            stream = jax.lax.gather(
+                rows, idxr[:, None], dn, slice_sizes=(1, 8),
+                indices_are_sorted=True,
+                mode=jax.lax.GatherScatterMode.CLIP).reshape(S_max)
+
+        # header + block descriptors (static-length prefix)
+        b0 = (rice_b.astype(jnp.uint32) << 7) | noct.astype(jnp.uint32)
+        b1 = uwb.astype(jnp.uint32)
+        dbytes = jnp.stack([b0, b1], 1).reshape(2 * T)
+        w8 = jnp.pad(dbytes, (0, (H - 5) * 4 - 2 * T))
+        w4 = w8.reshape(-1, 4)
+        wwords = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
+                  | (w4[:, 3] << 24))
+        return jnp.concatenate([wwords.astype(jnp.uint32), stream])
+
+    def _raw_body(_):
+        flat = v.reshape(-1)
+        pcm = jnp.stack([flat & 255, (flat >> 8) & 255,
+                         (flat >> 16) & 255],
+                        axis=-1).astype(jnp.uint32).reshape(-1)
+        pcm = jnp.pad(pcm, (0, (RW - 5) * 4 - pcm.size)).reshape(-1, 4)
+        rawwords = (pcm[:, 0] | (pcm[:, 1] << 8) | (pcm[:, 2] << 16)
+                    | (pcm[:, 3] << 24))
+        body_r = jnp.pad(rawwords.astype(jnp.uint32),
+                         (0, M - 5 - (RW - 5)))
+        mr = jnp.arange(M - 5, dtype=jnp.int32)
+        return jnp.where(mr < RW - 5, body_r, 0)
+
+    body = jax.lax.cond(use_raw == 1, _raw_body, _packed_body, None)
     out = jnp.concatenate([hdr, body])
     return out, used.astype(jnp.int32)
 
