@@ -172,8 +172,8 @@ def device_resident_factor(p, sr: int, frames_per_chunk: int,
     (non-tunneled, PCIe-attached) TPU host approaches; the headline
     realtime_factor on this dev host is link-bound far below it.
     Measured for BOTH rice_out modes: the device-side rice encode costs
-    ~40 ms/chunk (v5e, 1024-frame chunks), which only pays while the
-    stream is link-bound — see streaming.resolve_rice_out."""
+    ~37 ms/chunk (v5e, 1024-frame chunks), which the serial tunnel pays
+    in full on the critical path — see streaming.resolve_rice_out."""
     import jax
     import jax.numpy as jnp
     from tomatis_tpu.engine.streaming import ChunkedStftEngine
@@ -873,11 +873,10 @@ def main() -> int:
 
     # Rice A/B: re-run the headline workload with the OTHER wire rice-out
     # mode forced, same session so both sides share the weather. The auto
-    # policy (streaming.resolve_rice_out) models the steady chunk time as
-    # max(link, device) — true only if compute hides behind transfers; the
-    # good-weather r4 artifact's run-vs-floor gap (~104 ms/chunk) matches
-    # the rice-on device time (~114 ms/chunk) almost exactly, suggesting
-    # this backend SERIALIZES them, making rice a net loss. Measure it.
+    # policy (streaming.resolve_rice_out) models the link as SERIAL with
+    # device compute (the r4 artifact's run-vs-floor gap, ~109 ms/chunk,
+    # equals the rice-on device time), so rice-out is off above ~8 MB/s;
+    # the A/B keeps that model honest from inside each round's artifact.
     if args.ab_rice > 0 and runs:
         from tomatis_tpu.engine.streaming import resolve_rice_out
         # one executable load for the other mode + the runs themselves

@@ -59,25 +59,30 @@ WIRE_BUCKET = 256 * 1024
 #   unary-region decode measured ~150 ms per 2 M-sample chunk — an
 #   order of magnitude more than the link time the bytes buy back.
 # - output (device pack -> host C++ decode): per measured link. The
-#   device-side rice ENCODE costs real device time per chunk (it
-#   measurably lowers the device-resident rate — bench.py reports
-#   device_resident_x with rice on AND off), but in the LINK-BOUND
-#   regime that cost is hidden behind the transfer while the ~4%
-#   byte saving comes straight off the bottleneck — the d2h
-#   direction, the slower one of the tunnel (measured 25-36 MB/s vs
-#   43-57 MB/s host->device). On a fast local link (PCIe-attached
-#   host) the pipeline is device-bound and rice is a pure slowdown.
+#   device-side rice ENCODE costs real device time per chunk
+#   (~37 ms per 2 M-sample chunk measured on a v5e: 597x resident
+#   with rice off vs 397x with it on), and this backend SERIALIZES
+#   device compute with link transfers — the steady chunk wall time
+#   is link_seconds + device_seconds, not max() of them. Measured:
+#   101.7x headline = 136.5x zero-compute floor + 109 ms/chunk
+#   device, which is the rice-on device time almost exactly. Under
+#   a serial link, rice-out pays only when the bytes it saves cost
+#   MORE link time than the encode costs device time:
+#   bw < saved_bytes / encode_seconds (~0.27 MB / 37 ms ~= 8 MB/s) —
+#   i.e. only in deep-outage weather. On a fast local link
+#   (PCIe-attached host) rice is a pure slowdown regardless.
 #   resolve_rice_out() picks per measured d2h bandwidth; the
-#   TOMATIS_WIRE_RICE_OUT env var forces 0/1.
+#   TOMATIS_WIRE_RICE_OUT env var forces 0/1; bench.py A/Bs both
+#   modes under paired floors each round (rice_ab).
 WIRE_RICE_IN = False
-WIRE_RICE_OUT = True
+WIRE_RICE_OUT = False
 
-# d2h bandwidth below which rice-out pays: with rice the steady
-# pipelined chunk time is max(0.96 * link, device_rice); rice wins
-# exactly while the link side still dominates, i.e. while
-# bw < 0.96 * chunk_bytes / device_rice_seconds (~60-70 MB/s measured
-# on v5e at the default 1024-frame chunk geometry — see TECHNICAL.md).
-RICE_OUT_BW_THRESHOLD_MBPS = 64.0
+# d2h bandwidth below which rice-out pays. The first model assumed
+# compute hides behind transfers (threshold ~64 MB/s); the measured
+# run-vs-floor gap equals the device time, so the link is SERIAL and
+# the breakeven is where the ~4% byte saving (~0.27 MB/chunk) buys
+# back the ~37 ms/chunk device encode: ~8 MB/s.
+RICE_OUT_BW_THRESHOLD_MBPS = 8.0
 
 _RICE_OUT_MEMO: dict = {}
 
