@@ -50,6 +50,15 @@ def _signals():
                       -8388608, 8388607).astype(np.int32)
         big[-1] = 8388607          # large step right at the block edge
         yield f"blockedge{nn}", big
+    # zero-width blocks INTERLEAVED with loud ones (B=256 grid): the
+    # pack's stream compaction skips empty pieces mid-stream — the
+    # row-granularity gather must carry the correction across them
+    gap = np.clip(3e6 * rng.standard_normal((2048, 2)),
+                  -8388608, 8388607).astype(np.int32)
+    gap[:256] = 0          # leading empty piece (marks at dst row 0)
+    gap[512:1024] = 0      # two empty pieces mid-stream
+    gap[1792:] = 0         # trailing empty pieces
+    yield "gappy_blocks", gap
     # wasted-bits cases: common trailing zeros per (variant) channel
     yield "16bit_sourced", (rng.integers(-32768, 32768, (2000, 2))
                             .astype(np.int32) << 8)
