@@ -488,6 +488,11 @@ def main() -> int:
                          "(BASELINE config 5's literal 16 files, rides "
                          "the JSON as 'batch16'); runs only when the "
                          "budget comfortably allows; 0 disables")
+    ap.add_argument("--degraded_seconds", type=float, default=240.0,
+                    help="workload length the degraded-weather mode "
+                         "(2-8 MB/s preflight) shrinks --seconds to; the "
+                         "weather-recovery upgrade restores the full "
+                         "length when the shrunk runs' floors allow it")
     ap.add_argument("--ab_rice", type=int, default=2,
                     help="extra timed runs with the OTHER wire rice-out "
                          "mode forced (A/B under the same weather, paired "
@@ -626,6 +631,7 @@ def main() -> int:
     RESULT["stages"]["preflight_s"] = round(time.monotonic() - t_pre, 1)
     RESULT["preflight_d2h_mbps"] = (round(pre_bw, 1)
                                     if pre_bw is not None else None)
+    orig_seconds = args.seconds
     if pre_bw is None or pre_bw < 2.0:
         # still out after waiting: attempt a micro workload anyway so a
         # late recovery still lands a real number; the per-stage budget
@@ -639,7 +645,7 @@ def main() -> int:
         _progress("link still out: attempting a micro workload "
                   f"({args.seconds:.0f}s x {args.repeats})")
     elif pre_bw < 8.0:
-        args.seconds = min(args.seconds, 240.0)
+        args.seconds = min(args.seconds, args.degraded_seconds)
         args.repeats = min(args.repeats, 3)
         args.batch16 = 0
         RESULT["weather_degraded"] = True
@@ -852,6 +858,41 @@ def main() -> int:
             emit()   # first headline lands as early as possible
     RESULT["stages"].setdefault("timed", len(runs))
     emit()
+
+    # Weather-recovery upgrade: a degraded preflight shrinks the workload
+    # to 240 s, but the tunnel flaps on minute scale — a r4 session saw
+    # 4.1 MB/s at preflight and 83-131x floors two minutes later. Short
+    # runs under-report (~60x at 240 s vs ~85x at 960 s, same per-chunk
+    # cost — fill/drain transients stop amortizing; see --seconds), so if
+    # the shrunk runs' own paired floors say the link recovered, rebuild
+    # the full-length input and RESTART the timed lists (mixing run
+    # lengths would corrupt the headline math; the shrunk runs are kept
+    # in stages.degraded_runs_x for attribution).
+    if (RESULT.get("weather_degraded") and args.seconds < orig_seconds
+            and len(runs) >= 2
+            and sum(1 for f in floor_runs[-3:]
+                    if f and f >= args.extend_target) >= 2
+            and left() - RESERVE_TAIL > 150):
+        _progress("weather recovered: upgrading to the full workload")
+        RESULT["stages"]["degraded_runs_x"] = list(runs)
+        RESULT["stages"]["degraded_floors_x"] = list(floor_runs)
+        RESULT["workload_upgraded"] = True
+        args.seconds = orig_seconds
+        audio_sec = int(args.seconds * args.sr) / args.sr
+        RESULT["audio_seconds"] = audio_sec
+        audio.write(in_path, synth(args.seconds, args.sr), args.sr,
+                    subtype="PCM_24")
+        runs.clear()
+        floor_runs.clear()
+        best = None
+        best_stats = None
+        for rep in range(args.repeats):
+            if runs and len(runs) >= 2 \
+                    and left() - RESERVE_TAIL < est_run_cost():
+                break
+            timed_run(f"upgraded {rep + 1}/{args.repeats}")
+            refresh_headline()
+            emit()
 
     # Adaptive extension: the tunnel's bandwidth swings up to ~3.5x over
     # tens of minutes, so a fixed repeat count can land entirely inside

@@ -97,3 +97,25 @@ def test_bench_degraded_weather_shrinks_workload(monkeypatch, capsys,
     assert res.get("weather_degraded") is True
     assert "batch16" not in res
     assert res["value"] is not None and res["value"] > 0
+
+
+def test_bench_degraded_upgrade_on_recovered_floors(monkeypatch, capsys,
+                                                    _fresh_result):
+    """A degraded preflight shrinks the workload, but when the shrunk
+    runs' own paired floors clear the extend target (the link recovered
+    minutes later — observed repeatedly on the tunnel), the bench must
+    rebuild the full-length input, restart the timed lists, and land the
+    headline at the full length (short runs under-report by ~35%)."""
+    rc, res = _run_bench(
+        monkeypatch, capsys,
+        ["--repeats", "2", "--batch", "0", "--batch16", "0",
+         "--no_parity", "--no_resident", "--extend_target", "1",
+         "--seconds", "8", "--degraded_seconds", "4",
+         "--budget_s", "520"],
+        fake_bw=5.0)
+    assert rc == 0
+    assert res.get("weather_degraded") is True
+    assert res.get("workload_upgraded") is True
+    assert res["audio_seconds"] == 8.0           # restored, not 4
+    assert res["stages"]["degraded_runs_x"]      # shrunk runs kept
+    assert res["value"] is not None and res["value"] > 0
