@@ -64,6 +64,56 @@ def synth(seconds: float, sr: int = 48000, seed: int = 0) -> np.ndarray:
     return np.stack([x, 0.9 * x], 1).astype(np.float32)
 
 
+def _input_cache_dir() -> str:
+    return os.path.join(os.path.expanduser("~"), ".cache", "tomatis_tpu",
+                        "bench_inputs")
+
+
+def _gen_input_main(seed: int, seconds: float, sr: int, path: str) -> None:
+    """Subprocess entry: synthesize + write one bench input atomically.
+    Runs in its OWN process so the ~45 s of numpy/file work never shares
+    the GIL with the warmup's dispatch loop (r04 measured the threaded
+    overlap inflating BOTH: warmup input_host_s 128 s and input_prep
+    372 s for work that costs 45 s standalone)."""
+    from tomatis_tpu.io import audio
+    tmp_path = path[:-4] + f".tmp{os.getpid()}.wav"
+    audio.write(tmp_path, synth(seconds, sr, seed=seed), sr,
+                subtype="PCM_24")
+    os.replace(tmp_path, path)
+
+
+def cached_input(seconds: float, sr: int, seed: int = 0,
+                 block: bool = True):
+    """Path to the deterministic bench input, generated at most once per
+    machine (disk cache keyed by the synth parameters; the signal itself
+    is pinned by seed). block=False returns (path, wait_fn) with the
+    generation running in a SUBPROCESS; call wait_fn() before using the
+    file. A cache hit returns immediately either way."""
+    d = _input_cache_dir()
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"in_s{seed}_t{seconds:g}_sr{sr}.wav")
+    want = 44 + int(seconds * sr) * 2 * 3   # WAV header + PCM_24 frames
+    ok = os.path.exists(path) and os.path.getsize(path) >= want
+    if ok:
+        return path if block else (path, lambda: None)
+    import subprocess
+    code = ("import sys; sys.path.insert(0, {!r}); from bench import "
+            "_gen_input_main; _gen_input_main({}, {}, {}, {!r})").format(
+        os.path.dirname(os.path.abspath(__file__)),
+        int(seed), float(seconds), int(sr), path)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")  # no device attach
+    proc = subprocess.Popen([sys.executable, "-c", code], env=env)
+
+    def wait():
+        rc = proc.wait()
+        if rc != 0 or not os.path.exists(path):
+            raise RuntimeError(f"bench input generation failed (rc={rc})")
+    if block:
+        wait()
+        return path
+    return path, wait
+
+
 def probe_link(mb: float = 8.0) -> dict:
     """Measure the host<->device link right now (the tunneled TPU's
     bandwidth swings between ~2 and ~45 MB/s over hours; recording it
@@ -337,14 +387,16 @@ def bench_batch(p, tmp, args, time_left=None, lanes=None) -> dict:
     from tomatis_tpu.io import audio
     from tomatis_tpu.parallel import batch as batch_mod
     n = lanes or args.batch
-    fpc = max(64, 1024 // n)
+    fpc = args.batch_fpc or (1024 if n <= 4 else 512)
     secs = args.seconds / n
     jobs = []
+    waits = []
     for i in range(n):
-        jp = os.path.join(tmp, f"bin{n}_{i}.wav")
-        audio.write(jp, synth(secs, args.sr, seed=700 + i), args.sr,
-                    subtype="PCM_24")
+        jp, w = cached_input(secs, args.sr, seed=700 + i, block=False)
+        waits.append(w)
         jobs.append((jp, os.path.join(tmp, f"bout{n}_{i}.wav")))
+    for w in waits:
+        w()
     best = None
     runs = []
     floor_runs = []
@@ -488,6 +540,15 @@ def main() -> int:
                          "(BASELINE config 5's literal 16 files, rides "
                          "the JSON as 'batch16'); runs only when the "
                          "budget comfortably allows; 0 disables")
+    ap.add_argument("--batch_fpc", type=int, default=0,
+                    help="frames_per_chunk PER LANE of the batch "
+                         "sub-benchmarks; 0 = auto (1024 at <=4 lanes, "
+                         "512 at more). r04 ran 4 lanes x 256 frames — "
+                         "the same bytes per dispatch as single-file but "
+                         "the batch floor trailed the single floor; "
+                         "bigger lane chunks ship more bytes per link "
+                         "round trip, amortizing the tunnel's fixed "
+                         "per-transfer latency")
     ap.add_argument("--degraded_seconds", type=float, default=240.0,
                     help="workload length the degraded-weather mode "
                          "(2-8 MB/s preflight) shrinks --seconds to; the "
@@ -657,24 +718,15 @@ def main() -> int:
     RESULT["audio_seconds"] = audio_sec
 
     tmp = tempfile.mkdtemp(prefix="tomatis_bench_")
-    in_path = os.path.join(tmp, "in.wav")
     out_path = os.path.join(tmp, "out.wav")
 
-    # synthesizing + writing the big input (~270 MB WAV at 960 s) is pure
-    # host work — overlap it with the warmup's executable load, which is
-    # link-latency-bound and leaves the host idle
-    import threading
+    # The big input (~270 MB WAV at 960 s) is disk-cached keyed by its
+    # synth parameters — a warm machine skips the ~45 s of generation
+    # entirely; a cold one generates it in a SUBPROCESS overlapping the
+    # warmup's (link-latency-bound) executable load without sharing its
+    # GIL (r04 paid 372 s for this stage from thread contention alone).
     prep_t0 = time.monotonic()
-    prep_err: list = []
-
-    def _prep_input():
-        try:
-            audio.write(in_path, synth(args.seconds, args.sr), args.sr,
-                        subtype="PCM_24")
-        except Exception as e:   # surfaced after join
-            prep_err.append(e)
-    prep_thread = threading.Thread(target=_prep_input, daemon=True)
-    prep_thread.start()
+    in_path, wait_input = cached_input(args.seconds, args.sr, block=False)
 
     # Warm-up: compile/load the chunk executables on a short file with
     # the same chunk shape. The persistent compile cache (repo-local
@@ -688,12 +740,10 @@ def main() -> int:
         entries_before = len(os.listdir(cache_dir))
     except OSError:
         entries_before = 0
-    warm_path = os.path.join(tmp, "warm.wav")
     # long enough to engage the ramp-up schedule (> 2 full chunks), so
     # the F/4 and F/2 executables also compile here, not in timed run 1
     warm_secs = 2.2 * args.frames_per_chunk * p.hop / args.sr
-    audio.write(warm_path, synth(warm_secs, args.sr, seed=1), args.sr,
-                subtype="PCM_24")
+    warm_path = cached_input(warm_secs, args.sr, seed=1)
     _progress("warmup: compiling/loading the chunk executable")
     t0 = time.perf_counter()
     wstats = process(warm_path, os.path.join(tmp, "warm_out.wav"), p,
@@ -718,10 +768,13 @@ def main() -> int:
     RESULT["stages"]["warmup"] = round(warmup_s, 1)
     emit()
 
-    prep_thread.join()
-    if prep_err:
-        raise prep_err[0]
+    t_join = time.monotonic()
+    wait_input()
+    # total stage time (overlaps the warmup) and the part that actually
+    # delayed the bench (the post-warmup join wait); 0/0 on a warm disk
     RESULT["stages"]["input_prep_s"] = round(time.monotonic() - prep_t0, 1)
+    RESULT["stages"]["input_prep_wait_s"] = round(
+        time.monotonic() - t_join, 1)
 
     # Provisional headline: re-run the already-warm short file and record
     # its realtime factor, so even a watchdog kill during the first
@@ -744,6 +797,28 @@ def main() -> int:
     best_stats = None
     runs = []
     floor_runs = []
+    run_chunk_detail = []
+
+    def _summarize_chunks(stats) -> dict | None:
+        """Per-chunk main-thread wall breakdown of one run — the
+        attribution VERDICT r04 asked for: a run whose chunks are
+        uniformly slower than its paired floor is weather; a run with a
+        few spiking chunks is a software stall. promote = the pipeline's
+        link/compute wait; retire/stage/dispatch = host-side work."""
+        det = stats.get("chunk_timings")
+        if not det:
+            return None
+        tot = sorted(sum(d.values()) for d in det)
+        prom = sorted(d.get("promote", 0.0) for d in det)
+
+        def pct(a, q):
+            return round(a[min(len(a) - 1, int(q * len(a)))] * 1000, 1)
+        return {"chunks": len(det),
+                "wall_ms": {"med": pct(tot, 0.5), "p90": pct(tot, 0.9),
+                            "max": round(tot[-1] * 1000, 1)},
+                "link_wait_ms": {"med": pct(prom, 0.5),
+                                 "p90": pct(prom, 0.9),
+                                 "max": round(prom[-1] * 1000, 1)}}
 
     def timed_run(label, dest=None):
         """One full-length run + paired floor replay. dest=None appends
@@ -753,11 +828,17 @@ def main() -> int:
         is_main = dest is None
         rl, fl = (runs, floor_runs) if is_main else dest
         _progress(f"timed run {label}")
+        os.environ["TOMATIS_TIMING_DETAIL"] = "1"
         t0 = time.perf_counter()
-        stats = process(in_path, out_path, p,
-                        frames_per_chunk=args.frames_per_chunk)
+        try:
+            stats = process(in_path, out_path, p,
+                            frames_per_chunk=args.frames_per_chunk)
+        finally:
+            os.environ.pop("TOMATIS_TIMING_DETAIL", None)
         dt = time.perf_counter() - t0
         rl.append(round(audio_sec / dt, 1))
+        if is_main:
+            run_chunk_detail.append(_summarize_chunks(stats))
         if is_main and (best is None or dt < best):
             best, best_stats = dt, stats
         # interleave a zero-compute floor replay after EVERY timed run:
@@ -835,14 +916,32 @@ def main() -> int:
                 if pairs else None),
             "vs_floor_paired_best": (round(max(r / f for r, f in pairs),
                                            2) if pairs else None),
+            # per-run per-chunk attribution (see _summarize_chunks):
+            # index-aligned with all_runs_x
+            "run_chunk_detail": list(run_chunk_detail),
         })
 
     # Stage budget: reserve tail-stage time so the headline runs never
-    # starve the batch/parity/resident stages entirely, and every stage
-    # checks the remainder before starting (skip > overrun).
-    RESERVE_TAIL = ((90 if args.batch > 0 else 0)
-                    + (0 if args.no_parity else 75)
-                    + (0 if args.no_resident else 50) + 20)
+    # starve the contract stages (batch4/batch16/rice A/B/resident/
+    # parity), and every stage checks the remainder before starting
+    # (skip > overrun). r04 spent its budget on 8 timed runs + extensions
+    # and skipped rice_ab, batch16 AND resident — the contract stages now
+    # run BEFORE any optional extension run, in fixed order.
+    _NEED = {"batch": 90 if args.batch > 0 else 0,
+             "batch16": 110 if args.batch16 > 0 else 0,
+             "rice_ab": 70 if args.ab_rice > 0 else 0,
+             "resident": 0 if args.no_resident else 50,
+             "parity": 0 if args.no_parity else 75,
+             "probe": 20}
+    _ORDER = ["batch", "batch16", "rice_ab", "resident", "parity", "probe"]
+
+    def reserve_after(stage: str) -> float:
+        """Budget the stages AFTER `stage` still need (stage order is
+        fixed; each stage leaves this much on the table)."""
+        i = _ORDER.index(stage)
+        return float(sum(_NEED[s] for s in _ORDER[i + 1:]))
+
+    RESERVE_TAIL = sum(_NEED.values())
 
     def est_run_cost() -> float:
         done = [audio_sec / r for r in runs if r]
@@ -880,10 +979,10 @@ def main() -> int:
         args.seconds = orig_seconds
         audio_sec = int(args.seconds * args.sr) / args.sr
         RESULT["audio_seconds"] = audio_sec
-        audio.write(in_path, synth(args.seconds, args.sr), args.sr,
-                    subtype="PCM_24")
+        in_path = cached_input(args.seconds, args.sr)
         runs.clear()
         floor_runs.clear()
+        run_chunk_detail.clear()
         best = None
         best_stats = None
         for rep in range(args.repeats):
@@ -894,23 +993,34 @@ def main() -> int:
             refresh_headline()
             emit()
 
-    # Adaptive extension: the tunnel's bandwidth swings up to ~3.5x over
-    # tens of minutes, so a fixed repeat count can land entirely inside
-    # a dip. While the best run is still below the extend target AND a
-    # RECENT paired floor says the link right now would allow it (r03
-    # gated on any() over ALL floors — one good floor early kept it
-    # sampling through a 6-minute dip), keep sampling within the budget.
-    ext = 0
-    while (args.extend_target > 0
-           and max(runs) < args.extend_target
-           and any(f and f >= args.extend_target for f in floor_runs[-3:])
-           and left() - RESERVE_TAIL > est_run_cost()):
-        ext += 1
-        timed_run(f"extend {len(runs) + 1}")
-        refresh_headline()
+    if args.batch > 0:
+        if left() - reserve_after("batch") > 55:
+            _progress(f"batch sub-benchmark ({args.batch} lanes)")
+            try:
+                RESULT["batch"] = bench_batch(
+                    p, tmp, args,
+                    time_left=lambda: left() - reserve_after("batch"))
+                RESULT["stages"]["batch"] = "done"
+            except Exception as e:
+                RESULT["stages"]["batch"] = f"failed: {e}"
+        else:
+            RESULT["stages"]["batch"] = "skipped (budget)"
         emit()
-    if ext:
-        RESULT["stages"]["extension_runs"] = ext
+
+    if args.batch16 > 0:
+        # BASELINE config 5's literal lane count
+        if left() - reserve_after("batch16") > 70:
+            _progress(f"batch sub-benchmark ({args.batch16} lanes)")
+            try:
+                RESULT["batch16"] = bench_batch(
+                    p, tmp, args, lanes=args.batch16,
+                    time_left=lambda: left() - reserve_after("batch16"))
+                RESULT["stages"]["batch16"] = "done"
+            except Exception as e:
+                RESULT["stages"]["batch16"] = f"failed: {e}"
+        else:
+            RESULT["stages"]["batch16"] = "skipped (budget)"
+        emit()
 
     # Rice A/B: re-run the headline workload with the OTHER wire rice-out
     # mode forced, same session so both sides share the weather. The auto
@@ -920,16 +1030,24 @@ def main() -> int:
     # the A/B keeps that model honest from inside each round's artifact.
     if args.ab_rice > 0 and runs:
         from tomatis_tpu.engine.streaming import resolve_rice_out
-        # one executable load for the other mode + the runs themselves
-        if left() - RESERVE_TAIL > (args.ab_rice + 1.2) * est_run_cost():
+        # warm pass + the timed runs themselves
+        if left() - reserve_after("rice_ab") > (args.ab_rice + 0.6) \
+                * est_run_cost():
             auto_mode = resolve_rice_out()
             forced = "0" if auto_mode else "1"
             ab_runs: list = []
             ab_floors: list = []
             os.environ["TOMATIS_WIRE_RICE_OUT"] = forced
             try:
+                # UNTIMED warm pass: load/compile the forced mode's
+                # executables outside the timed window (the r4 dev A/B's
+                # first forced run timed a cold compile at 1.6x and
+                # poisoned the comparison)
+                _progress(f"rice_ab warm (forced rice_out={forced})")
+                process(warm_path, os.path.join(tmp, "warm_out.wav"), p,
+                        frames_per_chunk=args.frames_per_chunk)
                 for i in range(args.ab_rice):
-                    if left() - RESERVE_TAIL < est_run_cost():
+                    if left() - reserve_after("rice_ab") < est_run_cost():
                         break
                     timed_run(f"rice_ab {i + 1}/{args.ab_rice}",
                               dest=(ab_runs, ab_floors))
@@ -950,51 +1068,6 @@ def main() -> int:
             RESULT["stages"]["rice_ab"] = "skipped (budget)"
         emit()
 
-    if args.batch > 0:
-        if left() > (50 if args.no_parity else 125):
-            _progress(f"batch sub-benchmark ({args.batch} lanes)")
-            try:
-                RESULT["batch"] = bench_batch(
-                    p, tmp, args,
-                    time_left=lambda: left() - (RESERVE_TAIL - 90))
-                RESULT["stages"]["batch"] = "done"
-            except Exception as e:
-                RESULT["stages"]["batch"] = f"failed: {e}"
-        else:
-            RESULT["stages"]["batch"] = "skipped (budget)"
-        emit()
-
-    if args.batch16 > 0:
-        # BASELINE config 5's literal lane count; only when the 4-lane
-        # batch and the tail stages still fit comfortably afterwards
-        if left() > (110 if args.no_parity else 185):
-            _progress(f"batch sub-benchmark ({args.batch16} lanes)")
-            try:
-                RESULT["batch16"] = bench_batch(
-                    p, tmp, args, lanes=args.batch16,
-                    time_left=lambda: left() - (RESERVE_TAIL - 90))
-                RESULT["stages"]["batch16"] = "done"
-            except Exception as e:
-                RESULT["stages"]["batch16"] = f"failed: {e}"
-        else:
-            RESULT["stages"]["batch16"] = "skipped (budget)"
-        emit()
-
-    if not args.no_parity:
-        if left() > 70:
-            _progress("parity: all executable families on device")
-            try:
-                parity = parity_all(p, tmp, args.frames_per_chunk)
-                RESULT["parity"] = parity
-                RESULT["parity_ok"] = all(v["ok"] for v in parity.values())
-                RESULT["parity_max_err"] = parity["standard"]["max_err"]
-                RESULT["stages"]["parity"] = "done"
-            except Exception as e:
-                RESULT["stages"]["parity"] = f"failed: {e}"
-        else:
-            RESULT["stages"]["parity"] = "skipped (budget)"
-        emit()
-
     if not args.no_resident:
         # both rice modes: the device-side rice encode costs device time
         # that only pays while the stream is link-bound; the pair of
@@ -1013,6 +1086,40 @@ def main() -> int:
             except Exception as e:
                 RESULT["stages"][label] = f"failed: {e}"
         emit()
+
+    if not args.no_parity:
+        if left() > 70:
+            _progress("parity: all executable families on device")
+            try:
+                parity = parity_all(p, tmp, args.frames_per_chunk)
+                RESULT["parity"] = parity
+                RESULT["parity_ok"] = all(v["ok"] for v in parity.values())
+                RESULT["parity_max_err"] = parity["standard"]["max_err"]
+                RESULT["stages"]["parity"] = "done"
+            except Exception as e:
+                RESULT["stages"]["parity"] = f"failed: {e}"
+        else:
+            RESULT["stages"]["parity"] = "skipped (budget)"
+        emit()
+
+    # Adaptive extension (OPTIONAL, after every contract stage): the
+    # tunnel's bandwidth swings up to ~3.5x over tens of minutes, so a
+    # fixed repeat count can land entirely inside a dip. While the best
+    # run is still below the extend target AND a RECENT paired floor says
+    # the link right now would allow it (r03 gated on any() over ALL
+    # floors — one good floor early kept it sampling through a 6-minute
+    # dip), keep sampling within the remaining budget.
+    ext = 0
+    while (args.extend_target > 0
+           and max(runs) < args.extend_target
+           and any(f and f >= args.extend_target for f in floor_runs[-3:])
+           and left() - 25 > est_run_cost()):
+        ext += 1
+        timed_run(f"extend {len(runs) + 1}")
+        refresh_headline()
+        emit()
+    if ext:
+        RESULT["stages"]["extension_runs"] = ext
 
     if left() > 15:
         _progress("link probe")

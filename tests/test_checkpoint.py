@@ -345,6 +345,61 @@ def test_sharded_resume_after_interrupt(tmp_path, monkeypatch):
         == open(tmp_path / "ref.csv").read()
 
 
+def test_sharded_xfade_resume_after_interrupt(tmp_path, monkeypatch):
+    """process_sharded --variant xfade --checkpoint: kill mid-stream,
+    rerun the same command, output + state CSV (with its alpha column)
+    must be byte-identical to an uninterrupted sharded xfade run. The
+    xfade variant shares process_sharded's checkpoint path with the
+    standard variant, but its carry holds the extra alpha-ramp state —
+    this pins that the fingerprint + resume covers it (ADVICE r04)."""
+    from tomatis_tpu.models.xfade import XfadeParams
+    from tomatis_tpu.parallel.stream import process_sharded
+
+    sr = 48000
+    x = _signal(16.0)
+    ip = tmp_path / "in.flac"
+    audio.write(ip, x, sr, subtype="PCM_24")
+    p = XfadeParams(gate_ui=60.0, xfade_ms=120.0,
+                    require_48k_stereo=False)
+
+    ref = tmp_path / "ref.flac"
+    process_sharded(ip, ref, p, frames_per_shard=8, variant="xfade",
+                    state_csv_path=tmp_path / "ref.csv")
+
+    out = tmp_path / "out.flac"
+    ck = tmp_path / "ck.npz"
+    from tomatis_tpu.engine import streaming as S
+    orig_write = S.StreamRunner._write_cut_f32
+    calls = {"n": 0}
+
+    def bomb(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] > 1:   # die on the second flush cut
+            raise _Bomb()
+        return orig_write(self, *a, **k)
+
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_f32", bomb)
+    with pytest.raises(_Bomb):
+        process_sharded(ip, out, p, frames_per_shard=8, variant="xfade",
+                        state_csv_path=tmp_path / "out.csv",
+                        checkpoint_path=ck, checkpoint_every=1)
+    monkeypatch.setattr(S.StreamRunner, "_write_cut_f32", orig_write)
+    assert ck.exists()
+
+    stats = process_sharded(ip, out, p, frames_per_shard=8,
+                            variant="xfade",
+                            state_csv_path=tmp_path / "out.csv",
+                            checkpoint_path=ck, checkpoint_every=1)
+    assert not ck.exists()          # cleared on success
+    assert stats["out_path"] == str(out)
+
+    y_ref, _ = audio.read(ref)
+    y_out, _ = audio.read(out)
+    np.testing.assert_array_equal(y_out, y_ref)
+    assert open(tmp_path / "out.csv").read() \
+        == open(tmp_path / "ref.csv").read()
+
+
 def test_sharded_checkpoint_refuses_other_mesh(tmp_path, monkeypatch):
     """A sharded checkpoint is fingerprinted with the mesh geometry:
     resuming with a different frames_per_shard must be refused (the
