@@ -1144,4 +1144,14 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    # FIRST: pin PYTHONHASHSEED (re-exec) so the persistent compile
+    # cache seeded during round work actually hits in the driver's run.
+    # r04 recompiled 13 executables over a 12-entry cache (364 s of a
+    # 1020 s budget) because JAX's cache keys are hash-seed-dependent;
+    # see tomatis_tpu/utils/jaxcache.py:pin_hash_seed. Lives under
+    # __main__ (not main()) because the test suite calls main()
+    # in-process — a re-exec there would restart pytest itself.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tomatis_tpu.utils.jaxcache import pin_hash_seed
+    pin_hash_seed()
     sys.exit(main())

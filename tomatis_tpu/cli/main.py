@@ -119,6 +119,12 @@ def _pin_platform() -> None:
 
 
 def main(argv=None) -> int:
+    if argv is None:
+        # real process entry (console script / python -m), not an
+        # in-process call from tests: pin the hash seed by re-exec so
+        # persistent compile-cache keys match across sessions
+        from tomatis_tpu.utils.jaxcache import pin_hash_seed
+        pin_hash_seed(["-m", "tomatis_tpu.cli.main"] + sys.argv[1:])
     _pin_platform()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):

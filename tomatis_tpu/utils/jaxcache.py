@@ -9,8 +9,37 @@ a different directory.
 from __future__ import annotations
 
 import os
+import sys
 
 _DONE = False
+
+
+def pin_hash_seed(argv: list[str] | None = None) -> None:
+    """Re-exec the process with PYTHONHASHSEED=0 so compile-cache keys
+    are stable across sessions.
+
+    JAX 0.9's lowering embeds Python-hash-dependent ordering in the
+    serialized HLO it keys the persistent compilation cache by: two
+    byte-identical warmup runs in fresh processes wrote DISJOINT
+    jit_chunk_fn cache entries, and r04's driver bench recompiled 13
+    executables over a 12-entry cache (BENCH_r04.json compile_cache).
+    With PYTHONHASHSEED=0 the keys are bit-stable across processes
+    (verified: two fresh runs, identical entry sets). Entry points that
+    want cross-session cache hits call this FIRST, before jax imports.
+
+    argv: the exec argv tail; defaults to sys.argv (correct for
+    script-style entry points like bench.py). Module entry points pass
+    ["-m", "pkg.mod"] + sys.argv[1:]. No-op when the seed is already
+    pinned. jax being imported already is NOT a reason to skip — this
+    host's site hook preloads jax into every interpreter — because the
+    re-exec'd process re-imports it under the pinned seed.
+    """
+    cur = os.environ.get("PYTHONHASHSEED", "")
+    if cur.isdigit():
+        return  # already stable across sessions (any fixed seed works)
+    os.environ["PYTHONHASHSEED"] = "0"
+    args = argv if argv is not None else sys.argv
+    os.execv(sys.executable, [sys.executable] + list(args))
 
 # Repo-local cache directory: persists across processes in this worktree
 # (gitignored, ~360 MB once warm — and measured warmups show a cache HIT
