@@ -388,7 +388,12 @@ def bench_batch(p, tmp, args, time_left=None, lanes=None) -> dict:
     from tomatis_tpu.parallel import batch as batch_mod
     n = lanes or args.batch
     fpc = args.batch_fpc or (1024 if n <= 4 else 512)
-    secs = args.seconds / n
+    # per-lane length: aggregate = args.seconds at <= 4 lanes; at 16
+    # lanes give each lane seconds/8 (2x aggregate) so a run spans ~6
+    # chunks instead of 3 — with 3 the fill/drain transients are half
+    # the wall and the 16-lane pipeline never reaches steady state
+    # (r05 probe: batch16 floors 133-155x, runs 46-86x at 3 chunks)
+    secs = args.seconds / (n if n <= 4 else n // 2)
     jobs = []
     waits = []
     for i in range(n):
@@ -928,7 +933,7 @@ def main() -> int:
     # and skipped rice_ab, batch16 AND resident — the contract stages now
     # run BEFORE any optional extension run, in fixed order.
     _NEED = {"batch": 90 if args.batch > 0 else 0,
-             "batch16": 110 if args.batch16 > 0 else 0,
+             "batch16": 150 if args.batch16 > 0 else 0,
              "rice_ab": 70 if args.ab_rice > 0 else 0,
              "resident": 0 if args.no_resident else 50,
              "parity": 0 if args.no_parity else 75,

@@ -341,6 +341,19 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     from tomatis_tpu.utils.pipeline import (OrderedWorker, Prefetcher,
                                             StagedPipeline)
 
+    # idle-lane filler: an all-zeros window's wire stream, identical for
+    # every chunk — encoded once per batch instead of per (chunk, idle
+    # lane). Zeros pack to header+desc only, so idle lanes cost ~0.4% of
+    # an active lane's bytes on the link.
+    _zero_stream: list = []
+
+    def zero_stream():
+        if not _zero_stream:
+            _zero_stream.append(stage_encode(
+                np.zeros((engine.chunk_input_len, ch), np.float32),
+                False))
+        return _zero_stream[0]
+
     def produce():
         """Producer thread: stage chunk inputs one ahead of dispatch.
 
@@ -349,13 +362,19 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
         behind). Per-lane read errors ride the yielded item and are
         failed on the main thread. A lane failed on the consume side is
         skipped from the next chunk on; at most one already-staged chunk
-        of it crosses the link as dead weight, never routed."""
+        of it crosses the link as dead weight, never routed.
+
+        The wire path stages per-lane windows only (dict, no [Bp, L, ch]
+        stack): at 16 lanes x 1024-frame chunks the stacked f32 matrix
+        is ~270 MB of memset+copy per chunk, measured ~1 s/chunk of
+        staging wall that the link wait did not hide. The f32-fallback
+        matrix is built only when some lane's chunk can't take the
+        codec."""
         pf0 = [0] * Bp
         while True:
-            sigs = np.zeros((Bp, engine.chunk_input_len, ch), np.float32)
+            wins = {}
             nfs = np.zeros(Bp, np.int32)
             errs = {}
-            active = False
             for i, lane in enumerate(lanes):
                 if lane.done or lane.failed:
                     continue
@@ -363,7 +382,7 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 if nf <= 0:
                     continue
                 try:
-                    sigs[i] = lane.rolling.window(
+                    wins[i] = lane.rolling.window(
                         -lane.plan.pad + pf0[i] * engine.hop,
                         engine.chunk_input_len)
                     pf0[i] += nf
@@ -376,18 +395,19 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                     errs[i] = e
                     continue
                 nfs[i] = nf
-                active = True
-            if not active and not errs:
+            if not wins and not errs:
                 return
             item = None
-            if wire and active:
+            if wire and wins:
                 # wire-compress each lane's input on host; one vmapped
                 # unpack restores all lanes on device. Any non-PCM_24-
                 # exact lane (float sources) falls the whole chunk back
                 # to raw floats. The C++ encode releases the GIL — lanes
                 # encode in parallel.
-                items = list(pool.map(
-                    lambda i: stage_encode(sigs[i], False), range(Bp)))
+                enc = dict(zip(wins, pool.map(
+                    lambda i: stage_encode(wins[i], False), wins)))
+                items = [enc.get(i) or zero_stream()
+                         for i in range(Bp)]
                 if all(k == "wire" for k, _ in items):
                     lens = [len(v) for _, v in items]
                     # pack tightly, 4-byte aligned, largest lane last:
@@ -416,6 +436,11 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                         fbytes[offs[i]:offs[i] + lens[i]] = v
                     item = ("wire", flat, sum(lens), flat_len)
             if item is None:
+                # f32 fallback: only now pay the stacked matrix
+                sigs = np.zeros((Bp, engine.chunk_input_len, ch),
+                                np.float32)
+                for i, w in wins.items():
+                    sigs[i] = w
                 item = ("f32", sigs, 0, 0)
             yield item, nfs, errs
 
