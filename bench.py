@@ -186,7 +186,9 @@ def link_floor(in_total: int, out_total: int, n_chunks: int,
 
     def run(seed):
         inflight = None
+        chunk_t = []
         for k in range(n_chunks):
+            t0 = time.perf_counter()
             arr = np.full(in_bucket, seed + k, np.uint8)   # h2d upload
             r = sink(arr)
             aux = make_aux(jnp.float32(seed + k))
@@ -195,7 +197,11 @@ def link_floor(in_total: int, out_total: int, n_chunks: int,
                 _drain(inflight)
             np.asarray(r)
             inflight = (aux, pages)
+            chunk_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         _drain(inflight)
+        chunk_t.append(time.perf_counter() - t0)
+        return chunk_t
 
     def _drain(inflight):
         aux, pages = inflight
@@ -210,8 +216,26 @@ def link_floor(in_total: int, out_total: int, n_chunks: int,
 
     run(0)   # warm the three executables + shapes
     t0 = time.perf_counter()
-    run(1)
-    return time.perf_counter() - t0
+    chunk_t = run(1)
+    dt = time.perf_counter() - t0
+    # per-chunk replay times for the paired-floor attribution: a timed
+    # run whose chunks are uniformly slower than its floor's chunks is
+    # software (or sub-minute weather drift between the pair); matching
+    # distributions with a different mean is minute-scale weather flap
+    ct = sorted(chunk_t)
+    LAST_FLOOR_CHUNKS.clear()
+    LAST_FLOOR_CHUNKS.update({
+        "chunks": len(ct),
+        "wall_ms": {"med": round(ct[len(ct) // 2] * 1000, 1),
+                    "p90": round(ct[min(len(ct) - 1,
+                                        int(0.9 * len(ct)))] * 1000, 1),
+                    "max": round(ct[-1] * 1000, 1)}})
+    return dt
+
+
+# per-chunk wall times of the most recent link_floor replay (see
+# link_floor); timed_run copies it into run_chunk_detail
+LAST_FLOOR_CHUNKS: dict = {}
 
 
 def device_resident_factor(p, sr: int, frames_per_chunk: int,
@@ -388,12 +412,15 @@ def bench_batch(p, tmp, args, time_left=None, lanes=None) -> dict:
     from tomatis_tpu.parallel import batch as batch_mod
     n = lanes or args.batch
     fpc = args.batch_fpc or (1024 if n <= 4 else 512)
-    # per-lane length: aggregate = args.seconds at <= 4 lanes; at 16
-    # lanes give each lane seconds/8 (2x aggregate) so a run spans ~6
-    # chunks instead of 3 — with 3 the fill/drain transients are half
-    # the wall and the 16-lane pipeline never reaches steady state
-    # (r05 probe: batch16 floors 133-155x, runs 46-86x at 3 chunks)
-    secs = args.seconds / (n if n <= 4 else n // 2)
+    # per-lane length: sized so a run spans ~11 chunks. The depth-3
+    # pipeline drains its last ~3 chunks with nothing left to overlap
+    # them, so at 6 chunks the un-hidden drain is ~half the run's audio
+    # (r05 seed run: batch16 floor 96.7x but value 36.1x, consume_s 21.5
+    # of 53.2 s wall = the drain's serial link waits); at 11 chunks the
+    # tail is ~1/4 and amortizing. Chunk audio-seconds scale with
+    # fpc*n/sr, so: 4 lanes x 1024 frames -> 480 s lanes, 16 x 512 ->
+    # 240 s lanes (aggregates 2x/4x args.seconds/lane_count).
+    secs = args.seconds / (2 if n <= 4 else 4)
     jobs = []
     waits = []
     for i in range(n):
@@ -842,8 +869,6 @@ def main() -> int:
             os.environ.pop("TOMATIS_TIMING_DETAIL", None)
         dt = time.perf_counter() - t0
         rl.append(round(audio_sec / dt, 1))
-        if is_main:
-            run_chunk_detail.append(_summarize_chunks(stats))
         if is_main and (best is None or dt < best):
             best, best_stats = dt, stats
         # interleave a zero-compute floor replay after EVERY timed run:
@@ -871,6 +896,11 @@ def main() -> int:
                 wire_st["in_bytes"], wire_st["out_bytes"], n_chunks,
                 aux_words), 1)
         fl.append(floor_i)
+        if is_main:
+            det = _summarize_chunks(stats)
+            if det is not None and floor_i and LAST_FLOOR_CHUNKS:
+                det["floor_wall_ms"] = dict(LAST_FLOOR_CHUNKS["wall_ms"])
+            run_chunk_detail.append(det)
 
     def refresh_headline():
         """Fold the timed-run state into RESULT (called after every run
@@ -932,8 +962,8 @@ def main() -> int:
     # (skip > overrun). r04 spent its budget on 8 timed runs + extensions
     # and skipped rice_ab, batch16 AND resident — the contract stages now
     # run BEFORE any optional extension run, in fixed order.
-    _NEED = {"batch": 90 if args.batch > 0 else 0,
-             "batch16": 150 if args.batch16 > 0 else 0,
+    _NEED = {"batch": 120 if args.batch > 0 else 0,
+             "batch16": 170 if args.batch16 > 0 else 0,
              "rice_ab": 70 if args.ab_rice > 0 else 0,
              "resident": 0 if args.no_resident else 50,
              "parity": 0 if args.no_parity else 75,
