@@ -603,6 +603,17 @@ def main() -> int:
 
     t_start = time.monotonic()
 
+    # NOTE: the __main__ entry sets TOMATIS_NO_RAMP=1 (no chunk ramp-up
+    # in the bench): the ramp's F/4 and F/2 executables each cost a
+    # compile-or-load over the axon tunnel during warmup (minutes in
+    # degraded weather; r05 measured a 240 s warmup that was almost
+    # entirely executable dispatch) while saving only ~1 s of pipeline-
+    # fill transient per timed run. Set there, not here: the test suite
+    # calls main() in-process and must not leak the env into later
+    # tests. The floor replay below mirrors the flat schedule either
+    # way (n_chunks math assumes no ramp — in-process callers that want
+    # ramped floors must adjust).
+
     def left() -> float:
         return args.budget_s - (time.monotonic() - t_start)
 
@@ -725,6 +736,13 @@ def main() -> int:
     RESULT["preflight_d2h_mbps"] = (round(pre_bw, 1)
                                     if pre_bw is not None else None)
     orig_seconds = args.seconds
+    # stage settings as requested, BEFORE any weather shrink: the
+    # recovery-upgrade path restores these (r05: a run that started in
+    # outage could never get batch/batch16/resident back, so a mid-run
+    # recovery still produced a micro artifact)
+    orig_stages = {"repeats": args.repeats, "batch": args.batch,
+                   "batch16": args.batch16,
+                   "no_resident": args.no_resident}
     if pre_bw is None or pre_bw < 2.0:
         # still out after waiting: attempt a micro workload anyway so a
         # late recovery still lands a real number; the per-stage budget
@@ -772,8 +790,9 @@ def main() -> int:
         entries_before = len(os.listdir(cache_dir))
     except OSError:
         entries_before = 0
-    # long enough to engage the ramp-up schedule (> 2 full chunks), so
-    # the F/4 and F/2 executables also compile here, not in timed run 1
+    # > 2 full chunks: exercises the steady-state chunk, the partial
+    # tail and the flush path (the ramp itself is disabled above, so
+    # this warms exactly the executables the timed runs use)
     warm_secs = 2.2 * args.frames_per_chunk * p.hop / args.sr
     warm_path = cached_input(warm_secs, args.sr, seed=1)
     _progress("warmup: compiling/loading the chunk executable")
@@ -881,15 +900,11 @@ def main() -> int:
         wire_st = stats.get("wire", {})
         floor_i = None
         if wire_st.get("in_bytes", 0) and wire_st.get("out_bytes", 0):
-            # mirror the engine's ramp-up schedule (two smaller leading
-            # chunks): the replay ships the same totals over the same
-            # number of RPC rounds, sizes idealized as even
+            # flat chunk schedule (TOMATIS_NO_RAMP above): the replay
+            # ships the same totals over the same number of RPC rounds
             fpc = args.frames_per_chunk
             nf = stats["n_frames"]
-            if nf > 2 * fpc and fpc % 4 == 0 and fpc // 4 >= 64:
-                n_chunks = 2 + -(-(nf - 3 * (fpc // 4)) // fpc)
-            else:
-                n_chunks = -(-nf // fpc)
+            n_chunks = -(-nf // fpc)
             aux_words = 3 * (args.frames_per_chunk
                              + p.n_fft // p.hop - 1) + 2
             floor_i = round(audio_sec / link_floor(
@@ -1002,15 +1017,30 @@ def main() -> int:
     # the full-length input and RESTART the timed lists (mixing run
     # lengths would corrupt the headline math; the shrunk runs are kept
     # in stages.degraded_runs_x for attribution).
-    if (RESULT.get("weather_degraded") and args.seconds < orig_seconds
+    if ((RESULT.get("weather_degraded") or RESULT.get("link_outage"))
+            and args.seconds < orig_seconds
             and len(runs) >= 2
             and sum(1 for f in floor_runs[-3:]
                     if f and f >= args.extend_target) >= 2
-            and left() - RESERVE_TAIL > 150):
+            and left() > 230):
+        # left() > 230 funds the upgraded timed runs (~10-15 s each at
+        # the >=100x floors this branch requires) + parity + probe; the
+        # restored tail stages each re-check the remainder and skip with
+        # an honest budget reason rather than gating the upgrade itself
         _progress("weather recovered: upgrading to the full workload")
         RESULT["stages"]["degraded_runs_x"] = list(runs)
         RESULT["stages"]["degraded_floors_x"] = list(floor_runs)
         RESULT["workload_upgraded"] = True
+        # restore the stages the weather shrink disabled (batch lanes,
+        # resident, repeat count) and re-derive the stage reserves
+        args.repeats = orig_stages["repeats"]
+        args.batch = orig_stages["batch"]
+        args.batch16 = orig_stages["batch16"]
+        args.no_resident = orig_stages["no_resident"]
+        _NEED["batch"] = 120 if args.batch > 0 else 0
+        _NEED["batch16"] = 170 if args.batch16 > 0 else 0
+        _NEED["resident"] = 0 if args.no_resident else 50
+        RESERVE_TAIL = sum(_NEED.values())
         args.seconds = orig_seconds
         audio_sec = int(args.seconds * args.sr) / args.sr
         RESULT["audio_seconds"] = audio_sec
@@ -1189,4 +1219,8 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tomatis_tpu.utils.jaxcache import pin_hash_seed
     pin_hash_seed()
+    # flat chunk schedule for the whole bench process (see the NOTE in
+    # main); __main__-only so in-process test invocations do not leak
+    # the env into the rest of their suite
+    os.environ["TOMATIS_NO_RAMP"] = "1"
     sys.exit(main())

@@ -26,6 +26,7 @@ tomatis_tpu.models for the standard / crossfade / EQ controllers.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -202,6 +203,15 @@ def _bucketed_unpack(packed: np.ndarray, n: int, ch: int):
     if pb.shape[0] >= W:   # already at/above the cap: dispatch as-is
         return _UNPACK_INPUT(pb, n, ch, WIRE_RICE_IN, True)
     return _UNPACK_INPUT(_PAD_TO(pb, W), n, ch, WIRE_RICE_IN, True)
+
+
+def ramp_disabled() -> bool:
+    """True when TOMATIS_NO_RAMP disables the chunk ramp-up schedule
+    (single chunk shape per stream). Processors put this flag in their
+    checkpoint fingerprints: the schedule decides chunk boundaries and
+    therefore the output's float summation order, so a checkpoint taken
+    under one setting must not resume under the other."""
+    return bool(os.environ.get("TOMATIS_NO_RAMP"))
 
 
 def resolve_transport(transport: str, supports_raw: bool):
@@ -640,8 +650,17 @@ class StreamRunner:
         # executables are shape-cached like the primary.
         F_c = engine.frames_per_chunk
         self._by_F = {F_c: (engine, self.chunk_fn)}
+        # TOMATIS_NO_RAMP: single-chunk-shape streams. The ramp's two
+        # extra executables each cost a compile-or-load over the axon
+        # tunnel (minutes in degraded weather) while saving only ~1 s of
+        # fill transient per run — a throughput harness that runs many
+        # streams per process wants one executable per shape family.
+        # The flag rides the checkpoint fingerprint (ramp_disabled() in
+        # the processors' config dicts): chunk boundaries decide float
+        # summation order, so a resume must replay the same schedule.
         self._ramp = bool(build_chunk_fn and self.plan.n_frames > 2 * F_c
-                          and F_c % 4 == 0 and F_c // 4 >= 64)
+                          and F_c % 4 == 0 and F_c // 4 >= 64
+                          and not ramp_disabled())
         if self._ramp:
             for f in (F_c // 4, F_c // 2):
                 e = ChunkedStftEngine(engine.n_fft, engine.hop,

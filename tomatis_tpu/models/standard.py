@@ -11,7 +11,7 @@ from dataclasses import dataclass, asdict
 import numpy as np
 
 from tomatis_tpu.engine.streaming import (ChunkedStftEngine, StreamRunner,
-                                          resolve_transport)
+                                          ramp_disabled, resolve_transport)
 from tomatis_tpu.io import audio
 from tomatis_tpu.models.controllers import GateSelectController
 from tomatis_tpu.ops import dsp, gate as gate_ops, stft
@@ -135,7 +135,11 @@ def process(in_path, out_path, p: StandardParams | None = None,
         config = dict(asdict(p), sr=sr, ch=ch, total=total,
                       in_path=str(in_path),
                       frames_per_chunk=frames_per_chunk,
-                      model="standard", transport=transport)
+                      model="standard", transport=transport,
+                      # chunk schedule decides float summation order:
+                      # a TOMATIS_NO_RAMP checkpoint must not resume
+                      # with the ramp back on (see streaming.ramp_disabled)
+                      no_ramp=ramp_disabled())
         (fout, actual_out, ckpt, resume_state,
          stage_path) = open_checkpointed_sink(
             out_path, sr, ch, config, checkpoint_path, checkpoint_every)

@@ -10,7 +10,7 @@ from dataclasses import dataclass, asdict
 import numpy as np
 
 from tomatis_tpu.engine.streaming import (ChunkedStftEngine, StreamRunner,
-                                          resolve_transport)
+                                          ramp_disabled, resolve_transport)
 from tomatis_tpu.io import audio
 from tomatis_tpu.models.controllers import GateXfadeController
 from tomatis_tpu.ops import dsp, gate as gate_ops, stft
@@ -114,7 +114,9 @@ def process(in_path, out_path, p: XfadeParams | None = None,
         config = dict(asdict(p), sr=sr, ch=ch, total=total,
                       in_path=str(in_path),
                       frames_per_chunk=frames_per_chunk, model="xfade",
-                      transport=transport)
+                      transport=transport,
+                      # see models.standard: chunk schedule is identity
+                      no_ramp=ramp_disabled())
         (fout, actual_out, ckpt, resume_state,
          stage_path) = open_checkpointed_sink(
             out_path, sr, ch, config, checkpoint_path, checkpoint_every)
