@@ -23,10 +23,18 @@ def _compile(src: str, out: str):
     # concurrent processes (e.g. sharded CLI workers on a fresh checkout)
     # may race here, and a reader must never dlopen a half-written .so
     tmp = f"{out}.{os.getpid()}.tmp"
-    cmd = ["g++", "-std=c++17", "-O3", "-funroll-loops", "-shared", "-fPIC",
-           src, "-o", tmp]
+    base = ["g++", "-std=c++17", "-O3", "-funroll-loops", "-shared",
+            "-fPIC", src, "-o", tmp]
+    # the .so is built on the machine that runs it (never shipped), so
+    # -march=native is safe and lets the wire codec's hot loops
+    # auto-vectorize (AVX2/AVX-512 where present); retried without for
+    # compilers/platforms that reject the flag
+    cmd = base[:1] + ["-march=native"] + base[1:]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            cmd = base
+            proc = subprocess.run(cmd, capture_output=True, text=True)
     except FileNotFoundError:
         raise RuntimeError(
             "native build needs a C++ compiler but g++ was not found. "

@@ -18,6 +18,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -54,36 +55,38 @@ inline int width_of(uint32_t umax, bool anynz) {
     return bits + 1 < 4 ? 4 : bits + 1;
 }
 
-// ONE pass computing block widths for ALL five predictor orders of a
-// channel: the order-o residual is derived incrementally from four
-// carried previous diffs (5x less memory traffic than five diff passes).
+// Block widths for ALL five predictor orders of a channel: five
+// vectorizable passes (per-order block max/or reduction + one shifted
+// subtract into a ping-pong scratch). An earlier one-pass version
+// derived all orders from carried previous diffs — 5x less memory
+// traffic but a loop-carried scalar chain the compiler cannot
+// vectorize; the pass-per-order form runs ~2.5x faster with
+// -march=native on AVX2/AVX-512 hosts despite touching more memory.
 void block_widths_all_orders(const int32_t* x, long n,
                              uint8_t* w_out /* [5][K] */, long K,
-                             long* totals /* [5] */) {
-    int64_t p[4] = {0, 0, 0, 0};   // previous d0..d3
-    for (long b = 0; b < K; b++) {
-        long lo = b * B, hi = lo + B < n ? lo + B : n;
-        uint32_t umax[5] = {0, 0, 0, 0, 0};
-        uint32_t anyz = 0;
-        for (long i = lo; i < hi; i++) {
-            int64_t d0 = x[i];
-            int64_t d1 = d0 - p[0];
-            int64_t d2 = d1 - p[1];
-            int64_t d3 = d2 - p[2];
-            int64_t d4 = d3 - p[3];
-            p[0] = d0; p[1] = d1; p[2] = d2; p[3] = d3;
-            int64_t d[5] = {d0, d1, d2, d3, d4};
-            for (int o = 0; o < 5; o++) {
-                int32_t v = (int32_t)d[o];
-                anyz |= ((v != 0) ? 1u : 0u) << o;
+                             long* totals /* [5] */,
+                             int32_t* s1 /* scratch [n] */,
+                             int32_t* s2 /* scratch [n] */) {
+    const int32_t* cur = x;
+    for (int o = 0; o < 5; o++) {
+        for (long b = 0; b < K; b++) {
+            long lo = b * B, hi = lo + B < n ? lo + B : n;
+            uint32_t umax = 0, orall = 0;
+            for (long i = lo; i < hi; i++) {
+                int32_t v = cur[i];
+                orall |= (uint32_t)v;
                 uint32_t u = (uint32_t)(v ^ (v >> 31));
-                if (u > umax[o]) umax[o] = u;
+                if (u > umax) umax = u;
             }
-        }
-        for (int o = 0; o < 5; o++) {
-            int w = width_of(umax[o], (anyz >> o) & 1);
+            int w = width_of(umax, orall != 0);
             w_out[(size_t)o * K + b] = (uint8_t)w;
             totals[o] += 8L * w;
+        }
+        if (o < 4) {
+            int32_t* dst = (o == 0) ? s1 : (cur == s1 ? s2 : s1);
+            dst[0] = cur[0];
+            for (long i = 1; i < n; i++) dst[i] = cur[i] - cur[i - 1];
+            cur = dst;
         }
     }
 }
@@ -142,19 +145,31 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap,
     long H = header_words(n, ch);
     long RW = raw_words(n, ch);
 
-    // channel-major copies for both channel mappings
-    std::vector<int32_t> lr((size_t)ch * n), msv;
-    for (int c = 0; c < ch; c++)
-        for (long i = 0; i < n; i++) lr[(size_t)c * n + i] = v[i * ch + c];
+    // channel-major copies for both channel mappings. Uninitialized
+    // buffers (every element is written below) and ONE fused pass for
+    // the stereo case: the interleaved input is read once, emitting
+    // L/R/mid/side together — the separate lr + ms passes each paid a
+    // strided 17 MB read of the same source.
+    std::unique_ptr<int32_t[]> lr(new int32_t[(size_t)ch * n]), msv;
     int n_var = 1;
     if (ch == 2) {
-        msv.resize((size_t)2 * n);
+        msv.reset(new int32_t[(size_t)2 * n]);
+        int32_t* l0 = lr.get();
+        int32_t* r0 = lr.get() + n;
+        int32_t* m0 = msv.get();
+        int32_t* s0 = msv.get() + n;
         for (long i = 0; i < n; i++) {
             int32_t L = v[i * 2], R = v[i * 2 + 1];
-            msv[i] = (L + R) >> 1;
-            msv[n + i] = L - R;
+            l0[i] = L;
+            r0[i] = R;
+            m0[i] = (L + R) >> 1;
+            s0[i] = L - R;
         }
         n_var = 2;
+    } else {
+        for (int c = 0; c < ch; c++)
+            for (long i = 0; i < n; i++)
+                lr[(size_t)c * n + i] = v[i * ch + c];
     }
     // wasted-bits strip, per variant channel (format limit: ch <= 2);
     // exact — shifting out shared trailing zeros commutes with the
@@ -162,7 +177,7 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap,
     int kvar[2][2] = {{0, 0}, {0, 0}};
     if (ch <= 2) {
         for (int msx = 0; msx < n_var; msx++) {
-            int32_t* x0 = msx ? msv.data() : lr.data();
+            int32_t* x0 = msx ? msv.get() : lr.get();
             for (int c = 0; c < ch; c++) {
                 int k = wasted_bits_of(x0 + (size_t)c * n, n);
                 kvar[msx][c] = k;
@@ -176,16 +191,19 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap,
     long best_total = -1;
     int best_o = 0, best_ms = 0;
     std::vector<uint8_t> bw((size_t)ch * K);
-    std::vector<int32_t> r((size_t)ch * n);
-    // all-order widths per variant in one pass per channel
+    std::unique_ptr<int32_t[]> r(new int32_t[(size_t)ch * n]);
+    // width-pass ping-pong scratch, uninitialized (fully overwritten)
+    std::unique_ptr<int32_t[]> scr1(new int32_t[n]), scr2(new int32_t[n]);
+    // all-order widths per variant, vectorized pass per order
     std::vector<uint8_t> wall((size_t)n_var * ch * 5 * K);
     for (int ms = 0; ms < n_var; ms++) {
-        const int32_t* x0 = ms ? msv.data() : lr.data();
+        const int32_t* x0 = ms ? msv.get() : lr.get();
         long totals[5] = {H, H, H, H, H};
         for (int c = 0; c < ch; c++)
             block_widths_all_orders(
                 x0 + (size_t)c * n, n,
-                wall.data() + ((size_t)ms * ch + c) * 5 * K, K, totals);
+                wall.data() + ((size_t)ms * ch + c) * 5 * K, K, totals,
+                scr1.get(), scr2.get());
         for (int o = 0; o < 5; o++) {
             if (best_total < 0 || totals[o] < best_total) {
                 best_total = totals[o];
@@ -205,17 +223,17 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap,
 
     // rebuild the winning residual, then the per-block rice plans (the
     // raw-escape comparison uses the TRUE total, post-rice)
-    const int32_t* x0 = best_ms ? msv.data() : lr.data();
-    std::memcpy(r.data(), x0, (size_t)ch * n * 4);
+    const int32_t* x0 = best_ms ? msv.get() : lr.get();
+    std::memcpy(r.get(), x0, (size_t)ch * n * 4);
     for (int o = 0; o < best_o; o++)
         for (int c = 0; c < ch; c++)
-            diff_inplace(r.data() + (size_t)c * n, n);
+            diff_inplace(r.get() + (size_t)c * n, n);
 
     long T = (long)ch * K;
     std::vector<uint8_t> rice_f(T), kk(T), uws(T);
     long total = H, S_oct = 0;   // S_oct: total plane octets
     for (int c = 0; c < ch; c++) {
-        const int32_t* rc = r.data() + (size_t)c * n;
+        const int32_t* rc = r.get() + (size_t)c * n;
         for (long b = 0; b < K; b++) {
             long t = (long)c * K + b;
             long lo = b * B, hi = lo + B < n ? lo + B : n;
@@ -271,7 +289,7 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap,
     long ppos = H;                // plane region cursor
     long upos = H + 8 * S_oct;    // unary region cursor
     for (int c = 0; c < ch; c++) {
-        const int32_t* rc = r.data() + (size_t)c * n;
+        const int32_t* rc = r.get() + (size_t)c * n;
         for (long b = 0; b < K; b++) {
             long t = (long)c * K + b;
             bool ur = rice_f[t];
@@ -279,22 +297,43 @@ long encode_core(const int32_t* v, long n, int ch, uint8_t* out, long cap,
             long lo = b * B, hi = lo + B < n ? lo + B : n;
             if (noct) {
                 uint32_t mask = (1u << noct) - 1;   // noct <= 30
+                // all 8 transposed groups first, then plane rows in
+                // OUTPUT order: the o-major write loop is sequential in
+                // the stream (the j-major form scattered at stride 8
+                // words); full blocks skip the per-sample bounds check
+                // so the gather+zigzag vectorizes
+                uint32_t Aall[8][32];
+                bool full = hi - lo == B;
                 for (int j = 0; j < 8; j++) {
-                    uint32_t A[32];
-                    for (int k = 0; k < 32; k++) {
-                        long i = lo + 32 * j + k;
-                        uint32_t val = 0;
-                        if (i < hi) {
-                            int32_t rv = rc[i];
-                            val = ur ? (((uint32_t)rv << 1)
-                                        ^ (uint32_t)(rv >> 31))
-                                     : (uint32_t)rv;
+                    uint32_t* A = Aall[j];
+                    const int32_t* src = rc + lo + 32 * j;
+                    if (full && ur) {
+                        for (int k = 0; k < 32; k++) {
+                            int32_t rv = src[k];
+                            A[k] = (((uint32_t)rv << 1)
+                                    ^ (uint32_t)(rv >> 31)) & mask;
                         }
-                        A[k] = val & mask;
+                    } else if (full) {
+                        for (int k = 0; k < 32; k++)
+                            A[k] = (uint32_t)src[k] & mask;
+                    } else {
+                        for (int k = 0; k < 32; k++) {
+                            long i = lo + 32 * j + k;
+                            uint32_t val = 0;
+                            if (i < hi) {
+                                int32_t rv = rc[i];
+                                val = ur ? (((uint32_t)rv << 1)
+                                            ^ (uint32_t)(rv >> 31))
+                                         : (uint32_t)rv;
+                            }
+                            A[k] = val & mask;
+                        }
                     }
                     transpose32(A);
-                    for (int o = 0; o < noct; o++)
-                        words[ppos + 8 * o + j] = A[31 - o];
+                }
+                for (int o = 0; o < noct; o++) {
+                    uint32_t* w8 = words + ppos + 8 * o;
+                    for (int j = 0; j < 8; j++) w8[j] = Aall[j][31 - o];
                 }
                 ppos += 8L * noct;
             }
