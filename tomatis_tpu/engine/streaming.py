@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tomatis_tpu.engine import staging
 from tomatis_tpu.ops import stft
 from tomatis_tpu.ops import wire as wire_ops
 from tomatis_tpu.ops.dsp import EPS, PEAK_LIMIT, frame_levels_dbfs
@@ -241,11 +242,8 @@ def stage_encode(sig: np.ndarray, int_in: bool, wire_input: bool = True):
     tagged item for stage_to_device."""
     if not wire_input:
         return ("raw", sig)
-    from tomatis_tpu.io import wirecodec
-    if int_in:
-        return ("wire", wirecodec.encode_i32(sig, rice=WIRE_RICE_IN))
-    packed = wirecodec.encode_f32(sig, rice=WIRE_RICE_IN)
-    return ("raw_inexact", sig) if packed is None else ("wire", packed)
+    from tomatis_tpu.engine.staging import host_encode
+    return host_encode(sig, int_in, WIRE_RICE_IN)
 
 
 def stage_to_device(item, n: int, ch: int, stats: dict | None = None):
@@ -875,7 +873,58 @@ class StreamRunner:
                 yield item, e_i
 
         writer = OrderedWorker()
-        prefetch = Prefetcher(produce(frame0))
+        # Input staging: a separate PROCESS when the source is a wire-
+        # encodable file (see engine/staging.py — the dev host's link
+        # waits do not reliably yield to Python threads, so the thread
+        # producer's read+encode serialized with the link); the thread
+        # producer remains for arrays, raw transports and as the
+        # TOMATIS_PROCESS_STAGE=0 fallback.
+        src_path = getattr(source, "path", None)
+        prefetch = None
+        # >= 8 chunks: the worker's one-time ~2 s spawn must amortize
+        # (it persists across runs in one parent process, so long-stream
+        # sessions pay it once); short CLI runs keep the thread producer
+        if (self.wire_input and src_path
+                and not isinstance(source, np.ndarray)
+                and n_frames - frame0 > 8 * F_c
+                and staging.process_staging_enabled()):
+            sched = []
+            e_list = []
+            f0s = frame0
+            while f0s < n_frames:
+                e_s = self._by_F[self._chunk_F(f0s)][0]
+                ws = -pad + f0s * hop
+                f0s += min(e_s.frames_per_chunk, n_frames - f0s)
+                sched.append((ws, e_s.chunk_input_len,
+                              (-pad + f0s * hop) if f0s < n_frames
+                              else None))
+                e_list.append(e_s)
+            try:
+                stream = staging.stage_stream(src_path, int_in, C,
+                                              in_base, eng.emit_len,
+                                              sched, WIRE_RICE_IN)
+
+                class _ProcPrefetch:
+                    """Prefetcher-shaped facade over the staging worker
+                    (items arrive in chunk order; e_i derives from the
+                    locally computed schedule)."""
+
+                    def __init__(self):
+                        self._i = 0
+
+                    def get(self):
+                        item = stream.get()   # raises StopIteration/err
+                        e_i = e_list[self._i]
+                        self._i += 1
+                        return item, e_i
+
+                    def close(self):
+                        stream.close()
+                prefetch = _ProcPrefetch()
+            except Exception:
+                prefetch = None   # worker spawn failed: thread fallback
+        if prefetch is None:
+            prefetch = Prefetcher(produce(frame0))
 
         def next_staged():
             item, e_i = prefetch.get()
