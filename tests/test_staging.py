@@ -139,3 +139,24 @@ def test_worker_death_fails_loudly(infile, tmp_path, monkeypatch):
     thr = tmp_path / "thr.wav"
     process(infile, thr, P, frames_per_chunk=FPC)
     assert ref.read_bytes() == thr.read_bytes()
+
+
+def test_decode_offload_matches_local_and_falls_back():
+    """decode_pcm24 through the RPC worker is byte-identical to the
+    local decoder, and a killed worker degrades to local decode."""
+    from tomatis_tpu.io import wirecodec
+    rng = np.random.default_rng(5)
+    v = (rng.standard_normal((48000, 2)) * 3e5).astype(np.int32)
+    enc = wirecodec.encode_i32(v, rice=True)
+    buf = np.asarray(enc, np.uint8) if not isinstance(enc, np.ndarray) \
+        else enc
+    local = wirecodec.decode_pcm24(buf, len(v), 2)
+
+    staging.ensure_rpc_worker()
+    assert staging._RPC and staging._RPC[0].alive()
+    off = staging.decode_pcm24_offload(buf, len(v), 2)
+    assert np.array_equal(off, local)
+
+    staging._RPC[0].kill()   # dead worker: silent local fallback
+    off2 = staging.decode_pcm24_offload(buf, len(v), 2)
+    assert np.array_equal(off2, local)

@@ -71,13 +71,26 @@ def _child_entry():
         if job is None:
             return
         try:
-            _run_stream(send, job)
-            send(("done",))
+            if isinstance(job, tuple):   # synchronous RPC (decode etc.)
+                send(_serve_rpc(job))
+            else:
+                _run_stream(send, job)
+                send(("done",))
         except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
             try:
                 send(("error", f"{type(e).__name__}: {e}"))
             except (OSError, ValueError):
                 return
+
+
+def _serve_rpc(req):
+    if req[0] == "decode_pcm24":
+        _, buf, n, ch = req
+        from tomatis_tpu.io import wirecodec
+        arr = np.frombuffer(buf, np.uint8) if isinstance(buf, bytes) \
+            else buf
+        return ("ok", wirecodec.decode_pcm24(arr, n, ch))
+    raise ValueError(f"unknown rpc {req[0]!r}")
 
 
 def _run_stream(send, job):
@@ -239,6 +252,47 @@ class StagedStream:
             if self in _WORKER_BUSY:
                 _WORKER_BUSY.remove(self)
         self._finished = True
+
+
+_RPC: list = []             # 0 or 1 persistent decode-RPC _Worker
+_RPC_LOCK = _threading.Lock()
+
+
+def ensure_rpc_worker() -> None:
+    """Start the decode-RPC worker if absent (non-blocking: Popen
+    returns immediately and the child imports while the caller warms
+    up). Call at stream start when the run is long enough to use it."""
+    with _RPC_LOCK:
+        if _RPC and not _RPC[0].alive():
+            _RPC[0].kill()
+            _RPC.clear()
+        if not _RPC:
+            try:
+                _RPC.append(_Worker())
+            except OSError:
+                pass   # offload unavailable: callers decode locally
+
+
+def decode_pcm24_offload(buf: np.ndarray, n: int, ch: int) -> np.ndarray:
+    """wirecodec.decode_pcm24 in the RPC worker process (so the ~50+ ms
+    of decode per chunk cannot be starved by the main thread's link
+    waits). Falls back to the local decoder on ANY worker trouble —
+    the offload is an optimization, never a failure source."""
+    from tomatis_tpu.io import wirecodec
+    with _RPC_LOCK:
+        w = _RPC[0] if _RPC and _RPC[0].alive() else None
+        if w is not None:
+            try:
+                w.send(("decode_pcm24", buf, n, ch))
+                msg = w.recv()
+                if msg[0] == "ok":
+                    return msg[1]
+            except (EOFError, OSError, ValueError,
+                    pickle.UnpicklingError):
+                pass
+            w.kill()
+            _RPC.clear()
+    return wirecodec.decode_pcm24(buf, n, ch)
 
 
 def stage_stream(path: str, int_in: bool, channels: int, in_base: int,

@@ -802,7 +802,11 @@ class StreamRunner:
             if wire:
                 from tomatis_tpu.io import wirecodec
                 aux, used_bytes, buf = mat
-                payload = wirecodec.decode_pcm24(
+                # decode_offload (set at prefetch selection, before the
+                # first consume runs): route the decode through the RPC
+                # worker process on long streams
+                payload = (staging.decode_pcm24_offload
+                           if decode_offload else wirecodec.decode_pcm24)(
                     buf.view(np.uint8), c_eng.emit_full, C)
                 self.wire_stats["out_bytes"] += used_bytes
             elif pcm24:
@@ -921,10 +925,16 @@ class StreamRunner:
                     def close(self):
                         stream.close()
                 prefetch = _ProcPrefetch()
+                # same reasoning on the consume side: the ~50+ ms wire
+                # decode per chunk rides a worker process too (spawn
+                # overlaps the warmup; local fallback on any trouble)
+                staging.ensure_rpc_worker()
+                decode_offload = True
             except Exception:
                 prefetch = None   # worker spawn failed: thread fallback
         if prefetch is None:
             prefetch = Prefetcher(produce(frame0))
+            decode_offload = False
 
         def next_staged():
             item, e_i = prefetch.get()
