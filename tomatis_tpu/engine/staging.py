@@ -273,6 +273,12 @@ def ensure_rpc_worker() -> None:
                 pass   # offload unavailable: callers decode locally
 
 
+def rpc_available() -> bool:
+    """True when the decode-RPC worker is up (callers may pick the
+    offloaded decoder without paying a spawn)."""
+    return bool(_RPC) and _RPC[0].alive()
+
+
 def decode_pcm24_offload(buf: np.ndarray, n: int, ch: int) -> np.ndarray:
     """wirecodec.decode_pcm24 in the RPC worker process (so the ~50+ ms
     of decode per chunk cannot be starved by the main thread's link

@@ -314,6 +314,15 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=min(8, max(1, B)))
 
+    # long batches: spawn the decode-RPC worker now (non-blocking) so
+    # _consume_wire_host's per-lane decodes escape consumer-thread
+    # starvation; short batches (tests, dryruns) keep local decode
+    if wire and any(not ln.failed
+                    and ln.runner.plan.n_frames > 8 * engine.frames_per_chunk
+                    for ln in lanes):
+        from tomatis_tpu.engine import staging as _staging
+        _staging.ensure_rpc_worker()
+
     carries = [controller.init_carry() for _ in range(Bp)]
     tails = [engine.zero_tails() for _ in range(Bp)]
 
@@ -719,14 +728,20 @@ def _consume_wire_host(lanes, frame0s, nfs, rows, flat_np, layout, od,
     device compaction's arithmetic) and decode — in parallel when a
     pool is given (the C++ decode releases the GIL) — then route each
     lane's chunk."""
+    from tomatis_tpu.engine import staging as _staging
     from tomatis_tpu.io import wirecodec
     offs_w, used_w = layout
     fbytes = flat_np.view(np.uint8)
+    # long batches route the decode through the RPC worker process
+    # (process_batch spawns it): the consumer thread can be starved by
+    # the main thread's link waits on the tunneled dev host
+    dec = (_staging.decode_pcm24_offload if _staging.rpc_available()
+           else wirecodec.decode_pcm24)
 
     def decode_one(i):
         lo = int(offs_w[i]) * 4
-        return wirecodec.decode_pcm24(fbytes[lo:lo + int(used_w[i]) * 4],
-                                      eng.emit_full, eng.channels)
+        return dec(fbytes[lo:lo + int(used_w[i]) * 4],
+                   eng.emit_full, eng.channels)
 
     futs = {i: pool.submit(decode_one, i) for i in rows} if pool else None
     for i, lane in enumerate(lanes):
