@@ -160,3 +160,29 @@ def test_decode_offload_matches_local_and_falls_back():
     staging._RPC[0].kill()   # dead worker: silent local fallback
     off2 = staging.decode_pcm24_offload(buf, len(v), 2)
     assert np.array_equal(off2, local)
+
+
+def test_batch_rpc_encode_matches_local(tmp_path, monkeypatch):
+    """With the RPC worker up, batch lane encodes route through it and
+    the outputs stay byte-identical to the local-encode batch."""
+    from tomatis_tpu.models.standard import process as std_process
+    from tomatis_tpu.parallel.batch import process_batch
+    jobs_a, jobs_b = [], []
+    for i in range(2):
+        x = _signal(6.0, seed=60 + i)
+        ip = tmp_path / f"b{i}.wav"
+        audio.write(ip, x, SR, subtype="PCM_24")
+        jobs_a.append((ip, tmp_path / f"a{i}_out.wav"))
+        jobs_b.append((ip, tmp_path / f"b{i}_out.wav"))
+
+    # local path first (no worker)
+    for w in list(staging._RPC):
+        w.kill()
+    staging._RPC.clear()
+    process_batch(jobs_a, P, frames_per_chunk=FPC)
+
+    staging.ensure_rpc_worker()
+    assert staging.rpc_available()
+    process_batch(jobs_b, P, frames_per_chunk=FPC)
+    for (_, oa), (_, ob) in zip(jobs_a, jobs_b):
+        assert oa.read_bytes() == ob.read_bytes()

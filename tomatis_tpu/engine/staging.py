@@ -84,12 +84,18 @@ def _child_entry():
 
 
 def _serve_rpc(req):
+    from tomatis_tpu.io import wirecodec
     if req[0] == "decode_pcm24":
         _, buf, n, ch = req
-        from tomatis_tpu.io import wirecodec
         arr = np.frombuffer(buf, np.uint8) if isinstance(buf, bytes) \
             else buf
         return ("ok", wirecodec.decode_pcm24(arr, n, ch))
+    if req[0] == "encode_f32":
+        _, sig, rice = req
+        return ("ok", wirecodec.encode_f32(sig, rice=rice))
+    if req[0] == "encode_i32":
+        _, sig, rice = req
+        return ("ok", wirecodec.encode_i32(sig, rice=rice))
     raise ValueError(f"unknown rpc {req[0]!r}")
 
 
@@ -284,21 +290,45 @@ def decode_pcm24_offload(buf: np.ndarray, n: int, ch: int) -> np.ndarray:
     of decode per chunk cannot be starved by the main thread's link
     waits). Falls back to the local decoder on ANY worker trouble —
     the offload is an optimization, never a failure source."""
+    msg = _rpc_call(("decode_pcm24", buf, n, ch))
+    if msg is not None:
+        return msg[1]
     from tomatis_tpu.io import wirecodec
+    return wirecodec.decode_pcm24(buf, n, ch)
+
+
+def _rpc_call(req):
+    """One locked request/response against the RPC worker; None when the
+    worker is down or errors (caller falls back to the local codec)."""
     with _RPC_LOCK:
         w = _RPC[0] if _RPC and _RPC[0].alive() else None
-        if w is not None:
-            try:
-                w.send(("decode_pcm24", buf, n, ch))
-                msg = w.recv()
-                if msg[0] == "ok":
-                    return msg[1]
-            except (EOFError, OSError, ValueError,
-                    pickle.UnpicklingError):
-                pass
-            w.kill()
-            _RPC.clear()
-    return wirecodec.decode_pcm24(buf, n, ch)
+        if w is None:
+            return None
+        try:
+            w.send(req)
+            msg = w.recv()
+            if msg[0] == "ok":
+                return msg
+        except (EOFError, OSError, ValueError, pickle.UnpicklingError):
+            pass
+        w.kill()
+        _RPC.clear()
+        return None
+
+
+def host_encode_offload(sig: np.ndarray, int_in: bool, rice: bool):
+    """staging.host_encode through the RPC worker (produce-side batch
+    lanes); local fallback on any worker trouble. Note encode_f32 may
+    legitimately return None (non-PCM_24-exact floats) — that is a
+    result, not a failure."""
+    op = "encode_i32" if int_in else "encode_f32"
+    msg = _rpc_call((op, sig, rice))
+    if msg is None:
+        return host_encode(sig, int_in, rice)
+    packed = msg[1]
+    if int_in:
+        return ("wire", packed)
+    return ("raw_inexact", sig) if packed is None else ("wire", packed)
 
 
 def stage_stream(path: str, int_in: bool, channels: int, in_base: int,

@@ -413,8 +413,16 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
                 # exact lane (float sources) falls the whole chunk back
                 # to raw floats. The C++ encode releases the GIL — lanes
                 # encode in parallel.
-                enc = dict(zip(wins, pool.map(
-                    lambda i: stage_encode(wins[i], False), wins)))
+                from tomatis_tpu.engine import staging as _staging
+                if _staging.rpc_available():
+                    # long batches: lane encodes ride the RPC worker
+                    # process (the producer thread can be starved by
+                    # the main thread's link waits, like the consumer)
+                    enc = {i: _staging.host_encode_offload(
+                        wins[i], False, WIRE_RICE_IN) for i in wins}
+                else:
+                    enc = dict(zip(wins, pool.map(
+                        lambda i: stage_encode(wins[i], False), wins)))
                 items = [enc.get(i) or zero_stream()
                          for i in range(Bp)]
                 if all(k == "wire" for k, _ in items):
