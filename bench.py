@@ -402,7 +402,7 @@ def parity_all(p, tmp, frames_per_chunk) -> dict:
 
 
 def bench_batch(p, tmp, args, time_left=None, lanes=None,
-                max_reps=None) -> dict:
+                max_reps=None, secs_scale: float = 1.0) -> dict:
     """BASELINE config 5's shape on one chip: N files as vmapped lanes in
     one device dispatch; aggregate audio-sec per wall-sec, best of
     `repeats` runs (first run warms the vmapped executable). Lanes use
@@ -421,7 +421,10 @@ def bench_batch(p, tmp, args, time_left=None, lanes=None,
     # tail is ~1/4 and amortizing. Chunk audio-seconds scale with
     # fpc*n/sr, so: 4 lanes x 1024 frames -> 480 s lanes, 16 x 512 ->
     # 240 s lanes (aggregates 2x/4x args.seconds/lane_count).
-    secs = args.seconds / (2 if n <= 4 else 4)
+    # secs_scale < 1 (bad weather): shorter lanes trade ~25% of drain-
+    # tail amortization for half the stage wall — the paired floor
+    # replays the same chunk count either way
+    secs = args.seconds / (2 if n <= 4 else 4) * secs_scale
     jobs = []
     waits = []
     for i in range(n):
@@ -1073,16 +1076,25 @@ def main() -> int:
             refresh_headline()
             emit()
 
-    # bad weather also caps the batch stages at warm + ONE timed rep
-    # (their absolute values are weather-capped anyway; the paired
-    # floors keep the comparison honest at any rep count)
-    batch_reps = 2 if weather_bad() else None
-    if args.batch > 0:
+    # bad weather also caps the batch stages at warm + ONE timed rep and
+    # halves the lane lengths (their absolute values are weather-capped
+    # anyway; the paired floors keep the comparison honest at any rep
+    # count, and batch16 at full lanes costs ~290 s on a 15 MB/s link —
+    # 640 MB x (warm + timed + floor) — which starved rice/resident/
+    # parity in every bad-weather session)
+    bad_now = weather_bad()
+    batch_reps = 2 if bad_now else None
+    batch_scale = 0.5 if bad_now else 1.0
+
+    def stage_batch():
+        if args.batch <= 0:
+            return
         if left() - reserve_after("batch") > 55:
             _progress(f"batch sub-benchmark ({args.batch} lanes)")
             try:
                 RESULT["batch"] = bench_batch(
                     p, tmp, args, max_reps=batch_reps,
+                    secs_scale=batch_scale,
                     time_left=lambda: left() - reserve_after("batch"))
                 RESULT["stages"]["batch"] = "done"
             except Exception as e:
@@ -1091,13 +1103,16 @@ def main() -> int:
             RESULT["stages"]["batch"] = "skipped (budget)"
         emit()
 
-    if args.batch16 > 0:
+    def stage_batch16():
         # BASELINE config 5's literal lane count
+        if args.batch16 <= 0:
+            return
         if left() - reserve_after("batch16") > 70:
             _progress(f"batch sub-benchmark ({args.batch16} lanes)")
             try:
                 RESULT["batch16"] = bench_batch(
                     p, tmp, args, lanes=args.batch16, max_reps=batch_reps,
+                    secs_scale=batch_scale,
                     time_left=lambda: left() - reserve_after("batch16"))
                 RESULT["stages"]["batch16"] = "done"
             except Exception as e:
@@ -1106,16 +1121,19 @@ def main() -> int:
             RESULT["stages"]["batch16"] = "skipped (budget)"
         emit()
 
-    # Rice A/B: re-run the headline workload with the OTHER wire rice-out
-    # mode forced, same session so both sides share the weather. The auto
-    # policy (streaming.resolve_rice_out) models the link as SERIAL with
-    # device compute (the r4 artifact's run-vs-floor gap, ~109 ms/chunk,
-    # equals the rice-on device time), so rice-out is off above ~8 MB/s;
-    # the A/B keeps that model honest from inside each round's artifact.
-    if args.ab_rice > 0 and runs:
+    def stage_rice_ab():
+        # Rice A/B: re-run the headline workload with the OTHER wire
+        # rice-out mode forced, same session so both sides share the
+        # weather. The auto policy (streaming.resolve_rice_out) models
+        # the link as SERIAL with device compute (the r4 artifact's
+        # run-vs-floor gap, ~109 ms/chunk, equals the rice-on device
+        # time), so rice-out is off above ~8 MB/s; the A/B keeps that
+        # model honest from inside each round's artifact.
+        if args.ab_rice <= 0 or not runs:
+            return
         from tomatis_tpu.engine.streaming import resolve_rice_out
-        if weather_bad():
-            args.ab_rice = min(args.ab_rice, 1)   # one A/B point suffices
+        if bad_now:
+            args.ab_rice = min(args.ab_rice, 1)  # one A/B point suffices
         # warm pass + the timed runs themselves
         if left() - reserve_after("rice_ab") > (args.ab_rice + 0.6) \
                 * est_run_cost():
@@ -1154,7 +1172,9 @@ def main() -> int:
             RESULT["stages"]["rice_ab"] = "skipped (budget)"
         emit()
 
-    if not args.no_resident:
+    def stage_resident():
+        if args.no_resident:
+            return
         # both rice modes: the device-side rice encode costs device time
         # that only pays while the stream is link-bound; the pair of
         # numbers makes the policy (streaming.resolve_rice_out) auditable
@@ -1173,7 +1193,9 @@ def main() -> int:
                 RESULT["stages"][label] = f"failed: {e}"
         emit()
 
-    if not args.no_parity:
+    def stage_parity():
+        if args.no_parity:
+            return
         if left() > 70:
             _progress("parity: all executable families on device")
             try:
@@ -1187,6 +1209,24 @@ def main() -> int:
         else:
             RESULT["stages"]["parity"] = "skipped (budget)"
         emit()
+
+    # Stage order: healthy weather keeps the contract order (batch4,
+    # batch16, rice A/B, resident, parity). In bad weather batch16 —
+    # the most expensive stage by far — moves LAST so the cheap
+    # contract stages can never starve behind it (r5 dev sessions
+    # skipped rice/resident/parity twice exactly this way).
+    if bad_now:
+        stage_fns = [("batch", stage_batch), ("rice_ab", stage_rice_ab),
+                     ("resident", stage_resident), ("parity", stage_parity),
+                     ("batch16", stage_batch16)]
+        _ORDER[:] = ["batch", "rice_ab", "resident", "parity", "batch16",
+                     "probe"]
+    else:
+        stage_fns = [("batch", stage_batch), ("batch16", stage_batch16),
+                     ("rice_ab", stage_rice_ab),
+                     ("resident", stage_resident), ("parity", stage_parity)]
+    for _name, fn_ in stage_fns:
+        fn_()
 
     # Adaptive extension (OPTIONAL, after every contract stage): the
     # tunnel's bandwidth swings up to ~3.5x over tens of minutes, so a
