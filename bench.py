@@ -444,13 +444,30 @@ def bench_batch(p, tmp, args, time_left=None, lanes=None,
             est = (secs * n) / min(r for r in runs if r) * 2.2
             if time_left() < est:
                 break
+        os.environ["TOMATIS_TIMING_DETAIL"] = "1"
         t0 = time.perf_counter()
-        res = batch_mod.process_batch(jobs, p, frames_per_chunk=fpc)
+        try:
+            res = batch_mod.process_batch(jobs, p, frames_per_chunk=fpc)
+        finally:
+            os.environ.pop("TOMATIS_TIMING_DETAIL", None)
         dt = time.perf_counter() - t0
         runs.append(round(secs * n / dt, 1))
         if best is None or dt < best:
             best = dt
             timings = dict(batch_mod.LAST_TIMINGS)
+            det = timings.pop("chunk_detail", None)
+            if det:
+                # per-chunk main-thread wall percentiles (block+retire):
+                # the batch floor-gap attribution (uniform slowdown =
+                # weather/software; heavy drain_s = pipeline tail)
+                tot = sorted(d["block"] + d["retire"] for d in det)
+
+                def pct(q):
+                    return round(
+                        tot[min(len(tot) - 1, int(q * len(tot)))] * 1000, 1)
+                timings["chunk_wall_ms"] = {
+                    "med": pct(0.5), "p90": pct(0.9),
+                    "max": round(tot[-1] * 1000, 1)}
         # paired zero-compute floor replay, same as the single-file loop:
         # the tunnel drifts minute to minute, so batch-vs-single gaps in
         # the artifact are only meaningful against floors measured at the
@@ -467,6 +484,9 @@ def bench_batch(p, tmp, args, time_left=None, lanes=None,
                 floor_i = round(secs * n / link_floor(
                     wa["in_shipped"], wa["out_shipped"], n_chunks,
                     aux_words), 1)
+                if floor_i and LAST_FLOOR_CHUNKS and timings is not None:
+                    timings["floor_wall_ms"] = dict(
+                        LAST_FLOOR_CHUNKS["wall_ms"])
             floor_runs.append(floor_i)
     ok = sum(1 for r in res if r.get("failed") is None)
     # same pairing semantic as the single-file headline: the floor replay

@@ -503,6 +503,8 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
     prefetch = Prefetcher(produce())
     pipe = StagedPipeline(pipe_start, pipe_finish)
 
+    import os as _os
+    detail = [] if _os.environ.get("TOMATIS_TIMING_DETAIL") else None
     try:
         while True:
             _t = _time.perf_counter()
@@ -578,14 +580,21 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
 
             _t = _time.perf_counter()
             pipe.promote()
-            timings["block_s"] += _time.perf_counter() - _t
+            blk = _time.perf_counter() - _t
+            timings["block_s"] += blk
             _t = _time.perf_counter()
+            ret = 0.0
             if pipe.retire():
-                timings["consume_s"] += _time.perf_counter() - _t
+                ret = _time.perf_counter() - _t
+                timings["consume_s"] += ret
+            if detail is not None:
+                detail.append({"block": round(blk, 4),
+                               "retire": round(ret, 4)})
         _t = _time.perf_counter()
         pipe.drain()
         worker.check(join=True)
-        timings["consume_s"] += _time.perf_counter() - _t
+        drain_s = _time.perf_counter() - _t
+        timings["consume_s"] += drain_s
 
         _t = _time.perf_counter()
         out_tail_np = np.asarray(out_tail_b)
@@ -601,6 +610,13 @@ def process_batch(jobs, params=None, frames_per_chunk: int = 1024,
         LAST_TIMINGS.clear()
         LAST_TIMINGS.update({k: round(v, 4) if isinstance(v, float) else v
                              for k, v in timings.items()})
+        LAST_TIMINGS["drain_s"] = round(drain_s, 4)
+        if detail is not None:
+            # per-chunk main-thread wall (link wait + retire): the
+            # bench's batch floor-gap attribution — a uniform slowdown
+            # vs the floor's chunks is software/weather drift, a heavy
+            # drain is the un-overlapped pipeline tail
+            LAST_TIMINGS["chunk_detail"] = detail
         LAST_WIRE.clear()
         LAST_WIRE.update(wire_acct)
     finally:
